@@ -1,0 +1,63 @@
+"""Query registry — one entry per operator from SURVEY.md §2.
+
+Each query is registered with an optional DuckDB oracle SQL twin; the
+driver runs both at sf0.01 and hash-compares (row count + schema +
+order-insensitive value hash). Queries without an oracle get a weaker
+rows-only check (reserved for genuinely non-SQL-expressible operators).
+
+Hash-stability rules applied throughout the query modules:
+
+- every computed / aggregate column is aliased identically on both sides;
+- double-typed aggregates are rounded on BOTH sides (sum/round-2,
+  avg & higher moments/round-6) so that floating-point summation-order
+  differences between Spark and DuckDB can't flip the value hash;
+- integer sums are cast to BIGINT in the oracle (DuckDB widens integer
+  SUM to HUGEINT, Spark to LONG).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` as the Spark side of query ``name``."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, QueryFn]:
+    # Import for side effect: populates REGISTRY.
+    import datafusion_nats_spark.queries  # noqa: F401
+    import datafusion_nats_spark.extensions  # noqa: F401
+
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    import datafusion_nats_spark.queries  # noqa: F401
+    import datafusion_nats_spark.extensions  # noqa: F401
+
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
