@@ -1,1 +1,262 @@
-"""Placeholder — populated in a later milestone."""
+"""Aggregation surface (SURVEY.md §2B rows "Aggregation", "Aggregate
+functions", "Approximate aggregates", "Grouping sets / cube / rollup").
+
+Inherited by the reference from DataFusion's AggregateExec (partial/final);
+Spark's HashAggregateExec does partial→final automatically, so every query
+here map-side-combines before its single exchange — the property that makes
+these plans survive a 100 TB fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load, register_views
+
+
+@query(
+    "agg_function_battery",
+    oracle="""
+    SELECT
+      l_returnflag,
+      count(*)                                   AS n_rows,
+      CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      round(sum(l_quantity), 2)                  AS sum_qty,
+      round(min(l_extendedprice), 2)             AS min_price,
+      round(max(l_extendedprice), 2)             AS max_price,
+      round(avg(l_extendedprice), 6)             AS avg_price,
+      round(stddev_samp(l_quantity), 6)          AS sd_qty,
+      round(var_samp(l_quantity), 6)             AS var_qty,
+      round(stddev_pop(l_discount), 6)           AS sdp_disc,
+      round(var_pop(l_discount), 6)              AS varp_disc,
+      round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+      round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+      round(covar_pop(l_quantity, l_extendedprice), 6)  AS covarp_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Full aggregate-function battery incl. distinct agg and 2nd moments.",
+)
+def agg_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("sdp_disc"),
+        F.round(F.var_pop("l_discount"), 6).alias("varp_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).alias("covarp_qty_price"),
+    )
+
+
+@query(
+    "agg_bool_bit",
+    oracle="""
+    SELECT
+      event_type,
+      bool_and(value >= 0)                 AS all_nonneg,
+      bool_or(value > 90)                  AS any_big,
+      CAST(bit_and(user_id) AS BIGINT)     AS band,
+      CAST(bit_or(user_id) AS BIGINT)      AS bor,
+      CAST(bit_xor(user_id) AS BIGINT)     AS bxor
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Boolean and bitwise aggregates over the events stream table.",
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 90).alias("any_big"),
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor("user_id").alias("bxor"),
+    )
+
+
+@query(
+    "agg_string_array",
+    oracle="""
+    SELECT
+      n_regionkey,
+      string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
+      list_sort(list(n_name))                 AS names_arr
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    doc="string_agg / array_agg (deterministic via sorted order).",
+)
+def agg_string_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names_csv"),
+        F.sort_array(F.collect_list("n_name")).alias("names_arr"),
+    )
+
+
+@query(
+    "agg_median_percentile",
+    oracle="""
+    SELECT
+      l_linestatus,
+      round(median(l_quantity), 6)                                       AS med_qty,
+      round(quantile_cont(l_extendedprice, 0.5), 6)                      AS p50_price,
+      round(quantile_cont(l_extendedprice, 0.9), 6)                      AS p90_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="Exact median + continuous percentiles (DataFusion: median / "
+    "approx_percentile_cont; Spark: median / percentile).",
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines → rows-only check
+    doc="approx_count_distinct (HLL) per group — engine-specific estimates, "
+    "so checked rows-only (reference analogue: DataFusion approx_distinct).",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (grand total + per-flag subtotals).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two dimensions (all 4 grouping-set combinations).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(grouping(l_returnflag) AS INTEGER)  AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER)  AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS + grouping() marker columns.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_o,
+      round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot l_linestatus into columns (Spark .pivot ≡ conditional sums).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_o"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_f"),
+    )
+
+
+@query(
+    "agg_distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    doc="DISTINCT ≡ group-by-all-columns (ReplaceDistinctWithAggregate).",
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 12
+    """,
+    doc="HAVING — post-aggregation filter.",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )

@@ -1,1 +1,354 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar-function families (SURVEY.md §2B rows "String/Regex/Math/
+Date-time/Conditional/Array/Map/JSON functions", "Casts").
+
+All built-in `pyspark.sql.functions` — JVM-side, whole-stage-codegen'd;
+no Python UDFs anywhere on these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load
+
+
+@query(
+    "fn_string_battery",
+    oracle="""
+    SELECT
+      c_custkey,
+      upper(c_name)                      AS up_name,
+      lower(c_mktsegment)                AS low_seg,
+      CAST(length(c_name) AS INTEGER)    AS name_len,
+      substr(c_name, 1, 8)               AS name_prefix,
+      trim(c_name)                       AS trimmed,
+      lpad(CAST(c_custkey AS VARCHAR), 8, '0')  AS padded_key,
+      replace(c_name, '#', '-')          AS dashed,
+      reverse(c_mktsegment)              AS rev_seg,
+      repeat(c_mktsegment, 2)            AS seg2,
+      left(c_name, 4)                    AS l4,
+      right(c_name, 4)                   AS r4,
+      CAST(strpos(c_name, '#') AS INTEGER)  AS hash_pos,
+      starts_with(c_mktsegment, 'BU')    AS is_bu,
+      ends_with(c_mktsegment, 'RY')      AS ends_ry,
+      split_part(c_name, '#', 1)         AS name_head,
+      CAST(ascii(c_mktsegment) AS INTEGER)  AS first_code,
+      md5(c_name)                        AS name_md5,
+      concat(c_mktsegment, ':', c_name)  AS tagged
+    FROM customer
+    """,
+    doc="String-function battery (upper/lower/length/substr/pad/replace/"
+    "reverse/repeat/left/right/strpos/starts/ends/split_part/ascii/md5).",
+)
+def fn_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("low_seg"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim("c_name").alias("trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
+        F.reverse("c_mktsegment").alias("rev_seg"),
+        F.repeat("c_mktsegment", 2).alias("seg2"),
+        F.substring("c_name", 1, 4).alias("l4"),
+        F.col("c_name").substr(F.length("c_name") - 3, F.lit(4)).alias("r4"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.startswith("c_mktsegment", F.lit("BU")).alias("is_bu"),
+        F.endswith("c_mktsegment", F.lit("RY")).alias("ends_ry"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+        F.ascii("c_mktsegment").alias("first_code"),
+        F.md5("c_name").alias("name_md5"),
+        F.concat("c_mktsegment", F.lit(":"), "c_name").alias("tagged"),
+    )
+
+
+@query(
+    "fn_regex_battery",
+    oracle="""
+    SELECT
+      doc_id,
+      regexp_matches(text, 'data|spark')                    AS mentions_eng,
+      regexp_replace(text, '[aeiou]', '_', 'g')             AS devoweled,
+      regexp_extract(text, '([a-z]+)', 1)                   AS first_word,
+      CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER) AS n_spaces
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    doc="Regex predicate/replace/extract (simple RE2-and-Java-safe patterns).",
+)
+def fn_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.col("text").rlike("data|spark").alias("mentions_eng"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias(
+            "n_spaces"
+        ),
+    )
+
+
+@query(
+    "fn_math_battery",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      round(abs(l_discount - 0.05), 6)              AS abs_d,
+      CAST(ceil(l_quantity) AS BIGINT)              AS ceil_q,
+      CAST(floor(l_quantity) AS BIGINT)             AS floor_q,
+      round(exp(l_discount), 6)                     AS exp_d,
+      round(ln(l_extendedprice), 6)                 AS ln_p,
+      round(log10(l_extendedprice), 6)              AS log10_p,
+      round(log2(l_quantity + 1), 6)                AS log2_q,
+      round(pow(l_quantity, 2), 6)                  AS q_sq,
+      round(sqrt(l_extendedprice), 6)               AS sqrt_p,
+      round(cbrt(l_extendedprice), 6)               AS cbrt_p,
+      round(sin(l_discount), 6)                     AS sin_d,
+      round(cos(l_discount), 6)                     AS cos_d,
+      round(atan2(l_quantity, l_extendedprice), 6)  AS at2,
+      round(sign(l_discount - 0.05), 1)             AS sgn,
+      round(degrees(l_discount), 6)                 AS deg_d,
+      round(radians(l_quantity), 6)                 AS rad_q,
+      CAST(l_orderkey % 97 AS BIGINT)               AS mod97,
+      round(greatest(l_quantity, l_extendedprice / 1000), 6) AS big,
+      round(least(l_quantity, l_extendedprice / 1000), 6)    AS small
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    """,
+    doc="Math-function battery (rounded to 6dp for cross-engine libm drift).",
+)
+def fn_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_d"),
+        F.ceil("l_quantity").cast("bigint").alias("ceil_q"),
+        F.floor("l_quantity").cast("bigint").alias("floor_q"),
+        F.round(F.exp("l_discount"), 6).alias("exp_d"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_p"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_p"),
+        F.round(F.log2(F.col("l_quantity") + 1), 6).alias("log2_q"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("q_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_p"),
+        F.round(F.cbrt("l_extendedprice"), 6).alias("cbrt_p"),
+        F.round(F.sin("l_discount"), 6).alias("sin_d"),
+        F.round(F.cos("l_discount"), 6).alias("cos_d"),
+        F.round(F.atan2(F.col("l_quantity"), F.col("l_extendedprice")), 6).alias("at2"),
+        F.round(F.signum(F.col("l_discount") - 0.05), 1).alias("sgn"),
+        F.round(F.degrees("l_discount"), 6).alias("deg_d"),
+        F.round(F.radians("l_quantity"), 6).alias("rad_q"),
+        (F.col("l_orderkey") % 97).alias("mod97"),
+        F.round(F.greatest(F.col("l_quantity"), F.col("l_extendedprice") / 1000), 6).alias(
+            "big"
+        ),
+        F.round(F.least(F.col("l_quantity"), F.col("l_extendedprice") / 1000), 6).alias(
+            "small"
+        ),
+    )
+
+
+@query(
+    "fn_datetime_battery",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(extract(year  FROM o_orderdate) AS INTEGER) AS yr,
+      CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
+      CAST(extract(day   FROM o_orderdate) AS INTEGER) AS dy,
+      CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+      CAST(extract(dow   FROM o_orderdate) AS INTEGER)  AS dow_sun0,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      strftime(o_orderdate, '%Y-%m')                    AS ym,
+      o_orderdate + INTERVAL 30 DAY                     AS due_date,
+      CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER)
+                                                        AS days_since_95,
+      CAST(epoch(o_orderdate) AS BIGINT)                AS epoch_s,
+      make_date(2000, 1, CAST(extract(day FROM o_orderdate) AS INTEGER)) AS fake_date,
+      CAST(o_orderdate AS DATE)                         AS as_date
+    FROM orders
+    WHERE o_orderkey <= 200
+    """,
+    doc="Date/time battery: extract, date_trunc, format, interval math, "
+    "datediff, epoch, make_date, cast-to-date.",
+)
+def fn_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        # DuckDB dow: Sunday=0; Spark dayofweek: Sunday=1.
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_95"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.make_date(F.lit(2000), F.lit(1), F.dayofmonth("o_orderdate")).alias("fake_date"),
+        F.col("o_orderdate").cast("date").alias("as_date"),
+    )
+
+
+@query(
+    "fn_date_bin_bucketing",
+    oracle="""
+    SELECT
+      time_bucket(INTERVAL '1 hour', ts) AS hour_bucket,
+      event_type,
+      count(*)              AS n,
+      round(sum(value), 2)  AS total_value
+    FROM events
+    GROUP BY hour_bucket, event_type
+    """,
+    doc="date_bin/time-bucket rollup — the streaming-window batch analogue "
+    "(DataFusion date_bin ≈ Spark window()/date_trunc).",
+)
+def fn_date_bin_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_bucket"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "fn_conditional_null",
+    oracle="""
+    SELECT
+      e.event_id,
+      coalesce(nullif(e.event_type, 'error'), 'ERR')        AS type_or_err,
+      CASE WHEN e.value > 50 THEN 'hi'
+           WHEN e.value > 20 THEN 'mid'
+           ELSE 'lo' END                                    AS band,
+      (e.value IS NULL)                                     AS v_null,
+      (e.event_type IS NOT NULL)                            AS t_set,
+      if(e.value > 50, 1, 0)                                AS hi_flag,
+      greatest(e.value, 50.0)                               AS at_least_50,
+      least(e.value, 50.0)                                  AS at_most_50
+    FROM events e
+    WHERE e.event_id <= 300
+    """,
+    doc="Conditional/null family: coalesce, nullif, CASE, IS NULL, if, "
+    "greatest/least.",
+)
+def fn_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") <= 300)
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("ERR")).alias(
+            "type_or_err"
+        ),
+        F.when(F.col("value") > 50, "hi")
+        .when(F.col("value") > 20, "mid")
+        .otherwise("lo")
+        .alias("band"),
+        F.col("value").isNull().alias("v_null"),
+        F.col("event_type").isNotNull().alias("t_set"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("hi_flag"),
+        F.greatest(F.col("value"), F.lit(50.0)).alias("at_least_50"),
+        F.least(F.col("value"), F.lit(50.0)).alias("at_most_50"),
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT
+      event_id,
+      json_extract_string(props, '$.k')                    AS k_str,
+      CAST(json_extract_string(props, '$.k') AS BIGINT)    AS k_num
+    FROM events
+    WHERE event_id <= 500
+    """,
+    doc="JSON field extraction from the events.props payload column "
+    "(Spark get_json_object; exceeds reference parity — DataFusion core "
+    "48 ships no JSON functions, SURVEY §2B).",
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+    )
+
+
+@query(
+    "fn_array_battery",
+    oracle="""
+    SELECT
+      vec_id,
+      CAST(len(embedding) AS INTEGER)                AS dim,
+      round(CAST(embedding[1] AS DOUBLE), 6)         AS first_val,
+      round(CAST(embedding[8] AS DOUBLE), 6)         AS eighth_val,
+      list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS head3,
+      round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4) AS l1_norm,
+      round(CAST(list_max(embedding) AS DOUBLE), 6)  AS max_val,
+      list_contains([label], 3)                      AS is_label3
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    doc="Array/higher-order functions over array<float> embeddings: size, "
+    "element_at, slice, transform, aggregate (L1 norm), array_max, contains.",
+)
+def fn_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(emb_d, 1), 6).alias("first_val"),
+        F.round(F.element_at(emb_d, 8), 6).alias("eighth_val"),
+        F.transform(F.slice(emb_d, 1, 3), lambda x: F.round(x, 6)).alias("head3"),
+        F.round(
+            F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + F.abs(x)), 4
+        ).alias("l1_norm"),
+        F.round(F.array_max(emb_d), 6).alias("max_val"),
+        F.array_contains(F.array(F.col("label")), 3).alias("is_label3"),
+    )
+
+
+@query(
+    "fn_cast_trycast",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(trunc(value) AS INTEGER)                  AS v_int,
+      CAST(round(value, 2) AS VARCHAR)               AS v_str,
+      TRY_CAST(event_type AS DOUBLE)                 AS t_num,
+      TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+      CAST(CAST(trunc(value) AS INTEGER) AS BOOLEAN) AS v_bool
+    FROM events
+    WHERE event_id <= 200
+    """,
+    doc="CAST / TRY_CAST battery incl. failing casts → NULL.",
+)
+def fn_cast_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") <= 200)
+    return ev.select(
+        "event_id",
+        # Spark's double→int cast truncates; DuckDB's rounds — trunc() on the
+        # oracle side pins both to truncation semantics.
+        F.col("value").cast("int").alias("v_int"),
+        F.round(F.col("value"), 2).cast("string").alias("v_str"),
+        F.col("event_type").try_cast("double").alias("t_num"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.col("value").cast("int").cast("boolean").alias("v_bool"),
+    )

@@ -1,1 +1,152 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function surface (SURVEY.md §2B rows "Window — ranking /
+analytic / frames").
+
+Inherited by the reference from DataFusion's BoundedWindowAggExec. Spark's
+WindowExec requires a shuffle on the partition key + in-partition sort —
+at 100 TB the partition key must be high-cardinality (here: per customer /
+per order) so no single window partition exceeds executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT * FROM (
+      SELECT
+        o_custkey,
+        o_orderkey,
+        round(o_totalprice, 2) AS o_totalprice,
+        row_number()   OVER w AS rn,
+        rank()         OVER w AS rnk,
+        dense_rank()   OVER w AS drnk,
+        ntile(4)       OVER w AS quartile,
+        round(percent_rank() OVER w, 6) AS prank,
+        round(cume_dist()    OVER w, 6) AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 5
+    """,
+    doc="Ranking battery + top-5-per-customer pattern.",
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            # DuckDB ranking fns return BIGINT; Spark's return INT — cast so
+            # the driver's schema compare can't trip on integer width.
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      lag(o_orderkey)  OVER w                  AS prev_order,
+      lead(o_orderkey) OVER w                  AS next_order,
+      first_value(o_orderkey) OVER w           AS first_order,
+      last_value(o_orderkey)
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                               AS last_order,
+      nth_value(o_orderkey, 2) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                               AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead/first/last/nth_value with explicit full frame for "
+    "last_value (default frame stops at CURRENT ROW in both engines).",
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    )
+
+
+@query(
+    "window_frames_rows",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)  AS running_spend,
+      round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)          AS moving_avg3,
+      count(*) OVER (PARTITION BY o_custkey)                       AS n_in_part
+    FROM orders
+    """,
+    doc="ROWS frames: running total, 3-row moving average, whole-partition count.",
+)
+def window_frames_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            "running_spend"
+        ),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6).alias("moving_avg3"),
+        F.count(F.lit(1)).over(W.partitionBy("o_custkey")).alias("n_in_part"),
+    )
+
+
+@query(
+    "window_frames_range",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_quantity,
+      round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey
+            ORDER BY l_quantity
+            RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING), 2) AS near_qty_price
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    """,
+    doc="RANGE frame over a numeric ordering key (value-based window).",
+)
+def window_frames_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    w = W.partitionBy("l_orderkey").orderBy("l_quantity").rangeBetween(-5, 5)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("near_qty_price"),
+    )

@@ -23,7 +23,22 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table. Parquet scan → Catalyst gets pushdown + pruning."""
+    """Load one table. Parquet scan → Catalyst gets pushdown + pruning.
+
+    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects outright; read it as a long (legacy conf) and
+    rebuild the timestamp at microsecond precision with integer `div`
+    (a double-typed division would lose sub-µs precision at ns-epoch
+    magnitudes).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -64,11 +64,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle_sql: str) -> None:
     s_order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
     d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
 
-    s_set = sorted(
-        tuple(_norm(row[i]) for i in s_order) for row in s_rows
-    )
-    d_set = sorted(
-        tuple(_norm(row[i]) for i in d_order) for row in d_rows
-    )
-    for i, (a, b) in enumerate(zip(s_set, d_set)):
-        assert a == b, f"row {i} differs:\n  spark={a}\n  duck ={b}"
+    from collections import Counter
+
+    s_set = Counter(tuple(_norm(row[i]) for i in s_order) for row in s_rows)
+    d_set = Counter(tuple(_norm(row[i]) for i in d_order) for row in d_rows)
+    if s_set != d_set:
+        only_s = list((s_set - d_set).keys())[:5]
+        only_d = list((d_set - s_set).keys())[:5]
+        raise AssertionError(
+            f"value multisets differ\n  only in spark: {only_s}\n  only in duck : {only_d}"
+        )
