@@ -1,0 +1,140 @@
+"""Message transports for the NATS source.
+
+The reference talks to a live broker through thin connect/subscribe
+wrappers (reference: src/nats_connection.rs:4-12). Here the transport is
+pluggable:
+
+- ``LocalLogBroker`` — a file-backed, per-subject append-only message log
+  keyed by URL (``memory://name`` → a directory under the system temp
+  dir). Used by tests and local demos. It must be file-backed because
+  PySpark executes a Python data source's ``partitions()``/``read()`` in
+  separate Python worker processes — an in-process dict would be empty
+  there. Unlike core NATS (at-most-once, no replay — the property that
+  breaks the reference's own integration test, SURVEY §5.3), the log is
+  retained and offset-indexed, which gives the streaming reader
+  replayable offsets; it models a JetStream-like durable subject.
+- ``nats-py`` (optional) — a real core-NATS client, import-gated because
+  the package may be absent; delivers the reference's exact at-most-once
+  contract.
+
+Messages are stored base64-line-encoded so arbitrary payload bytes are
+safe; O_APPEND single-line writes keep concurrent publishers atomic on
+POSIX.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import re
+import tempfile
+import threading
+
+
+def _safe(name: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+
+
+class LocalLogBroker:
+    """File-backed append-only per-subject message log."""
+
+    def __init__(self, url: str) -> None:
+        root = os.environ.get(
+            "SPARK_NATS_BROKER_DIR",
+            os.path.join(tempfile.gettempdir(), "datafusion_nats_broker"),
+        )
+        self._dir = os.path.join(root, _safe(url))
+        os.makedirs(self._dir, exist_ok=True)
+        self._lock = threading.Lock()
+
+    def _path(self, subject: str) -> str:
+        return os.path.join(self._dir, _safe(subject) + ".log")
+
+    def publish(self, subject: str, payload: bytes | str) -> None:
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
+        line = base64.b64encode(payload) + b"\n"
+        with self._lock:
+            fd = os.open(self._path(subject), os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+            try:
+                os.write(fd, line)
+            finally:
+                os.close(fd)
+
+    def _lines(self, subject: str) -> list[bytes]:
+        try:
+            with open(self._path(subject), "rb") as f:
+                return f.read().splitlines()
+        except FileNotFoundError:
+            return []
+
+    def size(self, subject: str) -> int:
+        return len(self._lines(subject))
+
+    def fetch(self, subject: str, start: int, end: int | None = None) -> list[bytes]:
+        """Messages [start, end) of the subject log."""
+        lines = self._lines(subject)
+        sliced = lines[start : len(lines) if end is None else end]
+        return [base64.b64decode(line) for line in sliced]
+
+    def clear(self, subject: str | None = None) -> None:
+        if subject is not None:
+            try:
+                os.remove(self._path(subject))
+            except FileNotFoundError:
+                pass
+            return
+        for name in os.listdir(self._dir):
+            if name.endswith(".log"):
+                os.remove(os.path.join(self._dir, name))
+
+
+# Back-compat alias (earlier in-process design).
+InMemoryBroker = LocalLogBroker
+
+
+def get_broker(url: str = "memory://default") -> LocalLogBroker:
+    """Broker handle for a URL — cheap to construct in any process; all
+    state lives in the shared log directory."""
+    return LocalLogBroker(url)
+
+
+def nats_available() -> bool:
+    try:
+        import nats  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def fetch_from_nats(url: str, subject: str, max_messages: int, timeout_ms: int) -> list[bytes]:
+    """Bounded drain of a live core-NATS subject (at-most-once: messages
+    published before this subscribe are lost, reference: executor.rs:94).
+
+    Import-gated: raises ImportError with guidance when nats-py is absent.
+    """
+    import asyncio
+
+    import nats  # may raise ImportError — callers surface it
+
+    async def _drain() -> list[bytes]:
+        client = await nats.connect(url)
+        try:
+            sub = await client.subscribe(subject)
+            out: list[bytes] = []
+            deadline = asyncio.get_event_loop().time() + timeout_ms / 1000.0
+            while len(out) < max_messages:
+                remaining = deadline - asyncio.get_event_loop().time()
+                if remaining <= 0:
+                    break
+                try:
+                    msg = await asyncio.wait_for(sub.next_msg(), timeout=remaining)
+                except asyncio.TimeoutError:
+                    break
+                out.append(msg.data)
+            return out
+        finally:
+            await client.close()
+
+    return asyncio.run(_drain())

@@ -1,0 +1,280 @@
+"""NATS subject ⇄ Spark table, via the PySpark Python Data Source API.
+
+The reference exposes one NATS subject as one SQL table through a
+DataFusion ``TableProvider`` + streaming ``ExecutionPlan``
+(reference: src/data_source.rs:19-71, src/executor.rs:17-174). The Spark
+re-expression:
+
+- **batch** (``spark.read.format("nats")``) — a bounded drain of the
+  subject (``maxMessages``/``timeoutMs``), reproducing the reference's
+  LIMIT-terminated query UX (``SELECT … LIMIT 3`` then the scan stops —
+  reference: executor.rs:132-138, done right: we count *emitted* rows,
+  not buffer occupancy, avoiding the limit>batch_size hang of SURVEY §4.1);
+- **streaming** (``spark.readStream.format("nats")``) — a
+  ``DataSourceStreamReader`` whose offsets index into a driver-side
+  message log: the analogue of the reference's spawned consumer task
+  feeding an mpsc channel (reference: executor.rs:74-163), with Spark's
+  micro-batch trigger playing the role of the (dead, SURVEY §4.1)
+  batch-timeout and ``maxMessagesPerBatch`` the role of
+  ``batch_size=1000`` (reference: src/batch_buffer.rs:24).
+
+Decode is the reference-exact CSV codec (one message = one row,
+``datafusion_nats_spark.codec``). Error modes (reference A10 semantics):
+``mode=failfast`` (default — a bad message fails the query, like the
+reference surfacing parse errors into the result stream) or
+``mode=permissive-skip`` (log-and-continue).
+
+Scale design (100 TB / 1000-executor): ``numPartitions`` splits every
+drained slice into k ``InputPartition``s so decode parallelizes across
+executors; payload bytes travel inside the partition objects (driver
+prefetch), which is the honest shape for core NATS — a non-replayable
+broker cannot be re-read from executors. The upgrade path for true
+executor-side parallel ingest is JetStream durable consumers or NATS
+queue groups (one group member per partition), which slot into
+``_fetch_payloads`` without touching the planner contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from datafusion_nats_spark.codec import CodecError, CsvCodec, ParseError
+
+
+@dataclass
+class NatsPartition(InputPartition):
+    payloads: list[bytes]
+
+
+@dataclass
+class NatsCommitMessage(WriterCommitMessage):
+    lines: list[bytes]
+
+
+def _split_round_robin_contiguous(items: list[bytes], k: int) -> list[list[bytes]]:
+    """Contiguous chunks (preserves publish order within each partition —
+    arrival order is the reference's only ordering guarantee, FIXTURES C7)."""
+    if k <= 1 or len(items) <= 1:
+        return [items]
+    size = (len(items) + k - 1) // k
+    return [items[i : i + size] for i in range(0, len(items), size)]
+
+
+class _OptionsMixin:
+    """Option access. Spark lower-cases data source option keys, so all
+    lookups normalize to lowercase."""
+
+    def _opt(self, key: str, default: str | None = None) -> str | None:
+        return self.options.get(key.lower(), default)
+
+    @property
+    def url(self) -> str:
+        return self._opt("url", "memory://default")
+
+    @property
+    def subject(self) -> str:
+        subject = self._opt("subject")
+        if not subject:
+            raise CodecError("option 'subject' is required for the nats source")
+        return subject
+
+    @property
+    def transport(self) -> str:
+        return self._opt("transport", "memory")
+
+    @property
+    def mode(self) -> str:
+        mode = self._opt("mode", "failfast")
+        if mode not in ("failfast", "permissive-skip"):
+            raise CodecError(f"unknown mode: {mode}")
+        return mode
+
+    @property
+    def num_partitions(self) -> int:
+        return int(self._opt("numpartitions", "1"))
+
+
+def _decode(payloads: list[bytes], codec: CsvCodec, mode: str):
+    for payload in payloads:
+        # Reference uses from_utf8_lossy (executor.rs:109) — replicate.
+        line = payload.decode("utf-8", errors="replace")
+        try:
+            yield codec.parse_line(line)
+        except ParseError:
+            if mode == "failfast":
+                raise
+            # permissive-skip: drop the bad message, keep consuming
+            continue
+
+
+class NatsBatchReader(DataSourceReader, _OptionsMixin):
+    """Bounded subject drain (reference LIMIT-UX, §3.1)."""
+
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self.options = {k.lower(): v for k, v in options.items()}
+        self.codec = CsvCodec(schema)
+
+    def _fetch_payloads(self) -> list[bytes]:
+        max_messages = int(self._opt("maxmessages", "0")) or None
+        if self.transport == "memory":
+            from datafusion_nats_spark.sources.broker import get_broker
+
+            log = get_broker(self.url).fetch(self.subject, 0)
+            return log[:max_messages] if max_messages else log
+        if self.transport == "nats":
+            from datafusion_nats_spark.sources.broker import fetch_from_nats
+
+            return fetch_from_nats(
+                self.url,
+                self.subject,
+                max_messages or 10_000,
+                int(self._opt("timeoutms", "5000")),
+            )
+        raise CodecError(f"unknown transport: {self.transport}")
+
+    def partitions(self):  # driver-side (the consumer-task analogue)
+        payloads = self._fetch_payloads()
+        return [NatsPartition(p) for p in _split_round_robin_contiguous(payloads, self.num_partitions)]
+
+    def read(self, partition: NatsPartition):  # executor-side decode
+        yield from _decode(partition.payloads, self.codec, self.mode)
+
+
+class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
+    """Micro-batch streaming scan with log-indexed offsets.
+
+    Offsets are message counters over the subject log — replayable for the
+    in-memory (JetStream-like) transport; for core NATS they would be
+    counters over a driver-side prefetch buffer with at-most-once
+    semantics (documented parity with reference: plain ``subscribe``,
+    executor.rs:94).
+    """
+
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self.options = {k.lower(): v for k, v in options.items()}
+        self.codec = CsvCodec(schema)
+        self.max_per_batch = int(self._opt("maxmessagesperbatch", "1000"))
+        if self.transport != "memory":
+            raise CodecError(
+                "streaming currently supports transport=memory (JetStream-"
+                "backed replayable NATS is the documented upgrade path)"
+            )
+
+    def _size(self) -> int:
+        from datafusion_nats_spark.sources.broker import get_broker
+
+        return get_broker(self.url).size(self.subject)
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        # Admission control: never advance more than maxMessagesPerBatch per
+        # trigger (the batch_size=1000 analogue, batch_buffer.rs:24).
+        size = self._size()
+        start = getattr(self, "_last_end", 0)
+        end = min(size, start + self.max_per_batch)
+        self._last_end = max(start, end)
+        return {"offset": self._last_end}
+
+    def partitions(self, start: dict, end: dict):
+        from datafusion_nats_spark.sources.broker import get_broker
+
+        payloads = get_broker(self.url).fetch(self.subject, start["offset"], end["offset"])
+        return [NatsPartition(p) for p in _split_round_robin_contiguous(payloads, self.num_partitions)]
+
+    def read(self, partition: NatsPartition):
+        yield from _decode(partition.payloads, self.codec, self.mode)
+
+    def commit(self, end: dict) -> None:
+        # Log is retained (replayability); nothing to prune.
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+def _encode_value(v) -> str:
+    import datetime
+
+    if v is None:
+        raise CodecError("NULL values are not encodable (reference: no-NULL wire format)")
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    s = str(v)
+    if "," in s or s == "":
+        raise CodecError(f"value not representable in the no-quoting wire format: {s!r}")
+    return s
+
+
+class NatsBatchWriter(DataSourceWriter, _OptionsMixin):
+    """Publish rows as CSV lines (the sink the reference lacks — its results
+    are only collect()/show(), SURVEY §2B "Sinks").
+
+    Executor tasks encode; the driver-side commit publishes, so the
+    in-memory broker (a driver-process object) stays consistent. A real
+    NATS transport would publish directly from executors.
+    """
+
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self.options = {k.lower(): v for k, v in options.items()}
+        CsvCodec(schema)  # validate the schema against wire rules
+
+    def write(self, rows) -> NatsCommitMessage:
+        lines = [",".join(_encode_value(v) for v in row).encode("utf-8") for row in rows]
+        return NatsCommitMessage(lines=lines)
+
+    def commit(self, messages) -> None:
+        from datafusion_nats_spark.sources.broker import get_broker
+
+        broker = get_broker(self.url)
+        for message in messages:
+            for line in message.lines:
+                broker.publish(self.subject, line)
+
+    def abort(self, messages) -> None:
+        pass
+
+
+class NatsDataSource(DataSource):
+    """``format("nats")`` — one subject, one table (reference: README.md:27-30)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "nats"
+
+    def schema(self):
+        # Schema is user-declared in the reference too (inference is an
+        # unimplemented TODO there — reference: README.md:17).
+        raise CodecError(
+            "the nats source requires a user-declared schema: "
+            "spark.read.format('nats').schema(...).options(...)"
+        )
+
+    def reader(self, schema: T.StructType) -> NatsBatchReader:
+        return NatsBatchReader(schema, dict(self.options))
+
+    def streamReader(self, schema: T.StructType) -> NatsStreamReader:
+        return NatsStreamReader(schema, dict(self.options))
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> NatsBatchWriter:
+        return NatsBatchWriter(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    """Register the source: ``spark.read.format("nats")`` becomes available."""
+    spark.dataSource.register(NatsDataSource)

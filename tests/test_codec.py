@@ -1,0 +1,154 @@
+"""Codec tests — ported from the reference's csv_test.rs spec
+(FIXTURES.md §A2/A3; the reference's own unit tests are dead code,
+SURVEY §5.2, so these assert the *specification intent* with correct
+date semantics, SURVEY §8.1)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from datafusion_nats_spark.codec import (
+    CsvCodec,
+    ParseError,
+    SchemaValidationError,
+    decode_lines,
+    validate_schema,
+)
+
+
+def s(*fields) -> T.StructType:
+    return T.StructType([T.StructField(n, t, False) for n, t in fields])
+
+
+ALL_TYPES = s(
+    ("id", T.IntegerType()),
+    ("name", T.StringType()),
+    ("active", T.BooleanType()),
+    ("amount", T.DoubleType()),
+    ("created_at", T.TimestampType()),
+    ("date", T.DateType()),
+)
+
+
+# --- schema validation (csv_test.rs:27-75 spec) -------------------------
+
+def test_empty_schema_rejected():
+    with pytest.raises(SchemaValidationError):
+        validate_schema(T.StructType([]))
+
+
+def test_duplicate_field_name_rejected():
+    with pytest.raises(SchemaValidationError):
+        validate_schema(s(("id", T.IntegerType()), ("id", T.StringType())))
+
+
+def test_empty_field_name_rejected():
+    with pytest.raises(SchemaValidationError):
+        validate_schema(s(("", T.IntegerType())))
+
+
+def test_unsupported_type_rejected():
+    with pytest.raises(SchemaValidationError):
+        validate_schema(s(("blob", T.BinaryType())))
+    with pytest.raises(SchemaValidationError):
+        validate_schema(s(("v", T.ArrayType(T.IntegerType()))))
+    with pytest.raises(SchemaValidationError):
+        validate_schema(s(("v", T.LongType())))
+
+
+# --- happy paths per type (csv_test.rs:11-162 spec) ---------------------
+
+def test_int32_parse():
+    assert CsvCodec(s(("id", T.IntegerType()))).parse_line("42") == (42,)
+
+
+def test_float64_parse():
+    assert CsvCodec(s(("x", T.DoubleType()))).parse_line("3.14159") == (3.14159,)
+
+
+@pytest.mark.parametrize(
+    "wire,expected",
+    [("true", True), ("TRUE", True), ("1", True), ("false", False), ("0", False)],
+)
+def test_boolean_parse(wire, expected):
+    assert CsvCodec(s(("b", T.BooleanType()))).parse_line(wire) == (expected,)
+
+
+def test_utf8_parse():
+    assert CsvCodec(s(("n", T.StringType()))).parse_line("John Doe") == ("John Doe",)
+
+
+def test_all_six_types_row():
+    # golden payload: csv_test.rs:134
+    row = CsvCodec(ALL_TYPES).parse_line("42,John Doe,true,3.14159,2025-07-25 15:42:35,2025-07-25")
+    assert row == (
+        42,
+        "John Doe",
+        True,
+        3.14159,
+        datetime.datetime(2025, 7, 25, 15, 42, 35),
+        datetime.date(2025, 7, 25),  # CORRECT epoch — reference bug §8.1 not replicated
+    )
+
+
+# --- rejection spec (csv_test.rs:165-249 / FIXTURES A3) -----------------
+
+@pytest.mark.parametrize(
+    "schema,line",
+    [
+        (s(("id", T.IntegerType())), ""),  # empty payload → error, not NULL
+        (s(("ts", T.TimestampType())), "invalid_timestamp"),
+        (s(("d", T.DateType())), "invalid_date"),
+        (s(("id", T.IntegerType())), "1,extra_field"),  # arity 2 != 1
+        (s(("id", T.IntegerType()), ("n", T.StringType())), "1"),  # arity 1 != 2
+        (s(("id", T.IntegerType())), "not_a_number"),
+        (s(("id", T.IntegerType())), "1.5"),  # int parse must not accept floats
+        (s(("b", T.BooleanType())), "yes"),
+        (s(("x", T.DoubleType())), "abc"),
+    ],
+)
+def test_rejections(schema, line):
+    with pytest.raises(ParseError):
+        CsvCodec(schema).parse_line(line)
+
+
+def test_no_quoting_bare_split():
+    # No quoting/escaping: csv.rs:94 — a quoted comma still splits.
+    with pytest.raises(ParseError):
+        CsvCodec(s(("n", T.StringType()))).parse_line('"a,b"')
+
+
+# --- vectorized decode parity with the row path -------------------------
+
+GOOD = [
+    "1,apple,true,1.5,2025-07-25 15:42:35,2025-07-25",
+    "2,banana,0,2.5,2024-01-01 00:00:00,2024-01-01",
+]
+BAD = [
+    "",  # empty
+    "3,pear,true,3.0,2025-07-25 15:42:35",  # arity
+    "x,pear,true,3.0,2025-07-25 15:42:35,2025-07-25",  # bad int
+    "4,,true,3.0,2025-07-25 15:42:35,2025-07-25",  # empty field
+    "5,kiwi,maybe,3.0,2025-07-25 15:42:35,2025-07-25",  # bad bool
+    "6,fig,true,3.0,bad ts,2025-07-25",  # bad timestamp
+    "7.5,fig,true,3.0,2025-07-25 15:42:35,2025-07-25",  # float-as-int
+]
+
+
+def test_decode_lines_matches_row_codec(spark):
+    df = spark.createDataFrame([(line,) for line in GOOD + BAD], "value string")
+    out = decode_lines(df, ALL_TYPES).collect()
+    codec = CsvCodec(ALL_TYPES)
+    expected = [codec.parse_line(line) for line in GOOD]
+    assert sorted(tuple(r) for r in out) == sorted(expected)
+
+
+def test_decode_lines_marked_mode(spark):
+    df = spark.createDataFrame([(line,) for line in GOOD + BAD], "value string")
+    out = decode_lines(df, ALL_TYPES, mode="marked")
+    n_corrupt = out.filter("_corrupt").count()
+    assert n_corrupt == len(BAD)
+    assert out.count() == len(GOOD) + len(BAD)

@@ -1,0 +1,208 @@
+"""End-to-end tests for the NATS source — the golden fixtures of the
+reference (FIXTURES.md §A1): publish `1,apple / 2,banana / 3,orange`,
+run the reference's two SQL queries, expect exact rows.
+
+Ordering lesson applied (SURVEY §5.3): the in-memory broker retains its
+log, so publish-then-read is deterministic — unlike the reference's own
+integration test, which races a non-replayable broker."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from datafusion_nats_spark.sources import get_broker, register
+
+KV_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), False),
+    ]
+)
+
+GOLDEN = [b"1,apple", b"2,banana", b"3,orange"]
+
+
+@pytest.fixture()
+def broker():
+    b = get_broker("memory://test")
+    b.clear()
+    yield b
+    b.clear()
+
+
+def _read(spark, subject, **opts):
+    reader = (
+        spark.read.format("nats")
+        .schema(KV_SCHEMA)
+        .option("url", "memory://test")
+        .option("subject", subject)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def test_golden_select_star_limit3(spark, broker):
+    # reference: examples/simple_query.rs:77  (SELECT * FROM nats_table limit 3)
+    for payload in GOLDEN:
+        broker.publish("fruits", payload)
+    df = _read(spark, "fruits")
+    df.createOrReplaceTempView("nats_table")
+    rows = spark.sql("SELECT * FROM nats_table LIMIT 3").collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "apple"), (2, "banana"), (3, "orange")]
+
+
+def test_golden_projection_limit(spark, broker):
+    # reference: tests/integration_test.rs:53 (SELECT id, name FROM nats_table limit 3)
+    for payload in GOLDEN + [b"4,plum", b"5,mango"]:
+        broker.publish("fruits", payload)
+    df = _read(spark, "fruits")
+    df.createOrReplaceTempView("nats_table")
+    rows = spark.sql("SELECT id, name FROM nats_table limit 3").collect()
+    assert len(rows) == 3
+    assert [(r.id, r.name) for r in rows] == [(1, "apple"), (2, "banana"), (3, "orange")]
+
+
+def test_max_messages_bounds_consumption(spark, broker):
+    for i in range(10):
+        broker.publish("bounded", f"{i},item{i}".encode())
+    df = _read(spark, "bounded", maxMessages="4")
+    assert df.count() == 4
+
+
+def test_multi_partition_read(spark, broker):
+    for i in range(100):
+        broker.publish("wide", f"{i},item{i}".encode())
+    df = _read(spark, "wide", numPartitions="8")
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 100
+    assert sorted(r.id for r in df.collect()) == list(range(100))
+
+
+def test_failfast_mode_raises(spark, broker):
+    broker.publish("bad", b"1,ok")
+    broker.publish("bad", b"oops")  # arity 1 != 2
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)):
+        _read(spark, "bad").collect()
+
+
+def test_permissive_skip_mode(spark, broker):
+    broker.publish("mixed", b"1,ok")
+    broker.publish("mixed", b"nope")  # bad arity — skipped
+    broker.publish("mixed", b"x,bad-int")  # bad int — skipped
+    broker.publish("mixed", b"2,fine")
+    rows = _read(spark, "mixed", mode="permissive-skip").collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "ok"), (2, "fine")]
+
+
+def test_all_six_types_roundtrip(spark, broker):
+    import datetime
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("active", T.BooleanType(), False),
+            T.StructField("amount", T.DoubleType(), False),
+            T.StructField("created_at", T.TimestampType(), False),
+            T.StructField("date", T.DateType(), False),
+        ]
+    )
+    # golden payload: reference csv_test.rs:134
+    broker.publish("alltypes", b"42,John Doe,true,3.14159,2025-07-25 15:42:35,2025-07-25")
+    row = (
+        spark.read.format("nats")
+        .schema(schema)
+        .option("url", "memory://test")
+        .option("subject", "alltypes")
+        .load()
+        .collect()[0]
+    )
+    assert row.id == 42 and row.name == "John Doe" and row.active is True
+    assert row.amount == 3.14159
+    assert row.created_at == datetime.datetime(2025, 7, 25, 15, 42, 35)
+    assert row.date == datetime.date(2025, 7, 25)
+
+
+def test_streaming_microbatches(spark, broker):
+    for payload in GOLDEN:
+        broker.publish("stream", payload)
+    q = (
+        spark.readStream.format("nats")
+        .schema(KV_SCHEMA)
+        .option("url", "memory://test")
+        .option("subject", "stream")
+        .option("maxMessagesPerBatch", "2")  # force multiple micro-batches
+        .load()
+        .writeStream.format("memory")
+        .queryName("nats_stream_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late publishes picked up by subsequent triggers
+        broker.publish("stream", b"4,plum")
+        broker.publish("stream", b"5,mango")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM nats_stream_out ORDER BY id").collect()
+        assert [(r.id, r.name) for r in rows] == [
+            (1, "apple"),
+            (2, "banana"),
+            (3, "orange"),
+            (4, "plum"),
+            (5, "mango"),
+        ]
+    finally:
+        q.stop()
+
+
+def test_streaming_aggregation(spark, broker):
+    for i in range(20):
+        broker.publish("agg", f"{i % 3},val{i}".encode())
+    q = (
+        spark.readStream.format("nats")
+        .schema(KV_SCHEMA)
+        .option("url", "memory://test")
+        .option("subject", "agg")
+        .load()
+        .groupBy("id")
+        .count()
+        .writeStream.format("memory")
+        .queryName("nats_agg_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.id: r["count"] for r in spark.sql("SELECT * FROM nats_agg_out").collect()}
+        assert rows == {0: 7, 1: 7, 2: 6}
+    finally:
+        q.stop()
+
+
+def test_write_then_read_roundtrip(spark, broker):
+    df = spark.createDataFrame([(10, "alpha"), (11, "beta")], KV_SCHEMA)
+    (
+        df.write.format("nats")
+        .option("url", "memory://test")
+        .option("subject", "sink")
+        .mode("append")
+        .save()
+    )
+    rows = _read(spark, "sink").collect()
+    assert sorted((r.id, r.name) for r in rows) == [(10, "alpha"), (11, "beta")]
+
+
+def test_schema_required(spark, broker):
+    with pytest.raises(Exception):
+        spark.read.format("nats").option("subject", "x").load().collect()
