@@ -1,1 +1,10 @@
-"""Extensions package — populated in M4."""
+"""LLM-data-pipeline extension operators (driver mandate, BASELINE.json
+north_star): dedup, similarity search, text analysis, multimodal columns.
+Importing this package registers their queries() entries."""
+
+from datafusion_nats_spark.extensions import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

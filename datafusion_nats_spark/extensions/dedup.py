@@ -1,0 +1,332 @@
+"""Deduplication operators for LLM-data pipelines (driver mandate):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (100 TB):
+- exact dedup is a single hash-aggregate on a 128-bit content key (no
+  full-text shuffle — only the md5 + doc_id move);
+- MinHash/LSH turns the O(n²) near-dup problem into an equi-join on
+  (band_id, band_key): candidates shuffle only within LSH buckets;
+- shingle frequency capping (drop shingles appearing in > maxDf docs)
+  bounds the worst-case bucket size — the standard guard against
+  degenerate buckets on boilerplate text;
+- SimHash emits one 32-bit signature per doc (map-only); banding over
+  signature prefixes gives the candidate join at scale;
+- embedding near-dup blocks on a coarse key (here: label; in production a
+  coarse quantizer) so exact cosine runs only within blocks.
+
+All hashes are md5-derived so every operator has an exact DuckDB oracle
+twin — no engine-specific hash functions in results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load
+
+N_HASHES = 12  # minhash signature length
+BAND_SIZE = 3  # rows per LSH band → 4 bands
+N_BANDS = N_HASHES // BAND_SIZE
+SHINGLE_W = 3  # words per shingle
+MAX_DF = 50  # shingle document-frequency cap
+
+
+def _norm_text():
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_key
+      FROM documents
+    )
+    SELECT content_key,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           count(*) AS n_copies
+    FROM keyed
+    GROUP BY content_key
+    """,
+    doc="Exact dedup: hash-groupBy on normalized-content md5; one row per "
+    "content group with the canonical (min doc_id) representative and the "
+    "copy count — keep canonical_doc to materialize the deduped corpus.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_norm_text()).alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingles_spark(col):
+    """w-word shingles of normalized text (distinct per doc).
+
+    Guarded for short docs: Spark's sequence(1, n) with n < 1 generates a
+    *descending* sequence, so gate on token count first.
+    """
+    toks = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (SHINGLE_W - 1))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, SHINGLE_W), " "))
+    return F.array_distinct(
+        F.when(n >= SHINGLE_W, shingles).otherwise(F.array().cast("array<string>"))
+    )
+
+
+_SHINGLES_DUCK = f"""
+      list_distinct(list_transform(
+        range(1, greatest(len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) - {SHINGLE_W - 1}, 0) + 1),
+        i -> array_to_string(
+               (regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))[i:i+{SHINGLE_W - 1}], ' ')))
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+      FROM documents
+    ), capped AS (
+      SELECT s.doc_id, s.shingle FROM shingled s
+      JOIN (SELECT shingle FROM shingled GROUP BY shingle
+            HAVING count(DISTINCT doc_id) <= {MAX_DF}) ok USING (shingle)
+    ), hashed AS (
+      SELECT doc_id, k,
+             min(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || shingle), 1, 15))::BIGINT) AS mh
+      FROM capped, range({N_HASHES}) t(k)
+      GROUP BY doc_id, k
+    ), banded AS (
+      SELECT doc_id, k // {BAND_SIZE} AS band_id,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS band_key
+      FROM hashed
+      GROUP BY doc_id, k // {BAND_SIZE}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(DISTINCT a.band_id) AS n_shared_bands
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    doc="MinHash+LSH near-dup candidates: shingle → 12 md5-derived minhash "
+    "slots → 4 bands of 3 → bucket-join on (band_id, band_key). The only "
+    "shuffles are the per-doc signature aggregation and the band-bucket "
+    "join — never all-pairs.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    shingled = d.select("doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle"))
+    # document-frequency cap (anti-boilerplate guard); broadcast the small
+    # allowed-shingle list back against the exploded set
+    df_counts = shingled.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+    capped = shingled.join(
+        F.broadcast(df_counts.filter(F.col("df") <= MAX_DF).select("shingle")), "shingle"
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("k")
+    hashed = (
+        capped.select("doc_id", "shingle", ks)
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.col("k"), F.col("shingle"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        .groupBy("doc_id", "k")
+        .agg(F.min("h").alias("mh"))
+    )
+    banded = (
+        hashed.withColumn("band_id", (F.col("k") / BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("k"), F.col("mh")))
+                        ),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("a.band_id").alias("n_shared_bands"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+      FROM documents WHERE doc_id < 200
+    ), capped AS (
+      SELECT s.doc_id, s.shingle FROM shingled s
+      JOIN (SELECT shingle FROM shingled GROUP BY shingle
+            HAVING count(DISTINCT doc_id) <= {MAX_DF}) ok USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, count(DISTINCT shingle) AS n FROM capped GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    """,
+    doc="Exact n-gram Jaccard similarity on shingle sets (doc_id<200 "
+    "window — the exact-verify stage that follows LSH candidate "
+    "generation at scale; never run all-pairs on the full corpus).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    shingled = d.select("doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle"))
+    ok = shingled.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df")).filter(
+        F.col("df") <= MAX_DF
+    )
+    capped = shingled.join(F.broadcast(ok.select("shingle")), "shingle").distinct()
+    sizes = capped.groupBy("doc_id").agg(F.countDistinct("shingle").alias("n"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (('0x' || substr(md5(tok), 1, 8))::BIGINT >> j) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM toks, range(32) t(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash32
+    FROM bits
+    GROUP BY doc_id
+    """,
+    doc="SimHash: 32-bit weighted-majority signature over token md5 "
+    "hashes (map + two narrow aggregations; near-dups = small hamming "
+    "distance, candidate pairs via signature-prefix banding at scale).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+        ).alias("tok"),
+    )
+    hashed = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    bits = (
+        hashed.select("doc_id", "h", js)
+        .withColumn(
+            # shiftright() in the Python API takes only a literal shift —
+            # use the SQL form for a column-valued shift amount
+            "contrib",
+            F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("simhash32")
+        )
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+             sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+             sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
+    FROM pairs
+    WHERE dot / (na * nb) >= 0.3
+    """,
+    doc="Embedding near-dup: exact double-precision cosine within "
+    "coarse blocks (label = stand-in for a quantizer cell) — blocking "
+    "keeps the pair space linear-ish at 100 TB; threshold 0.3 (p99 of "
+    "the within-label cosine distribution in this corpus).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = e.select("vec_id", "label", emb_d.alias("emb"))
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(side), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    cos = dot / (norm("a.emb") * norm("b.emb"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+            cos.alias("_raw"),
+        )
+        .filter(F.col("_raw") >= 0.3)
+        .drop("_raw")
+    )

@@ -1,0 +1,153 @@
+"""Multimodal column handling (driver mandate): treat image/audio/video
+as opaque ``binary`` columns with typed metadata; decode / feature-extract
+run as Arrow-batched pandas transforms over ``mapInPandas``.
+
+The container has no image/audio libraries, so the *decode* step is a
+deterministic fake behind the same interface (and ``decode_image`` raises
+``NotImplementedError`` exactly where a real decoder would plug in) — but
+everything Spark-side is real and tested: the binary+metadata schema, the
+partitioning, the mapInPandas batch shape, and the feature extraction over
+raw bytes.
+
+Scale design: binary payloads never pass through a shuffle — metadata is
+projected out first and the heavy bytes stay in map-only stages;
+feature vectors (small arrays) are what downstream joins/aggs touch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """Real image decode (PIL/libjpeg) — not available in this container.
+
+    The Spark-side plumbing (binary column → mapInPandas → feature rows)
+    is identical for a real decoder; swap this function's body.
+    """
+    raise NotImplementedError(
+        "image decoding requires an imaging library not present in this "
+        "environment; use fake_decode_features for the deterministic stand-in"
+    )
+
+
+def fake_decode_features(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for decode+feature-extract: pretends the
+    payload is a w×h image derived from its bytes and emits (w, h, mean
+    'pixel' value). Pure function of the bytes → reproducible everywhere."""
+    n = len(payload)
+    width = (n % 64) + 1
+    height = (n // 64) + 1
+    mean_px = (sum(payload[:256]) / min(n, 256)) if n else 0.0
+    return width, height, round(mean_px, 6)
+
+
+def with_binary_payload(documents: DataFrame) -> DataFrame:
+    """documents → multimodal frame: opaque binary payload + typed metadata
+    struct (the schema any image/audio table would carry)."""
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+            F.col("lang").alias("lang"),
+            F.md5(F.col("text")).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      'text/plain'                                AS mime,
+      md5(text)                                   AS checksum,
+      substr(to_hex(encode(substr(text, 1, 8))), 1, 16) AS head_hex
+    FROM documents
+    """,
+    doc="Multimodal metadata plumbing: binary payload size, mime, checksum, "
+    "hex head — all computed on the opaque bytes column, JVM-side.",
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = with_binary_payload(load(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.checksum").alias("checksum"),
+        F.upper(F.hex(F.substring(F.col("payload"), 1, 8))).alias("head_hex"),
+    )
+
+
+@query(
+    "mm_feature_extract",
+    oracle=None,  # mapInPandas path — behavior asserted in pytest
+    doc="Arrow-batched feature extraction over binary payloads via "
+    "mapInPandas (deterministic fake decoder; swap decode_image for real "
+    "media). Map-only: no shuffle touches the payload bytes.",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = with_binary_payload(load(spark, sf_dir, "documents"))
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [fake_decode_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_px": [f[2] for f in feats],
+                }
+            )
+
+    return mm.mapInPandas(
+        extract, schema="doc_id long, width int, height int, mean_px double"
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle=None,  # mapInPandas path — behavior asserted in pytest
+    doc="Frame-sampling shape for video-like payloads: chunk the binary "
+    "into fixed-size 'frames', emit every k-th with an index — one row in, "
+    "many rows out through mapInPandas (the explode-with-python shape).",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = with_binary_payload(load(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 50
+    )
+    frame_bytes, stride = 32, 4
+
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    payload[i : i + frame_bytes]
+                    for i in range(0, len(payload), frame_bytes)
+                ]
+                for idx in range(0, len(frames), stride):
+                    rows.append(
+                        (int(doc_id), idx, len(frames[idx]), float(sum(frames[idx])))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_len", "frame_sum"]
+            )
+
+    return mm.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, frame_len int, frame_sum double"
+    )

@@ -1,0 +1,193 @@
+"""Similarity search over the embeddings table (driver mandate):
+brute-force cosine top-k as the correctness baseline, and an IVF-style
+(inverted-file) approximate variant as the scale path.
+
+Scale design (100 TB):
+- brute-force is a broadcast of the (small) query set against the full
+  corpus — one map-side pass + a per-query top-k (window over the query
+  partition); correct but O(corpus × queries);
+- IVF: coarse centroids (here: per-label means, standing in for a k-means
+  codebook) are a tiny broadcastable table; each query probes its
+  ``nprobe`` nearest centroids and exact-scores only vectors in those
+  cells — the pair space shrinks by ~n_cells/nprobe, and the expensive
+  join is an equi-join on the cell id.
+
+Dot products run in double precision via zip_with/aggregate (JVM
+higher-order functions, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+NPROBE = 2
+
+
+def _emb_double(col="embedding"):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(list_zip(q.qe, e.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+               6) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+    doc="Brute-force cosine top-k: broadcast query set × corpus scan, "
+    "per-query top-k via window (ties broken on rounded cosine then id "
+    "so the result is engine-stable).",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double().alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qe"), F.col("emb")) / (_norm(F.col("qe")) * _norm(F.col("emb"))), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+@query(
+    "sim_ivf_ann",
+    oracle=None,  # approximate recall vs. brute force is asserted in tests
+    doc="IVF-style ANN: per-label centroid codebook (broadcast), probe the "
+    f"{NPROBE} nearest cells per query, exact cosine rerank within cells. "
+    "Rows-only driver check; recall@10 vs brute force asserted in pytest.",
+)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _emb_double().alias("emb")
+    )
+    dim = 64
+    # Coarse codebook: mean vector per label cell (k-means stand-in).
+    centroids = (
+        e.select("label", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell"), "centroid")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    # probe: nprobe nearest cells per query (tiny cross join on the codebook)
+    probe_w = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), "cell")
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cell_sim",
+            _dot(F.col("qe"), F.col("centroid"))
+            / (_norm(F.col("qe")) * _norm(F.col("centroid"))),
+        )
+        .withColumn("cell_rank", F.row_number().over(probe_w))
+        .filter(F.col("cell_rank") <= NPROBE)
+        .select("query_id", "qe", "cell")
+    )
+    # exact rerank within probed cells only (equi-join on cell id)
+    scored = (
+        probes.join(e, (e.label == probes.cell) & (e.vec_id != probes.query_id))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("emb")) / (_norm(F.col("qe")) * _norm(F.col("emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+@query(
+    "sim_pairwise_label_stats",
+    oracle="""
+    WITH sims AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 60 AND b.vec_id < 60
+    )
+    SELECT CAST(label_a = label_b AS BOOLEAN) AS same_label,
+           count(*) AS n_pairs,
+           round(avg(cos), 6) AS avg_cos,
+           round(max(cos), 6) AS max_cos
+    FROM sims
+    GROUP BY same_label
+    """,
+    doc="Embedding-space sanity statistic: within- vs cross-label cosine "
+    "(bounded window — the full-corpus version runs blocked/sampled).",
+)
+def sim_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60).select(
+        "vec_id", "label", _emb_double().alias("emb")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (_norm(F.col("a.emb")) * _norm(F.col("b.emb")))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select((F.col("a.label") == F.col("b.label")).alias("same_label"), cos.alias("cos"))
+        .groupBy("same_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("cos"), 6).alias("avg_cos"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+    )

@@ -1,0 +1,203 @@
+"""Text-analysis operators for LLM-data pipelines (driver mandate,
+BASELINE.json north_star): token statistics, quality scoring, language
+identification, document fingerprinting.
+
+All pure built-in expressions (split/transform/aggregate/md5) — JVM-side,
+no Python in the row path; each operator is a narrow map over `documents`
+with no shuffle except the final (optional) aggregation, so throughput
+scales linearly with executors at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load
+
+
+def tokens(col):
+    """Whitespace tokenization of trimmed text (identical semantics in the
+    DuckDB oracle via regexp_split_to_array)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+      CAST(length(text) AS INTEGER)                                   AS n_chars_measured,
+      CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS INTEGER)
+                                                                      AS n_unique_tokens,
+      round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\\s+')), 6)      AS avg_token_len,
+      round(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\\s+')), 6)      AS ttr
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens, unique tokens, type-token "
+    "ratio, average token length (BPE-ish regex tokenizer = whitespace "
+    "split here; vocabulary-free).",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens,
+            6,
+        ).alias("avg_token_len"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tokens, 6).alias("ttr"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH stats AS (
+      SELECT
+        doc_id,
+        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+        length(text) AS n_ch,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        t -> t IN ('the','a','of','and','in','to','is'))) AS n_stop
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      CAST(n_tok AS INTEGER) AS n_tok,
+      round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stopword_ratio,
+      CAST((n_tok BETWEEN 20 AND 1000) AS BOOLEAN) AS length_ok,
+      round(least(CAST(n_tok AS DOUBLE) / 100, 1.0) * 0.5
+            + least(CAST(n_stop AS DOUBLE) / n_tok * 5, 1.0) * 0.5, 6) AS quality
+    FROM stats
+    """,
+    doc="Quality scoring: stopword ratio + length gate + composite score "
+    "(C4/Gopher-style heuristics).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    # counts stopword *occurrences* (filter), not distinct hits (intersect)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "in", "to", "is")))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.round(n_stop.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        n_tok.between(20, 1000).alias("length_ok"),
+        F.round(
+            F.least(n_tok.cast("double") / 100, F.lit(1.0)) * 0.5
+            + F.least(n_stop.cast("double") / n_tok * 5, F.lit(1.0)) * 0.5,
+            6,
+        ).alias("quality"),
+    )
+
+
+# Language-ID stopword profiles (tiny n-gram/stopword heuristic — the
+# point is the distributed shape, not linguistic accuracy).
+_LANG_PROFILES = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "shi", "le", "bu", "wo"),
+}
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        {", ".join(
+            "len(list_filter(t, x -> x IN ({})) ) AS score_{}".format(
+                ", ".join(f"'{w}'" for w in words), lang
+            )
+            for lang, words in _LANG_PROFILES.items()
+        )}
+      FROM toks
+    )
+    SELECT doc_id,
+      CASE
+        WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        WHEN score_es >= score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        WHEN score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        WHEN score_fr >= score_zh THEN 'fr'
+        ELSE 'zh'
+      END AS lang_pred,
+      CAST(score_en AS INTEGER) AS score_en
+    FROM scores
+    """,
+    doc="Language-ID heuristic: per-language stopword hit counts, argmax "
+    "with a fixed priority tiebreak (en>es>de>fr>zh).",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    def score(words):
+        # NB: lambda must take exactly one arg — Spark's higher-order
+        # function binding passes a Column per declared parameter.
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = {lang: score(words) for lang, words in _LANG_PROFILES.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["zh"]),
+            "en",
+        )
+        .when(
+            (scores["es"] >= scores["de"])
+            & (scores["es"] >= scores["fr"])
+            & (scores["es"] >= scores["zh"]),
+            "es",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["zh"]), "de")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
+    )
+    return d.select("doc_id", pred.alias("lang_pred"), scores["en"].alias("score_en"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT
+      doc_id,
+      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp,
+      ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT
+        AS fp_int,
+      CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT
+        % 1024 AS INTEGER) AS fp_bucket
+    FROM documents
+    """,
+    doc="Document fingerprinting: whitespace-normalized content hash + a "
+    "64-bit integer fingerprint + shard bucket (the exact-dedup / "
+    "routing key at 100 TB).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = F.md5(norm)
+    fp_int = F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint")
+    return d.select(
+        "doc_id",
+        fp.alias("content_fp"),
+        fp_int.alias("fp_int"),
+        (fp_int % 1024).cast("int").alias("fp_bucket"),
+    )

@@ -48,16 +48,18 @@ def query(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], Q
     return wrap
 
 
-def all_queries() -> dict[str, QueryFn]:
-    # Import for side effect: populates REGISTRY.
-    import datafusion_nats_spark.queries  # noqa: F401
+def _load_all() -> None:
+    # Imports for side effect: populate REGISTRY.
     import datafusion_nats_spark.extensions  # noqa: F401
+    import datafusion_nats_spark.queries  # noqa: F401
+    import datafusion_nats_spark.streaming  # noqa: F401
 
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:
-    import datafusion_nats_spark.queries  # noqa: F401
-    import datafusion_nats_spark.extensions  # noqa: F401
-
+    _load_all()
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

