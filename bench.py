@@ -30,6 +30,12 @@ HEADLINE = [
     "join_inner_equi",
     "fn_date_bin_bucketing",
     "fn_string_battery",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    "text_token_stats",
+    "text_fingerprint",
 ]
 
 

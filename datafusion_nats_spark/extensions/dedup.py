@@ -120,45 +120,62 @@ _SHINGLES_DUCK = f"""
     "join — never all-pairs.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    shingled = d.select("doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle"))
+    # A single parquet file scans as ONE partition — spread the docs across
+    # cores before the (CPU-bound) shingling map, and persist the exploded
+    # shingle table: it feeds both the df-cap aggregation and the signature
+    # computation, and would otherwise be recomputed per consumer.
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    shingled = d.select(
+        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+    ).persist()
     # document-frequency cap (anti-boilerplate guard); broadcast the small
     # allowed-shingle list back against the exploded set
     df_counts = shingled.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
     capped = shingled.join(
         F.broadcast(df_counts.filter(F.col("df") <= MAX_DF).select("shingle")), "shingle"
     )
-    ks = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("k")
-    hashed = (
-        capped.select("doc_id", "shingle", ks)
-        .withColumn(
-            "h",
-            F.conv(
-                F.substring(F.md5(F.concat_ws("|", F.col("k"), F.col("shingle"))), 1, 15),
-                16,
-                10,
-            ).cast("bigint"),
-        )
-        .groupBy("doc_id", "k")
-        .agg(F.min("h").alias("mh"))
+    # All N_HASHES slots computed map-side as one array per shingle row,
+    # then a single narrow aggregation with element-wise mins — the rows
+    # through the shuffle stay 1× the shingle count (not N_HASHES×).
+    def slot(k: int):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(k), F.col("shingle"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+
+    sig = (
+        capped.select("doc_id", *[slot(k).alias(f"h{k}") for k in range(N_HASHES)])
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{k}").alias(f"mh{k}") for k in range(N_HASHES)])
     )
-    banded = (
-        hashed.withColumn("band_id", (F.col("k") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("k"), F.col("mh")))
-                        ),
-                        lambda s: s["mh"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * BAND_SIZE + i}").cast("string")
+                            for i in range(BAND_SIZE)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
     )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("x")).select(
+        "doc_id", F.col("x.band_id").alias("band_id"), F.col("x.band_key").alias("band_key")
+    )
+    # The signature table feeds both sides of the candidate self-join;
+    # persist it so the shingle→hash pipeline isn't executed twice (at
+    # cluster scale this is a checkpoint of a table ~n_docs × n_bands —
+    # tiny next to the corpus).
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -202,8 +219,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "generation at scale; never run all-pairs on the full corpus).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    shingled = d.select("doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle"))
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    shingled = d.select(
+        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+    ).persist()
     ok = shingled.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df")).filter(
         F.col("df") <= MAX_DF
     )
@@ -251,7 +272,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distance, candidate pairs via signature-prefix banding at scale).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = d.select(
         "doc_id",
         F.explode(
