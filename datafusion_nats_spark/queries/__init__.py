@@ -9,6 +9,7 @@ guaranteed small at any scale factor.
 """
 
 from datafusion_nats_spark.queries import (  # noqa: F401
+    advanced,
     aggregates,
     functions_scalar,
     joins,

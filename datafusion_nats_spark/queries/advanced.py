@@ -1,0 +1,245 @@
+"""Advanced relational patterns beyond the reference's surface:
+as-of joins, map/struct construction, unnest/explode, unpivot,
+string-distance joins, recursive CTEs.
+
+The reference inherits none of these from DataFusion 48 core (no ASOF
+JOIN there — SURVEY §2B "Joins — range/as-of"); they're standard needs of
+a streaming/analytics engine, each expressed as a composition of Spark
+built-ins that survives scale (window-based as-of instead of O(n²)
+inequality joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load, register_views
+
+
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           p.ts AS last_purchase_ts,
+           round(p.value, 2) AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    doc="As-of join: each non-purchase event picks the latest purchase by "
+    "the same user at-or-before its timestamp. Implemented as a union + "
+    "last-non-null window (single shuffle on user_id, ordered scan) — "
+    "never an inequality join; oracle is DuckDB's native ASOF JOIN.",
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        F.lit(1).alias("is_purchase"),
+    )
+    others = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("e_ts"),
+        F.col("event_id"),
+        F.lit(0).alias("is_purchase"),
+    )
+    # interleave both row kinds on (user, time); purchases sort first on
+    # ties so an event at exactly a purchase ts sees that purchase
+    merged = purchases.select(
+        "user_id",
+        F.col("p_ts").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        "p_ts",
+        "p_value",
+        "is_purchase",
+    ).unionByName(
+        others.select(
+            "user_id",
+            F.col("e_ts").alias("ts"),
+            "event_id",
+            F.lit(None).cast("timestamp").alias("p_ts"),
+            F.lit(None).cast("double").alias("p_value"),
+            "is_purchase",
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_purchase"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn("last_purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .withColumn(
+            "last_purchase_value",
+            F.round(F.last("p_value", ignorenulls=True).over(w), 2),
+        )
+        .filter(F.col("is_purchase") == 0)
+        .select("event_id", "user_id", F.col("ts"), "last_purchase_ts", "last_purchase_value")
+    )
+
+
+@query(
+    "map_struct_functions",
+    oracle="""
+    SELECT
+      n_nationkey,
+      ({'name': n_name, 'region': n_regionkey}).name   AS info_name,
+      ({'name': n_name, 'region': n_regionkey}).region AS info_region,
+      CAST(map_keys(map {'nation': n_name, 'key2': 'x'}) AS VARCHAR[]) AS mkeys,
+      map_values(map {'a': n_regionkey, 'b': n_nationkey})[1] AS first_val,
+      list_contains(map_keys(map {'a': n_regionkey}), 'a') AS has_a
+    FROM nation
+    """,
+    doc="Struct + map construction, field access, map_keys/map_values "
+    "(results projected to scalars — map/struct cells hash differently "
+    "across engines).",
+)
+def map_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    info = F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))
+    m = F.create_map(F.lit("a"), F.col("n_regionkey"), F.lit("b"), F.col("n_nationkey"))
+    return n.select(
+        "n_nationkey",
+        info.getField("name").alias("info_name"),
+        info.getField("region").alias("info_region"),
+        F.map_keys(F.create_map(F.lit("nation"), F.col("n_name"), F.lit("key2"), F.lit("x"))).alias(
+            "mkeys"
+        ),
+        F.element_at(F.map_values(m), 1).alias("first_val"),
+        F.map_contains_key(F.create_map(F.lit("a"), F.col("n_regionkey")), "a").alias("has_a"),
+    )
+
+
+@query(
+    "explode_unnest",
+    oracle="""
+    SELECT doc_id,
+           CAST(u[2] AS BIGINT) - 1 AS pos,
+           CAST(u[1] AS VARCHAR)    AS token
+    FROM (
+      SELECT doc_id,
+             unnest(list_zip(toks, range(1, len(toks) + 1))) AS u
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents WHERE doc_id < 20)
+    )
+    """,
+    doc="posexplode/unnest-with-ordinality of a tokenized column.",
+)
+def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "token")).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "token"
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, round(val, 2) AS val
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+    )
+    """,
+    doc="Unpivot (wide→long) via stack(), oracle as UNION ALL expansion.",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))"
+        ).alias("metric", "raw"),
+    ).select("c_custkey", "metric", F.round("raw", 2).alias("val"))
+
+
+@query(
+    "string_distance_join",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 100 AND b.p_partkey < 100
+      AND levenshtein(a.p_name, b.p_name) <= 6
+    """,
+    doc="Fuzzy self-join on edit distance, blocked by brand (blocking keeps "
+    "the pair space linear-ish — same pattern as embedding near-dup).",
+)
+def string_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 6)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.alias("dist"),
+        )
+    )
+
+
+@query(
+    "recursive_cte_series",
+    oracle="""
+    WITH RECURSIVE series(n, fib_a, fib_b) AS (
+      SELECT 1, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+      UNION ALL
+      SELECT n + 1, fib_b, fib_a + fib_b FROM series WHERE n < 30
+    )
+    SELECT n, fib_a AS fib FROM series
+    """,
+    doc="Recursive CTE (Spark 4.1 WITH RECURSIVE): 30-step Fibonacci "
+    "iteration — the iterative-computation primitive.",
+)
+def recursive_cte_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE series(n, fib_a, fib_b) AS (
+          SELECT 1, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+          UNION ALL
+          SELECT n + 1, fib_b, fib_a + fib_b FROM series WHERE n < 30
+        )
+        SELECT n, fib_a AS fib FROM series
+        """
+    )
+
+
+@query(
+    "topk_per_group_orders",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rn <= 3
+    """,
+    doc="Top-k per group (k=3 biggest orders per market segment) — join + "
+    "window + filter; at scale pre-aggregate with min_by/top-k pushdown.",
+)
+def topk_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )

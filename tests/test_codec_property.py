@@ -1,0 +1,88 @@
+"""Property-based codec tests (hypothesis): random rows within the
+six-type wire format must round-trip encode→parse exactly
+(SURVEY §5.4 item 5)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from datafusion_nats_spark.codec import CsvCodec, ParseError
+from datafusion_nats_spark.sources.nats_source import _encode_value
+
+SAFE_TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters=",\n\r", categories=("L", "N", "P", "S")
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+COLS = [
+    ("i", T.IntegerType(), st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+    (
+        "f",
+        T.DoubleType(),
+        st.floats(allow_nan=False, allow_infinity=False, width=64).filter(
+            lambda x: x == x and abs(x) < 1e15
+        ),
+    ),
+    ("b", T.BooleanType(), st.booleans()),
+    ("s", T.StringType(), SAFE_TEXT),
+    (
+        "t",
+        T.TimestampType(),
+        st.datetimes(
+            min_value=datetime.datetime(1900, 1, 1),
+            max_value=datetime.datetime(2100, 1, 1),
+        ).map(lambda d: d.replace(microsecond=0)),
+    ),
+    (
+        "d",
+        T.DateType(),
+        st.dates(min_value=datetime.date(1900, 1, 1), max_value=datetime.date(2100, 1, 1)),
+    ),
+]
+
+SCHEMA = T.StructType([T.StructField(n, t, False) for n, t, _ in COLS])
+ROW = st.tuples(*[s for _, _, s in COLS])
+
+
+@settings(max_examples=200, deadline=None)
+@given(ROW)
+def test_roundtrip(row):
+    codec = CsvCodec(SCHEMA)
+    line = ",".join(_encode_value(v) for v in row)
+    parsed = codec.parse_line(line)
+    for orig, back, (name, dtype, _) in zip(row, parsed, COLS):
+        if isinstance(dtype, T.DoubleType):
+            # wire format is decimal text; repr(float) round-trips exactly
+            assert back == float(repr(orig)) and (
+                back == orig or math.isclose(back, orig, rel_tol=0, abs_tol=0)
+            )
+        else:
+            assert back == orig, f"{name}: {orig!r} -> {back!r}"
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abc,01.x-", max_size=30))
+def test_parse_never_crashes_uncontrolled(line):
+    """Arbitrary junk either parses to a full typed row or raises ParseError
+    — never any other exception, never a partial row."""
+    codec = CsvCodec(SCHEMA)
+    try:
+        parsed = codec.parse_line(line)
+    except ParseError:
+        return
+    assert len(parsed) == len(SCHEMA.fields)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1))
+def test_int_wire_exact(i):
+    codec = CsvCodec(T.StructType([T.StructField("x", T.IntegerType(), False)]))
+    assert codec.parse_line(str(i)) == (i,)
