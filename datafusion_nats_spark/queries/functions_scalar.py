@@ -352,3 +352,105 @@ def fn_cast_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
         F.col("value").cast("int").cast("boolean").alias("v_bool"),
     )
+
+
+@query(
+    "fn_string_battery2",
+    oracle="""
+    SELECT
+      p_partkey,
+      translate(p_name, 'aeiou', '12345')                 AS translated,
+      sha256(p_name)                                      AS name_sha256,
+      to_base64(encode(p_brand))                          AS brand_b64,
+      CAST(decode(from_base64(to_base64(encode(p_name)))) AS VARCHAR) AS b64_roundtrip,
+      CAST(levenshtein(p_brand, p_type) AS INTEGER)       AS brand_type_dist,
+      CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+      upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2)) AS sentence_case
+    FROM part
+    WHERE p_partkey <= 120
+    """,
+    doc="Second string battery: translate, sha2-256, base64 encode/decode "
+    "roundtrip, levenshtein, regexp_count, manual initcap "
+    "(single-sentence form; DuckDB lacks initcap).",
+)
+def fn_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 120)
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "12345").alias("translated"),
+        F.sha2("p_name", 256).alias("name_sha256"),
+        F.base64(F.encode("p_brand", "utf-8")).alias("brand_b64"),
+        F.decode(F.unbase64(F.base64(F.encode("p_name", "utf-8"))), "utf-8").alias(
+            "b64_roundtrip"
+        ),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).alias("n_vowels"),
+        F.concat(
+            F.upper(F.substring("p_type", 1, 1)),
+            F.lower(F.expr("substring(p_type, 2)")),
+        ).alias("sentence_case"),
+    )
+
+
+@query(
+    "fn_math_battery2",
+    oracle="""
+    SELECT
+      l_linenumber,
+      CAST(factorial(l_linenumber) AS BIGINT)      AS fact_n,
+      isnan(CAST('nan' AS DOUBLE) + l_quantity)    AS qnan,
+      isnan(CAST(l_quantity AS DOUBLE))            AS qnotnan,
+      round(floor(CAST(l_quantity AS DOUBLE) / 7), 1) AS qdiv7,
+      CAST(abs(-l_linenumber) AS INTEGER)          AS absn,
+      round(pi(), 6)                               AS pi6,
+      round(power(2, l_linenumber), 1)             AS pow2n
+    FROM lineitem
+    WHERE l_orderkey <= 40
+    """,
+    doc="Second math battery: factorial, isnan, integer division, pi, power.",
+)
+def fn_math_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 40)
+    return li.select(
+        "l_linenumber",
+        F.factorial("l_linenumber").alias("fact_n"),
+        # ANSI mode (Spark 4 default) errors on x/0 — construct the NaN via
+        # literal propagation instead
+        F.isnan(F.lit(float("nan")) + F.col("l_quantity")).alias("qnan"),
+        F.isnan(F.col("l_quantity").cast("double")).alias("qnotnan"),
+        F.round(F.floor(F.col("l_quantity") / 7).cast("double"), 1).alias("qdiv7"),
+        F.abs(-F.col("l_linenumber")).alias("absn"),
+        F.round(F.lit(3.14159265358979), 6).alias("pi6"),
+        F.round(F.pow(F.lit(2), F.col("l_linenumber")), 1).alias("pow2n"),
+    )
+
+
+@query(
+    "fn_datetime_battery2",
+    oracle="""
+    SELECT
+      o_orderkey,
+      last_day(CAST(o_orderdate AS DATE))                       AS month_end,
+      CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH              AS plus_3mo,
+      CAST(date_trunc('week', o_orderdate) AS DATE)             AS week_start,
+      CAST(extract(doy FROM o_orderdate) AS INTEGER)            AS day_of_year,
+      CAST(extract(week FROM o_orderdate) AS INTEGER)           AS week_of_year,
+      greatest(CAST(o_orderdate AS DATE), DATE '1996-06-01')    AS clamped
+    FROM orders
+    WHERE o_orderkey <= 150
+    """,
+    doc="Second datetime battery: last_day, add_months, week truncation, "
+    "day-of-year, ISO week, date greatest.",
+)
+def fn_datetime_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 150)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).cast("timestamp").alias("plus_3mo"),
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+        F.dayofyear("o_orderdate").alias("day_of_year"),
+        F.weekofyear("o_orderdate").alias("week_of_year"),
+        F.greatest(d, F.lit("1996-06-01").cast("date")).alias("clamped"),
+    )

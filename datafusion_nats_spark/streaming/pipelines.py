@@ -229,3 +229,59 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.select("user_id", "event_type"), "append"
     )
     return out.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_first_seen"))
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream inner join with a time-range condition and "
+    "watermarks on both sides (the SymmetricHashJoinExec capability the "
+    "reference's unbounded source would need, SURVEY §2B 'Joins — "
+    "stream-capable') — state bounded by the 30-minute join window; "
+    "converges to the batch interval join.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    out = _run_to_completion(
+        joined.select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
+        ),
+        "append",
+    )
+    return out

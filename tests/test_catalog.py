@@ -1,0 +1,50 @@
+"""Catalog / introspection parity — the reference's entry point 2
+(programmatic registration + information_schema, reference:
+examples/simple_query.rs:53,72 and src/lib.rs:50): register tables,
+enumerate them, describe schemas, EXPLAIN plans."""
+
+from __future__ import annotations
+
+from datafusion_nats_spark.tables import TABLES, register_views
+
+
+def test_show_tables_lists_registered(spark, sf_dir):
+    register_views(spark, sf_dir)
+    shown = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
+    assert set(TABLES) <= shown
+
+
+def test_catalog_api_lists_registered(spark, sf_dir):
+    register_views(spark, sf_dir)
+    names = {t.name for t in spark.catalog.listTables()}
+    assert set(TABLES) <= names
+
+
+def test_describe_table(spark, sf_dir):
+    register_views(spark, sf_dir)
+    cols = {r.col_name: r.data_type for r in spark.sql("DESCRIBE lineitem").collect()}
+    assert cols["l_orderkey"] == "bigint"
+    assert cols["l_quantity"] == "double"
+    assert cols["l_returnflag"] == "string"
+
+
+def test_explain_produces_plan(spark, sf_dir):
+    register_views(spark, sf_dir)
+    plan = spark.sql(
+        "EXPLAIN SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag"
+    ).collect()[0][0]
+    assert "HashAggregate" in plan or "Aggregate" in plan
+
+
+def test_information_schema_style_columns(spark, sf_dir):
+    register_views(spark, sf_dir)
+    cols = spark.catalog.listColumns("orders")
+    names = [c.name for c in cols]
+    assert names == [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
