@@ -31,6 +31,8 @@ def get_spark(app_name: str = "datafusion_nats_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any pandas-interop path (vectorized UDF transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Allow Python data sources (the NATS reader) to receive pushed filters.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Keep parquet scans wide enough to parallelize but bounded so a
         # single task's partition fits executor memory at large SF.
         .config("spark.sql.files.maxPartitionBytes", "128m")

@@ -285,3 +285,47 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return out
+
+
+@query(
+    "stream_stateful_running_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator via applyInPandasWithState: "
+    "per-user running (count, sum) state updated each micro-batch, "
+    "emitted in update mode — the arbitrary-stateful-processing "
+    "capability (reference has none, SURVEY §2C 'Stateful ops'). "
+    "Converges to the batch group totals once the source drains.",
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = _stream_events(spark, sf_dir)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    out = ev.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_completion(out, "update")

@@ -206,3 +206,28 @@ def test_write_then_read_roundtrip(spark, broker):
 def test_schema_required(spark, broker):
     with pytest.raises(Exception):
         spark.read.format("nats").option("subject", "x").load().collect()
+
+
+def test_filter_pushdown_applies(spark, broker):
+    for i in range(20):
+        broker.publish("pushf", f"{i},item{i}".encode())
+    df = _read(spark, "pushf", pushdown="true").filter(
+        "id >= 5 AND id < 10 AND name LIKE 'item%'"
+    )
+    rows = sorted(r.id for r in df.collect())
+    assert rows == [5, 6, 7, 8, 9]
+
+
+def test_filter_pushdown_correct_with_residual(spark, broker):
+    for i in range(10):
+        broker.publish("pushr", f"{i},x{i % 3}".encode())
+    # modulo is not pushable -> stays as a residual Spark filter; results
+    # must still be exact
+    df = _read(spark, "pushr", pushdown="true").filter("id > 2 AND id % 2 = 0")
+    assert sorted(r.id for r in df.collect()) == [4, 6, 8]
+
+
+def test_no_pushdown_by_default(spark, broker):
+    broker.publish("plain", b"1,a")
+    df = _read(spark, "plain").filter("id = 1")
+    assert [(r.id, r.name) for r in df.collect()] == [(1, "a")]
