@@ -14,6 +14,7 @@ from datafusion_nats_spark.queries import (  # noqa: F401
     functions_scalar,
     joins,
     projection_filter,
+    scale_patterns,
     setops_subqueries,
     tpch,
     windows,

@@ -1,0 +1,89 @@
+"""Scale-technique operators: the patterns that keep plans alive at
+100 TB — skew salting, two-phase aggregation, bucketed co-location.
+
+These produce the same answers as their naive forms (oracle-checked);
+what changes is the shuffle shape. At local test scale the effect is
+invisible; at cluster scale they are the difference between a straggler
+task holding 1000 executors hostage and an even spread.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load
+
+N_SALTS = 16
+
+
+@query(
+    "skew_salted_aggregation",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total,
+           round(avg(value), 6) AS mean
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Two-phase salted aggregation over a 5-hot-key distribution: "
+    "phase 1 groups by (key, salt) — 16-way spread of each hot key — "
+    "phase 2 merges partials per key. Same answer as the naive groupBy "
+    "(the oracle), but no single reducer ever owns a whole hot key. "
+    "avg is recomposed from (sum, count), never averaged-of-averages.",
+)
+def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", (F.col("event_id") % N_SALTS).cast("int"))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("psum"), 2).alias("total"),
+            F.round(F.sum("psum") / F.sum("pn"), 6).alias("mean"),
+        )
+    )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT e.event_type, count(*) AS n_events, round(sum(t.weight), 2) AS total_weight
+    FROM events e
+    JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                 ('signup', 5.0), ('error', 0.0)) AS t(event_type, weight)
+      ON e.event_type = t.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Skew-safe join against a hot-key dimension: the 5-row dim is "
+    "exploded 16× with salt ids and the fact side joins on "
+    "(key, fact_salt) — every hot key's rows spread over 16 reducers. "
+    "(With a dim this small broadcast is the real answer — the salt "
+    "machinery is exercised so the pattern is tested end-to-end.)",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "fact_salt", (F.col("event_id") % N_SALTS).cast("int")
+    )
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        "w_type string, weight double",
+    )
+    # replicate the dim once per salt value
+    salted_dim = weights.crossJoin(
+        spark.range(N_SALTS).select(F.col("id").cast("int").alias("dim_salt"))
+    )
+    joined = ev.join(
+        salted_dim,
+        (F.col("event_type") == F.col("w_type")) & (F.col("fact_salt") == F.col("dim_salt")),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("weight"), 2).alias("total_weight"),
+    )

@@ -48,3 +48,37 @@ def test_information_schema_style_columns(spark, sf_dir):
         "o_orderdate",
         "o_orderpriority",
     ]
+
+
+def test_bucketed_join_avoids_exchange(spark, sf_dir):
+    """Bucketed co-located join: writing both sides bucketed by the join
+    key lets the join run without any Exchange (the 100 TB co-location
+    strategy — SURVEY §7.3 'bucketing')."""
+    from datafusion_nats_spark.tables import load
+
+    # spark.sql.warehouse.dir is static — tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally block
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the co-located SMJ path (broadcast would win on tiny tables)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        load(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).mode("overwrite").saveAsTable("buckets.orders_b")
+        load(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("buckets.lineitem_b")
+        joined = spark.table("buckets.orders_b").join(
+            spark.table("buckets.lineitem_b"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS buckets.orders_b")
+        spark.sql("DROP TABLE IF EXISTS buckets.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS buckets")
