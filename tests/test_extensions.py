@@ -134,3 +134,32 @@ def test_text_langid_covers_all_docs(spark, sf_dir):
         "fr",
         "zh",
     }
+
+
+def test_minhash_ml_agrees_with_expression_minhash(spark, planted_dir):
+    """The MLlib MinHashLSH path must find the planted exact duplicates
+    that the expression-level implementation finds."""
+    from datafusion_nats_spark.extensions.ml_variants import dedup_minhash_ml
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard_sim
+        for r in dedup_minhash_ml(spark, planted_dir).collect()
+    }
+    for i in range(10):
+        assert (i, i + 100000) in pairs, f"planted dup {i} missed by ML LSH"
+        assert pairs[(i, i + 100000)] == 1.0
+
+
+def test_kmeans_ann_recall(spark, sf_dir):
+    from datafusion_nats_spark.extensions.ml_variants import sim_kmeans_ann
+    from datafusion_nats_spark.extensions.similarity import sim_bruteforce_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in sim_kmeans_ann(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"KMeans-IVF recall collapsed: {recall}"

@@ -1,0 +1,148 @@
+"""Streaming semantics through the NATS source: watermark late-data
+dropping (two-phase publish), foreachBatch sinks, availableNow/trigger
+behavior — the semantics the reference's dead batch-timeout machinery
+never delivered (SURVEY §4.1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_nats_spark.sources import get_broker, register
+
+EVT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("key", T.StringType(), False),
+    ]
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+@pytest.fixture()
+def broker():
+    b = get_broker("memory://stream_sem")
+    b.clear()
+    yield b
+    b.clear()
+
+
+def _stream(spark, subject, **opts):
+    reader = (
+        spark.readStream.format("nats")
+        .schema(EVT_SCHEMA)
+        .option("url", "memory://stream_sem")
+        .option("subject", subject)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_watermark_drops_late_data(spark, broker):
+    """Publish an on-time batch, let the watermark advance, then publish an
+    event older than the watermark — update-mode aggregation must never
+    count the late event."""
+    on_time = [
+        b"2024-01-01 10:00:00,a",
+        b"2024-01-01 10:05:00,a",
+        b"2024-01-01 11:00:00,b",  # advances watermark to 10:50
+    ]
+    for p in on_time:
+        broker.publish("wm", p)
+
+    agg = (
+        _stream(spark, "wm")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window").start.alias("w"), "key", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late: 10:00 window, far below the 10:50 watermark
+        broker.publish("wm", b"2024-01-01 10:01:00,a")
+        q.processAllAvailable()
+        # a fresh on-time row proves the stream is still progressing
+        broker.publish("wm", b"2024-01-01 11:30:00,b")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM wm_out").collect()
+        counts = {}
+        for r in rows:  # update mode: later rows supersede earlier ones
+            counts[(r.w.isoformat(), r.key)] = r.n
+        # the 10:00/a window must still show 2 — the late event was dropped
+        assert counts[("2024-01-01T10:00:00", "a")] == 2
+        assert counts[("2024-01-01T11:30:00", "b")] == 1
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_sink(spark, broker, tmp_path):
+    """foreachBatch: exactly the pattern for transactional/custom sinks —
+    each micro-batch lands as one parquet write with its epoch id."""
+    for i in range(6):
+        broker.publish("fb", f"2024-01-01 10:0{i}:00,k{i % 2}".encode())
+
+    out_dir = str(tmp_path / "fb_out")
+    seen_epochs = []
+
+    def sink(batch_df, epoch_id):
+        seen_epochs.append(epoch_id)
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        _stream(spark, "fb", maxMessagesPerBatch="2")
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.read.parquet(out_dir)
+    assert result.count() == 6
+    assert len(seen_epochs) >= 3  # 6 messages / 2 per batch
+    assert sorted(r.key for r in result.collect()) == ["k0", "k0", "k0", "k1", "k1", "k1"]
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, broker, tmp_path):
+    """Offsets are replayable (file-backed log): a restarted query with the
+    same checkpoint continues from the committed offset instead of
+    re-reading — the exactly-once story core NATS can't give
+    (SURVEY §1.5) made concrete."""
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            _stream(spark, "resume")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    for i in range(3):
+        broker.publish("resume", f"2024-01-01 10:00:0{i},first".encode())
+    run_once()
+    for i in range(2):
+        broker.publish("resume", f"2024-01-01 11:00:0{i},second".encode())
+    run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 5  # no duplicates from the restart
+    assert sorted(r.key for r in rows) == ["first"] * 3 + ["second"] * 2
