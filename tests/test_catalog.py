@@ -82,3 +82,32 @@ def test_bucketed_join_avoids_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS buckets.orders_b")
         spark.sql("DROP TABLE IF EXISTS buckets.lineitem_b")
         spark.sql("DROP DATABASE IF EXISTS buckets")
+
+
+def test_csv_source_roundtrip(spark, sf_dir, tmp_path):
+    """Spark's built-in CSV reader (the DataFusion-SessionContext analogue,
+    SURVEY §2B 'Scans/sources'): write → schema-declared read → identical."""
+    from datafusion_nats_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "li_csv")
+    li.write.mode("overwrite").option("header", "true").csv(out)
+    back = (
+        spark.read.schema("l_orderkey long, l_linenumber int, l_quantity double, l_returnflag string")
+        .option("header", "true")
+        .csv(out)
+    )
+    assert back.count() == li.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
+
+
+def test_json_source_roundtrip(spark, sf_dir, tmp_path):
+    from datafusion_nats_spark.tables import load
+
+    n = load(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_json")
+    n.write.mode("overwrite").json(out)
+    back = spark.read.schema(n.schema).json(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
