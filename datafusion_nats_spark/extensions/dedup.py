@@ -195,31 +195,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH shingled AS (
       SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
-      FROM documents WHERE doc_id < 200
+      FROM documents
     ), capped AS (
       SELECT s.doc_id, s.shingle FROM shingled s
       JOIN (SELECT shingle FROM shingled GROUP BY shingle
             HAVING count(DISTINCT doc_id) <= {MAX_DF}) ok USING (shingle)
+    ), hashed AS (
+      SELECT doc_id, k,
+             min(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || shingle), 1, 15))::BIGINT) AS mh
+      FROM capped, range({N_HASHES}) t(k)
+      GROUP BY doc_id, k
+    ), banded AS (
+      SELECT doc_id, k // {BAND_SIZE} AS band_id,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS band_key
+      FROM hashed
+      GROUP BY doc_id, k // {BAND_SIZE}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ), sizes AS (
       SELECT doc_id, count(DISTINCT shingle) AS n FROM capped GROUP BY doc_id
     ), inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN capped x ON x.doc_id = c.doc_a
+      JOIN capped y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
     )
-    SELECT doc_a, doc_b,
-           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(coalesce(i, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
     """,
-    doc="Exact n-gram Jaccard similarity on shingle sets (doc_id<200 "
-    "window — the exact-verify stage that follows LSH candidate "
-    "generation at scale; never run all-pairs on the full corpus).",
+    doc="Exact n-gram Jaccard verification over the MinHash-LSH candidate "
+    "pairs — the verify stage of the two-phase near-dup pipeline "
+    "(candidates from banding, exact set overlap only on candidates; "
+    "never all-pairs).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).repartition(
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     shingled = d.select(
@@ -228,22 +246,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = shingled.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df")).filter(
         F.col("df") <= MAX_DF
     )
-    capped = shingled.join(F.broadcast(ok.select("shingle")), "shingle").distinct()
+    capped = shingled.join(F.broadcast(ok.select("shingle")), "shingle").distinct().persist()
     sizes = capped.groupBy("doc_id").agg(F.countDistinct("shingle").alias("n"))
-    a = capped.alias("a")
-    b = capped.alias("b")
+    x = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = capped.select(F.col("doc_id").alias("yb"), F.col("shingle").alias("shingle_b"))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        F.broadcast(cand)
+        .join(x, "doc_a")
+        .join(y, (F.col("doc_b") == F.col("yb")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.coalesce(F.col("i"), F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+    )
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.2)
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 

@@ -74,18 +74,17 @@ def test_simhash_locality(spark, planted_dir):
 
 
 def test_ngram_jaccard_planted(spark, planted_dir):
-    """Planted exact dups score jaccard == 1.0."""
+    """The LSH-candidate verify stage scores planted exact dups at 1.0."""
     from datafusion_nats_spark.extensions.dedup import dedup_ngram_jaccard
 
-    # planted copies have doc_id >= 100000, outside the doc_id<200 window —
-    # lower the window by querying directly on pairs below
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in dedup_ngram_jaccard(spark, planted_dir).collect()
     }
-    # at minimum the query must run and produce only valid scores
     for (a, b), j in pairs.items():
-        assert a < b and 0.2 <= j <= 1.0
+        assert a < b and 0.0 <= j <= 1.0
+    for i in range(10):
+        assert pairs.get((i, i + 100000)) == 1.0, f"planted dup {i} not verified"
 
 
 def test_multimodal_decode_stub_raises():
