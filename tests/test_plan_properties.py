@@ -1,0 +1,87 @@
+"""Physical-plan property tests: the scale contract, enforced.
+
+Each assertion pins a plan property that matters at 100 TB — filter
+pushdown reaching the parquet scan, column pruning, broadcast of bounded
+dimensions, top-k instead of full sort. A regression here is a perf bug
+even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_nats_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: only the 7 needed columns, not l_orderkey/l_partkey/...
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q5_broadcasts_dimensions_no_sortmerge(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # facts resolve via broadcast/AQE here
+
+
+def test_q3_uses_topk_not_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_aggregates_partial_then_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_minhash_never_all_pairs(spark, sf_dir):
+    # the candidate join must be an equi-join on (band_id, band_key) —
+    # a nested-loop join would mean the O(n²) path snuck back in
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bruteforce_sim_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sim_bruteforce_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_text_ops_are_map_only_before_agg(spark, sf_dir):
+    # token stats: one scan, no joins at all
+    plan = _plan(spark, sf_dir, "text_token_stats")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "join_inner_equi", "fn_string_battery"]
+)
+def test_whole_stage_codegen_active(spark, sf_dir, name):
+    import contextlib
+    import io
+
+    # AQE wraps the plan before execution and reports zero codegen
+    # subtrees — inspect the statically planned form
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    out = buf.getvalue()
+    assert "Found" in out and "WholeStageCodegen subtree" in out, (
+        f"no codegen stages in {name}:\n{out[:400]}"
+    )
+    n = int(out.split("Found ")[1].split(" ")[0])
+    assert n >= 1
