@@ -122,7 +122,7 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
 
     def __init__(self, schema: T.StructType, options: dict) -> None:
         self.options = {k.lower(): v for k, v in options.items()}
-        self.codec = CsvCodec(schema)
+        self.codec = None if self._opt("decode") == "raw" else CsvCodec(schema)
         self._field_index = {f.name: i for i, f in enumerate(schema.fields)}
         self._pushed: list = []
 
@@ -191,6 +191,17 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
         return [NatsPartition(p) for p in _split_round_robin_contiguous(payloads, self.num_partitions)]
 
     def read(self, partition: NatsPartition):  # executor-side decode
+        if self._opt("decode") == "raw":
+            # Vectorized path (SURVEY §7.4-5): hand Spark Arrow batches of
+            # raw lines; typed decode happens JVM-side via codec.decode_lines
+            # — no per-row Python in the hot loop. Use read_nats(...,
+            # vectorized=True) for the composed reader.
+            import pyarrow as pa
+
+            lines = [p.decode("utf-8", errors="replace") for p in partition.payloads]
+            if lines:
+                yield pa.RecordBatch.from_arrays([pa.array(lines, pa.string())], ["value"])
+            return
         for row in _decode(partition.payloads, self.codec, self.mode):
             if self._row_passes(row):
                 yield row
@@ -378,3 +389,34 @@ class NatsDataSource(DataSource):
 def register(spark) -> None:
     """Register the source: ``spark.read.format("nats")`` becomes available."""
     spark.dataSource.register(NatsDataSource)
+
+
+def read_nats(spark, schema: T.StructType, vectorized: bool = False, **options):
+    """Composed batch read of a NATS subject.
+
+    vectorized=False: the row-path reader (Python parse per message —
+    the reference-exact codec, good for modest volumes).
+    vectorized=True: the scale path — the source ships Arrow batches of
+    raw lines and the typed decode runs as JVM expressions
+    (codec.decode_lines): no per-row Python anywhere.
+    Both paths enforce identical wire semantics; see
+    tests/test_nats_source.py::test_vectorized_read_matches_row_path.
+    """
+    from datafusion_nats_spark.codec import decode_lines, validate_schema
+
+    if not vectorized:
+        reader = spark.read.format("nats").schema(schema)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    validate_schema(schema)
+    reader = spark.read.format("nats").schema("value string").option("decode", "raw")
+    mode = options.pop("mode", "permissive-skip")
+    if mode == "failfast":
+        raise CodecError(
+            "vectorized decode is null-based; use mode='permissive-skip' or "
+            "'marked' (or the row path for failfast semantics)"
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return decode_lines(reader.load(), schema, mode=mode)

@@ -231,3 +231,20 @@ def test_no_pushdown_by_default(spark, broker):
     broker.publish("plain", b"1,a")
     df = _read(spark, "plain").filter("id = 1")
     assert [(r.id, r.name) for r in df.collect()] == [(1, "a")]
+
+
+def test_vectorized_read_matches_row_path(spark, broker):
+    """Arrow-batched raw read + JVM decode == per-row Python codec."""
+    from datafusion_nats_spark.sources.nats_source import read_nats
+
+    payloads = [f"{i},item{i}".encode() for i in range(50)] + [
+        b"oops",  # bad arity — dropped by both permissive paths
+        b"x,bad-int",
+    ]
+    for p in payloads:
+        broker.publish("vec", p)
+    opts = dict(url="memory://test", subject="vec")
+    row_path = read_nats(spark, KV_SCHEMA, mode="permissive-skip", **opts)
+    vec_path = read_nats(spark, KV_SCHEMA, vectorized=True, **opts)
+    assert sorted(map(tuple, vec_path.collect())) == sorted(map(tuple, row_path.collect()))
+    assert vec_path.count() == 50
