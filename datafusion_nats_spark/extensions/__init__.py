@@ -6,6 +6,7 @@ from datafusion_nats_spark.extensions import (  # noqa: F401
     dedup,
     ml_variants,
     multimodal,
+    pipeline,
     similarity,
     text,
 )

@@ -1,0 +1,124 @@
+"""The end-to-end training-data curation pipeline — the north-star
+composition (BASELINE.json): quality gate → exact dedup → MinHash-LSH
+near-dup removal → curated corpus statistics, as ONE declarative plan.
+
+Every stage is the oracle-checked operator from its own module; this
+entry proves they compose. At 100 TB the whole pipeline is:
+map (quality, fingerprint) → hash-agg (exact dedup) → LSH candidate
+equi-join → verify → anti-join — no stage is all-pairs, no stage
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.extensions.dedup import (
+    MAX_DF,
+    _SHINGLES_DUCK,
+    dedup_ngram_jaccard,
+)
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load
+
+MIN_TOKENS = 20
+NEAR_DUP_JACCARD = 0.8
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, lang, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_key
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= {MIN_TOKENS}
+    ), exact_kept AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY content_key
+    ), shingled AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+      FROM documents
+    ), capped AS (
+      SELECT s.doc_id, s.shingle FROM shingled s
+      JOIN (SELECT shingle FROM shingled GROUP BY shingle
+            HAVING count(DISTINCT doc_id) <= {MAX_DF}) ok USING (shingle)
+    ), hashed AS (
+      SELECT doc_id, k,
+             min(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || shingle), 1, 15))::BIGINT) AS mh
+      FROM capped, range(12) t(k)
+      GROUP BY doc_id, k
+    ), banded AS (
+      SELECT doc_id, k // 3 AS band_id,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS band_key
+      FROM hashed GROUP BY doc_id, k // 3
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(DISTINCT shingle) AS n FROM capped GROUP BY doc_id
+    ), verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+            FROM capped x JOIN capped y
+              ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id) s USING (doc_a, doc_b)
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(s.i AS DOUBLE) / (sa.n + sb.n - s.i) >= {NEAR_DUP_JACCARD}
+    ), curated AS (
+      SELECT q.doc_id, q.lang, q.n_chars
+      FROM quality q
+      JOIN exact_kept USING (doc_id)
+      WHERE NOT EXISTS (SELECT 1 FROM verified v WHERE v.doc_b = q.doc_id)
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM curated
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Full curation pipeline: quality gate (≥20 tokens) → exact dedup "
+    "(keep min doc_id per content key) → near-dup removal (drop the "
+    "higher id of every LSH-candidate pair verified at Jaccard ≥ 0.8) → "
+    "per-language curated-corpus statistics.",
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    quality = d.filter(F.size(toks) >= MIN_TOKENS).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
+            "content_key"
+        ),
+    )
+    exact_kept = quality.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
+    near_dup_losers = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+        .select(F.col("doc_b").alias("loser"))
+        .distinct()
+    )
+    curated = (
+        quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi")
+        .join(
+            F.broadcast(near_dup_losers),
+            F.col("doc_id") == F.col("loser"),
+            "left_anti",
+        )
+    )
+    return (
+        curated.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )

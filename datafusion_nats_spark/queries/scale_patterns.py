@@ -87,3 +87,37 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("weight"), 2).alias("total_weight"),
     )
+
+
+@query(
+    "histogram_value_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(least(floor(value / 10), 9) AS INTEGER) AS bucket
+      FROM events WHERE value >= 0
+    )
+    SELECT bucket,
+           count(*) AS n,
+           round(count(*) * 100.0 / (SELECT count(*) FROM b), 6) AS pct
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Fixed-width histogram (10 buckets over [0,100)) with percentage "
+    "shares — single scan, one aggregation, broadcast scalar total.",
+)
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    b = ev.select(
+        F.least(F.floor(F.col("value") / 10), F.lit(9)).cast("int").alias("bucket")
+    )
+    total = b.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n",
+            F.round(F.col("n") * 100.0 / F.col("tot"), 6).alias("pct"),
+        )
+        .orderBy("bucket")
+    )
