@@ -22,6 +22,15 @@ TABLES = (
 )
 
 
+def _pin_session_invariants(spark: SparkSession) -> None:
+    """Correctness-critical session settings, enforced on every load so
+    the oracle contract holds even under a driver-constructed session:
+    UTC timestamps (codec semantics, reference csv.rs:162-164, and every
+    epoch/date-function oracle assumes it)."""
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Parquet scan → Catalyst gets pushdown + pruning.
 
@@ -31,6 +40,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (a double-typed division would lose sub-µs precision at ns-epoch
     magnitudes).
     """
+    _pin_session_invariants(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
