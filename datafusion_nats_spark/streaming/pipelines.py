@@ -123,7 +123,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT b - INTERVAL '30 minutes' AS window_start, value FROM slides
     )
-    SELECT window_start, count(*) AS n, round(avg(value), 6) AS avg_value
+    SELECT window_start, count(*) AS n, round(sum(value), 2) AS total_value
     FROM expanded
     GROUP BY window_start
     """,
@@ -133,10 +133,14 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _stream_events(spark, sf_dir)
     agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+        # sum not avg: window sizes are powers of two here, so averages are
+        # binary-exact values whose decimal expansions land exactly on
+        # rounding boundaries — where Spark (decimal HALF_UP) and DuckDB
+        # (binary round) disagree
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
     )
     return _run_to_completion(
-        agg.select(F.col("window").start.alias("window_start"), "n", "avg_value"),
+        agg.select(F.col("window").start.alias("window_start"), "n", "total_value"),
         "complete",
     )
 
