@@ -375,3 +375,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_raw") >= 0.3)
         .drop("_raw")
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=None,  # iterative fixpoint — not single-statement SQL; pytest-verified
+    doc="Connected components over the verified near-dup pair graph "
+    "(iterative min-label propagation: each round every vertex adopts the "
+    "smallest component id among itself and its neighbors, until "
+    "fixpoint). Turns pairwise duplicate hits into duplicate GROUPS — "
+    "the union-find step every production dedup pipeline needs between "
+    "pair detection and canonical selection. Iterations are "
+    "driver-coordinated joins; the data never leaves the cluster.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    # undirected adjacency
+    adj = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        adj.select(F.col("doc_a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    for _ in range(10):  # diameter bound; tiny graphs converge in 1-2 rounds
+        neighbor_min = (
+            adj.join(labels, adj.doc_b == labels.id)
+            .groupBy(F.col("doc_a").alias("id2"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.id") == F.col("l.id"))
+            .filter(F.col("u.comp") != F.col("l.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))

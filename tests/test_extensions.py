@@ -162,3 +162,23 @@ def test_kmeans_ann_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"KMeans-IVF recall collapsed: {recall}"
+
+
+def test_connected_components_groups_planted_triangle(spark, sf_dir, tmp_path_factory):
+    """Three exact copies of one doc + two of another → two components,
+    each labeled by its minimum doc_id."""
+    out = str(tmp_path_factory.mktemp("cc"))
+    from datafusion_nats_spark.extensions.dedup import dedup_connected_components
+    from datafusion_nats_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    tri = docs.filter(F.col("doc_id") == 0)
+    duo = docs.filter(F.col("doc_id") == 1)
+    planted = docs
+    for new_id, base in [(100001, tri), (100002, tri), (200001, duo)]:
+        planted = planted.unionByName(base.withColumn("doc_id", F.lit(new_id).cast("long")))
+    planted.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    comp = {r.doc_id: r.component for r in dedup_connected_components(spark, out).collect()}
+    assert comp[0] == comp[100001] == comp[100002] == 0
+    assert comp[1] == comp[200001] == 1
