@@ -111,3 +111,13 @@ def test_json_source_roundtrip(spark, sf_dir, tmp_path):
     n.write.mode("overwrite").json(out)
     back = spark.read.schema(n.schema).json(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
+    from datafusion_nats_spark.tables import load
+
+    s = load(spark, sf_dir, "supplier")
+    out = str(tmp_path / "supplier_orc")
+    s.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, s.collect()))
