@@ -260,3 +260,40 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 12)
     )
+
+
+@query(
+    "agg_stats_regression",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(skewness(l_quantity), 4)                          AS skew_qty,
+      round(kurtosis(l_quantity), 4)                          AS kurt_qty,
+      round(regr_slope(l_extendedprice, l_quantity), 6)       AS slope,
+      round(regr_intercept(l_extendedprice, l_quantity), 6)   AS intercept,
+      round(regr_r2(l_extendedprice, l_quantity), 6)          AS r2,
+      CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+      round(regr_avgx(l_extendedprice, l_quantity), 6)        AS avgx,
+      round(regr_avgy(l_extendedprice, l_quantity), 6)        AS avgy,
+      count_if(l_quantity > 25)                               AS n_big
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Higher-moment + linear-regression aggregates: skewness, excess "
+    "kurtosis, regr_slope/intercept/r2/count/avgx/avgy, count_if.",
+)
+def agg_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        # 4dp: Spark and DuckDB use different one-pass moment updates —
+        # they agree to ~1e-5, not 1e-6
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+        F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 6).alias("avgx"),
+        F.round(F.regr_avgy("l_extendedprice", "l_quantity"), 6).alias("avgy"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+    )
