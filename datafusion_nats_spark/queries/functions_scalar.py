@@ -454,3 +454,27 @@ def fn_datetime_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("o_orderdate").alias("week_of_year"),
         F.greatest(d, F.lit("1996-06-01").cast("date")).alias("clamped"),
     )
+
+
+@query(
+    "fn_regex_extract_all",
+    oracle="""
+    SELECT
+      doc_id,
+      regexp_extract_all(text, '[a-z]{6,}')      AS long_words,
+      CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INTEGER) AS n_long
+    FROM documents
+    WHERE doc_id < 40
+    """,
+    doc="regexp_extract_all returning the full match array (array-typed "
+    "result column compared across engines).",
+)
+def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    # idx=0 (whole match): Spark defaults to group 1, DuckDB to group 0
+    matches = F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0)
+    return d.select(
+        "doc_id",
+        matches.alias("long_words"),
+        F.size(matches).alias("n_long"),
+    )

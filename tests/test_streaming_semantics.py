@@ -146,3 +146,25 @@ def test_stream_restart_resumes_from_checkpoint(spark, broker, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert len(rows) == 5  # no duplicates from the restart
     assert sorted(r.key for r in rows) == ["first"] * 3 + ["second"] * 2
+
+
+def test_available_now_trigger_drains_and_terminates(spark, broker):
+    """Trigger.AvailableNow: process everything present, then stop —
+    the batch-like streaming mode (the reference's LIMIT-bounded
+    consumption, expressed as a trigger)."""
+    for i in range(7):
+        broker.publish("avnow", f"2024-01-01 10:00:0{i},k".encode())
+    # note: availableNow snapshots latestOffset() once, so the admission
+    # cap (maxMessagesPerBatch) bounds what one availableNow run drains —
+    # leave it at the default so a single run sees the whole log
+    q = (
+        _stream(spark, "avnow")
+        .writeStream.format("memory")
+        .queryName("avnow_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert not q.isActive  # drained and self-terminated
+    assert spark.sql("SELECT count(*) n FROM avnow_out").collect()[0].n == 7
