@@ -24,14 +24,20 @@ Decode is the reference-exact CSV codec (one message = one row,
 reference surfacing parse errors into the result stream) or
 ``mode=permissive-skip`` (log-and-continue).
 
-Scale design (100 TB / 1000-executor): ``numPartitions`` splits every
-drained slice into k ``InputPartition``s so decode parallelizes across
-executors; payload bytes travel inside the partition objects (driver
-prefetch), which is the honest shape for core NATS — a non-replayable
-broker cannot be re-read from executors. The upgrade path for true
-executor-side parallel ingest is JetStream durable consumers or NATS
-queue groups (one group member per partition), which slot into
-``_fetch_payloads`` without touching the planner contract.
+Scale design (100 TB / 1000-executor): two ingest shapes, selected by
+``.option("ingest", ...)``:
+
+- ``ingest=driver`` (default) — ``numPartitions`` splits the drained
+  slice into k ``InputPartition``s whose payload bytes travel inside the
+  partition objects (driver prefetch). The honest shape for *core* NATS:
+  a non-replayable broker cannot be re-read from executors.
+- ``ingest=executor`` — partitions carry only ``[start, end)`` offsets
+  (``NatsOffsetRangePartition``); every Spark task range-reads its slice
+  of the replayable subject log itself, so N executors ingest in
+  parallel and the driver only plans ranges — the JetStream
+  durable-consumer / queue-group model (SURVEY §7.3), structurally the
+  same split contract as Kafka's (topic, partition, offsets). Works for
+  both the bounded batch read and per-trigger micro-batch streaming.
 """
 
 from __future__ import annotations
@@ -54,6 +60,42 @@ from datafusion_nats_spark.codec import CodecError, CsvCodec, ParseError
 @dataclass
 class NatsPartition(InputPartition):
     payloads: list[bytes]
+
+
+@dataclass
+class NatsOffsetRangePartition(InputPartition):
+    """Executor-side-ingest partition: carries only ``[start, end)`` log
+    offsets, never payload bytes. Each Spark task opens the replayable
+    subject log itself and reads its own slice — the JetStream
+    durable-consumer / queue-group shape (one group member per partition;
+    the upgrade path SURVEY §7.3 calls for), where the reference is pinned
+    to a single non-replayable subscription (Partitioning::
+    UnknownPartitioning(1), reference: src/data_source.rs:59).
+
+    At 100 TB this is the difference between the driver funneling every
+    byte (driver-prefetch path) and N executors ingesting in parallel
+    with the driver only planning offset ranges — the same contract as
+    Kafka's (topic, partition, start, end) input splits.
+    """
+
+    url: str
+    subject: str
+    start: int
+    end: int
+
+
+def _split_offset_ranges(url: str, subject: str, start: int, end: int, k: int):
+    """[start, end) → k contiguous offset-range partitions (order-preserving
+    within each partition, FIXTURES C7)."""
+    total = end - start
+    if total <= 0:
+        return []
+    k = max(1, min(k, total))
+    size = (total + k - 1) // k
+    return [
+        NatsOffsetRangePartition(url=url, subject=subject, start=s, end=min(s + size, end))
+        for s in range(start, end, size)
+    ]
 
 
 @dataclass
@@ -102,6 +144,13 @@ class _OptionsMixin:
     @property
     def num_partitions(self) -> int:
         return int(self._opt("numpartitions", "1"))
+
+    @property
+    def ingest(self) -> str:
+        ingest = self._opt("ingest", "driver")
+        if ingest not in ("driver", "executor"):
+            raise CodecError(f"unknown ingest mode: {ingest}")
+        return ingest
 
 
 def _decode(payloads: list[bytes], codec: CsvCodec, mode: str):
@@ -186,11 +235,35 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
             )
         raise CodecError(f"unknown transport: {self.transport}")
 
-    def partitions(self):  # driver-side (the consumer-task analogue)
+    def partitions(self):
+        if self.ingest == "executor":
+            # Offset-range planning only — no payload bytes on the driver.
+            # Requires a replayable transport (the JetStream-like log);
+            # core NATS can't be range-read, so that stays driver-prefetch.
+            if self.transport != "memory":
+                raise CodecError(
+                    "ingest=executor requires the replayable (JetStream-like) "
+                    "transport; core NATS cannot be range-read from executors"
+                )
+            from datafusion_nats_spark.sources.broker import get_broker
+
+            size = get_broker(self.url).size(self.subject)
+            max_messages = int(self._opt("maxmessages", "0"))
+            end = min(size, max_messages) if max_messages else size
+            return _split_offset_ranges(self.url, self.subject, 0, end, self.num_partitions)
+        # driver-prefetch (the reference's consumer-task analogue)
         payloads = self._fetch_payloads()
         return [NatsPartition(p) for p in _split_round_robin_contiguous(payloads, self.num_partitions)]
 
-    def read(self, partition: NatsPartition):  # executor-side decode
+    def _payloads_of(self, partition) -> list[bytes]:
+        if isinstance(partition, NatsOffsetRangePartition):
+            from datafusion_nats_spark.sources.broker import get_broker
+
+            return get_broker(partition.url).fetch(partition.subject, partition.start, partition.end)
+        return partition.payloads
+
+    def read(self, partition):  # executor-side (ingest and/or decode)
+        payloads = self._payloads_of(partition)
         if self._opt("decode") == "raw":
             # Vectorized path (SURVEY §7.4-5): hand Spark Arrow batches of
             # raw lines; typed decode happens JVM-side via codec.decode_lines
@@ -198,11 +271,11 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
             # vectorized=True) for the composed reader.
             import pyarrow as pa
 
-            lines = [p.decode("utf-8", errors="replace") for p in partition.payloads]
+            lines = [p.decode("utf-8", errors="replace") for p in payloads]
             if lines:
                 yield pa.RecordBatch.from_arrays([pa.array(lines, pa.string())], ["value"])
             return
-        for row in _decode(partition.payloads, self.codec, self.mode):
+        for row in _decode(payloads, self.codec, self.mode):
             if self._row_passes(row):
                 yield row
 
@@ -296,13 +369,28 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
         return {"offset": self._last_end}
 
     def partitions(self, start: dict, end: dict):
+        if self.ingest == "executor":
+            # Each micro-batch's [start, end) admission window splits into
+            # offset-range partitions read directly by executors — per-trigger
+            # parallel ingest over the replayable log (queue-group analogue).
+            return _split_offset_ranges(
+                self.url, self.subject, start["offset"], end["offset"], self.num_partitions
+            ) or [NatsPartition([])]
         from datafusion_nats_spark.sources.broker import get_broker
 
         payloads = get_broker(self.url).fetch(self.subject, start["offset"], end["offset"])
         return [NatsPartition(p) for p in _split_round_robin_contiguous(payloads, self.num_partitions)]
 
-    def read(self, partition: NatsPartition):
-        yield from _decode(partition.payloads, self.codec, self.mode)
+    def read(self, partition):
+        if isinstance(partition, NatsOffsetRangePartition):
+            from datafusion_nats_spark.sources.broker import get_broker
+
+            payloads = get_broker(partition.url).fetch(
+                partition.subject, partition.start, partition.end
+            )
+        else:
+            payloads = partition.payloads
+        yield from _decode(payloads, self.codec, self.mode)
 
     def commit(self, end: dict) -> None:
         # Log is retained (replayability); nothing to prune.

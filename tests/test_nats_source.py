@@ -248,3 +248,73 @@ def test_vectorized_read_matches_row_path(spark, broker):
     vec_path = read_nats(spark, KV_SCHEMA, vectorized=True, **opts)
     assert sorted(map(tuple, vec_path.collect())) == sorted(map(tuple, row_path.collect()))
     assert vec_path.count() == 50
+
+
+def test_executor_ingest_batch_matches_driver_ingest(spark, broker):
+    """ingest=executor: partitions carry only offset ranges; each task
+    range-reads the replayable log itself (queue-group/JetStream shape)."""
+    for i in range(100):
+        broker.publish("exeing", f"{i},item{i}".encode())
+    df = _read(spark, "exeing", ingest="executor", numPartitions="8")
+    assert df.rdd.getNumPartitions() == 8
+    assert sorted(r.id for r in df.collect()) == list(range(100))
+    driver_df = _read(spark, "exeing", numPartitions="8")
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, driver_df.collect()))
+
+
+def test_executor_ingest_respects_max_messages(spark, broker):
+    for i in range(30):
+        broker.publish("exemax", f"{i},item{i}".encode())
+    df = _read(spark, "exemax", ingest="executor", maxMessages="7")
+    assert sorted(r.id for r in df.collect()) == list(range(7))
+
+
+def test_executor_ingest_preserves_order_within_partition(spark, broker):
+    """Arrival order is the reference's only ordering guarantee (FIXTURES
+    C7) — contiguous offset ranges preserve it within each partition."""
+    for i in range(40):
+        broker.publish("exeord", f"{i},item{i}".encode())
+    df = _read(spark, "exeord", ingest="executor", numPartitions="4")
+    per_part = df.rdd.mapPartitions(lambda it: [[r.id for r in it]]).collect()
+    for chunk in per_part:
+        assert chunk == sorted(chunk)
+    assert sorted(x for chunk in per_part for x in chunk) == list(range(40))
+
+
+def test_executor_ingest_streaming(spark, broker):
+    for payload in GOLDEN:
+        broker.publish("exestream", payload)
+    q = (
+        spark.readStream.format("nats")
+        .schema(KV_SCHEMA)
+        .option("url", "memory://test")
+        .option("subject", "exestream")
+        .option("ingest", "executor")
+        .option("numPartitions", "2")
+        .option("maxMessagesPerBatch", "2")
+        .load()
+        .writeStream.format("memory")
+        .queryName("nats_exe_stream_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        broker.publish("exestream", b"4,plum")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM nats_exe_stream_out ORDER BY id").collect()
+        assert [(r.id, r.name) for r in rows] == [
+            (1, "apple"),
+            (2, "banana"),
+            (3, "orange"),
+            (4, "plum"),
+        ]
+    finally:
+        q.stop()
+
+
+def test_executor_ingest_rejects_core_nats_transport(spark, broker):
+    """Core NATS is non-replayable — executors can't range-read it."""
+    broker.publish("exerej", b"1,a")
+    with pytest.raises(Exception):
+        _read(spark, "exerej", ingest="executor", transport="nats").collect()
