@@ -333,3 +333,85 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_completion(out, "update")
+
+
+def tws_available() -> bool:
+    """True when ``transformWithStateInPandas`` can actually run: the Spark
+    4.x stateful-v2 API needs the ``protobuf`` Python package for its
+    driver↔worker state-server protocol (absent in some environments —
+    import-gated per the environment rules)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, sum, max) via ``transformWithStateInPandas``
+    — the Spark 4.x arbitrary-stateful-processing API (StatefulProcessor +
+    ValueState handle; successor of applyInPandasWithState). Same
+    capability class as ``stream_stateful_running_totals`` (reference has
+    none — SURVEY §2C 'Stateful ops'); kept out of the driver registry
+    because the API requires the protobuf package at runtime
+    (``tws_available()``), with the applyInPandasWithState twin as the
+    oracle-checked entry.
+
+    Scale: state is per-key in the executor-local RocksDB state store;
+    shuffle is on user_id only — the same bounded-state contract as the
+    v1 operator.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("total", DoubleType()),
+                    StructField("vmax", DoubleType()),
+                ]
+            )
+            self._state = handle.getValueState("stats", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total, vmax = (
+                self._state.get() if self._state.exists() else (0, 0.0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                vmax = max(vmax, float(pdf["value"].max()))
+            self._state.update((n, total, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "max_value": [round(vmax, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _stream_events(spark, sf_dir)
+    out = ev.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        UserStats(),
+        outputStructType="user_id long, n_events long, total_value double, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _run_to_completion(out, "update")
