@@ -1,0 +1,296 @@
+"""Corpus-curation operators for LLM training-data pipelines (driver
+mandate, alongside dedup/similarity/text/multimodal): deterministic
+train/val/test splitting, stratified sampling, column profiling, PII
+scrubbing, and benchmark-contamination checking.
+
+Scale design (100 TB):
+- splits and samples key on an md5-derived bucket of the document id —
+  deterministic, engine-portable (exact DuckDB twin), and uniformly
+  distributed, so no stage needs a global sort or a driver-side RNG;
+- stratified sampling is a per-stratum window over the hash order:
+  shuffle is on the stratum key only, and the rank cutoff bounds output
+  per stratum (skew-safe for dominant languages);
+- profiling is a single full-scan aggregate (one job, no shuffle beyond
+  the final single-row combine) that is then unpivoted driver-free;
+- contamination joins corpus shingles against a broadcast benchmark
+  shingle set — the benchmark side is small by construction, so the big
+  corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.extensions.dedup import _SHINGLES_DUCK, _shingles_spark
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load
+
+BENCH_MAX_DOC = 20  # doc_id < 20 plays the held-out benchmark set
+STRATUM_SAMPLE = 20  # docs kept per language stratum
+
+
+def _hash_bucket(col, mod: int):
+    """md5-derived uniform bucket in [0, mod) — the engine-portable hash
+    (same construction as the MinHash oracles; Spark conv() == DuckDB
+    '0x'-cast on the md5 prefix)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint") % mod
+    )
+
+
+@query(
+    "curation_split_train_val_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="Deterministic 80/10/10 train/val/test split: an md5 bucket of "
+    "doc_id assigns every document stably (reshuffles, retries, and other "
+    "engines all agree) — no RNG, no global sort, map-side assignment "
+    "only.",
+)
+def curation_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "curation_stratified_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT lang,
+           count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sample_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM ranked
+    WHERE rn <= {STRATUM_SAMPLE}
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Stratified downsample: keep the first N documents per language in "
+    "md5-hash order — a deterministic uniform sample per stratum "
+    "(row_number over the hash, shuffle on the stratum key only; the "
+    "rank cutoff bounds per-stratum output, so a dominant language can't "
+    "skew the sample).",
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_SAMPLE)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sample_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "curation_profile_columns",
+    oracle="""
+    SELECT 'doc_id' AS column_name, count(DISTINCT doc_id) AS n_distinct,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(*) AS n_rows
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(DISTINCT text),
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(DISTINCT lang),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(DISTINCT source),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(DISTINCT n_chars),
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+    FROM documents
+    ORDER BY column_name
+    """,
+    doc="Corpus column profiler: per-column distinct / null / row counts in "
+    "ONE scan (a single multi-aggregate job, then a stack() unpivot — the "
+    "oracle's 5-scan UNION is the semantic twin, not the plan).",
+)
+def curation_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"{c}__null")
+        )
+    one = d.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', {c}__distinct, {c}__null" for c in cols)
+    return (
+        one.selectExpr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, n_distinct, n_null)",
+            "n_rows",
+        )
+        .orderBy("column_name")
+    )
+
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"\d{3}-\d+"
+
+
+@query(
+    "curation_scrub_pii",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-01' || CAST(doc_id % 100 AS VARCHAR)
+               AS raw
+      FROM documents
+    ), scrubbed AS (
+      SELECT source, raw,
+             regexp_replace(
+               regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS clean,
+             len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_email,
+             len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phone
+      FROM enriched
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+           CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+           CAST(sum(length(raw) - length(clean)) AS BIGINT) AS chars_removed
+    FROM scrubbed
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="PII scrubbing: regexp_replace redaction of emails/phone numbers "
+    "(deterministically injected into the synthetic corpus so the scrub "
+    "has work to do), with per-source redaction counts. Map-only — "
+    "JVM-side regex, no UDF, no shuffle before the final rollup.",
+)
+def curation_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-01"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        d.select(
+            "source",
+            raw.alias("raw"),
+            clean.alias("clean"),
+            F.regexp_count(raw, F.lit(_EMAIL_RE)).alias("n_email"),
+            F.regexp_count(raw, F.lit(_PHONE_RE)).alias("n_phone"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("emails_redacted"),
+            F.sum("n_phone").cast("bigint").alias("phones_redacted"),
+            F.sum(F.length("raw") - F.length("clean")).cast("bigint").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "curation_benchmark_contamination",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT shingle FROM shingled WHERE doc_id < {BENCH_MAX_DOC}
+    ), corp AS (
+      SELECT DISTINCT doc_id, shingle FROM shingled WHERE doc_id >= {BENCH_MAX_DOC}
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY doc_id
+    ), ov AS (
+      SELECT c.doc_id, count(*) AS n_overlap
+      FROM corp c JOIN bench b USING (shingle)
+      GROUP BY c.doc_id
+    )
+    SELECT s.doc_id, s.n_shingles,
+           CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / s.n_shingles, 6)
+             AS contamination
+    FROM sizes s LEFT JOIN ov o USING (doc_id)
+    ORDER BY contamination DESC, s.doc_id
+    LIMIT 20
+    """,
+    doc="Benchmark-contamination check: fraction of each corpus document's "
+    "3-gram shingles that appear in the held-out benchmark set (doc_id < "
+    f"{BENCH_MAX_DOC} stands in for the benchmark). The benchmark shingle "
+    "set broadcasts; the corpus never shuffles for the membership join — "
+    "the decontamination primitive of training-data pipelines.",
+)
+def curation_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle"))
+    bench = sh.filter(F.col("doc_id") < BENCH_MAX_DOC).select("shingle").distinct()
+    corp = sh.filter(F.col("doc_id") >= BENCH_MAX_DOC).distinct()
+    sizes = corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ov = (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_raw"))
+    )
+    n_overlap = F.coalesce(F.col("n_overlap_raw"), F.lit(0)).cast("bigint")
+    return (
+        sizes.join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_overlap.alias("n_overlap"),
+            F.round(n_overlap.cast("double") / F.col("n_shingles"), 6).alias("contamination"),
+        )
+        .orderBy(F.desc("contamination"), "doc_id")
+        .limit(20)
+    )
