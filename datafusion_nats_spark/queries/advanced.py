@@ -243,3 +243,98 @@ def topk_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )
+
+
+@query(
+    "fn_variant_extract",
+    oracle="""
+    SELECT o_orderkey,
+           json_extract_string(
+             to_json(struct_pack(k := o_orderkey, s := o_orderstatus,
+                                 p := o_totalprice)), '$.s') AS status,
+           round(CAST(json_extract(
+             to_json(struct_pack(k := o_orderkey, s := o_orderstatus,
+                                 p := o_totalprice)), '$.p') AS DOUBLE), 2)
+             AS price
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+    doc="Spark 4 VARIANT path: to_json → parse_json → variant_get typed "
+    "extraction (the semi-structured column type the reference's engine "
+    "lacks entirely — DataFusion core 48 has no JSON functions, SURVEY "
+    "§2B 'JSON functions'). The oracle walks the same JSON via DuckDB "
+    "json_extract.",
+)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    v = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+                F.col("o_totalprice").alias("p"),
+            )
+        )
+    )
+    return (
+        o.select("o_orderkey", v.alias("v"))
+        .select(
+            "o_orderkey",
+            F.variant_get("v", "$.s", "string").alias("status"),
+            F.round(F.variant_get("v", "$.p", "double"), 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "udtf_word_positions",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents
+      WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           count(DISTINCT word) AS n_unique,
+           min(word) AS first_alpha
+    FROM words
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Python UDTF (Spark 3.5+/4.x table function): a lateral-join word "
+    "tokenizer emitting (word, pos) rows per document, aggregated back to "
+    "per-doc stats — the UDF-surface capability class (reference defines "
+    "no UDFs at all, SURVEY §2B 'UDF surface'). The UDTF is the "
+    "demonstration; the oracle is the equivalent unnest(split()).",
+)
+def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class WordPositions:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split()):
+                yield (w, i)
+
+    spark.udtf.register("word_positions", WordPositions)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("udtf_docs_in")
+    words = spark.sql(
+        "SELECT doc_id, w.word, w.pos "
+        "FROM udtf_docs_in, LATERAL word_positions(text) AS w"
+    )
+    return (
+        words.groupBy("doc_id")
+        .agg(
+            F.count(lit(1)).alias("n_words"),
+            F.countDistinct("word").alias("n_unique"),
+            F.min("word").alias("first_alpha"),
+        )
+        .orderBy("doc_id")
+    )
