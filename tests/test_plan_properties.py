@@ -85,3 +85,47 @@ def test_whole_stage_codegen_active(spark, sf_dir, name):
     )
     n = int(out.split("Found ")[1].split(" ")[0])
     assert n >= 1
+
+
+def test_contamination_broadcasts_benchmark_set(spark, sf_dir):
+    # the benchmark shingle set must broadcast; the corpus side must
+    # never feed a nested-loop or cartesian join
+    plan = _plan(spark, sf_dir, "curation_benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_assignment_is_map_side(spark, sf_dir):
+    # deterministic split: no join anywhere; single scan; the only
+    # shuffle is the 3-group final aggregate
+    plan = _plan(spark, sf_dir, "curation_split_train_val_test")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    # the profiler must be ONE scan + multi-aggregate (the oracle's
+    # 5-scan UNION is only the semantic twin)
+    plan = _plan(spark, sf_dir, "curation_profile_columns")
+    assert plan.count("FileScan") == 1
+
+
+def test_q15_rank_after_aggregation(spark, sf_dir):
+    # the unpartitioned rank window must sit ABOVE the per-supplier
+    # aggregate (|supplier| rows), never over raw lineitem
+    plan = _plan(spark, sf_dir, "q15_top_supplier")
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # executedPlan prints top-down: Window above means smaller offset
+    assert win_pos < agg_pos
+    # lineitem scan carries the pushed shipdate range filter
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q21_semi_and_anti_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q21_suppliers_kept_waiting")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
