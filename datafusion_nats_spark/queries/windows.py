@@ -150,3 +150,42 @@ def window_frames_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         F.round(F.sum("l_extendedprice").over(w), 2).alias("near_qty_price"),
     )
+
+
+@query(
+    "window_frames_groups_rewrite",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderdate, sum(o_totalprice) AS g_sum
+      FROM orders GROUP BY o_orderdate
+    ), gw AS (
+      SELECT o_orderdate,
+             round(sum(g_sum) OVER (ORDER BY o_orderdate
+                    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 2) AS grp_sum
+      FROM g
+    )
+    SELECT o_orderkey, o_orderdate, grp_sum
+    FROM orders JOIN gw USING (o_orderdate)
+    WHERE o_orderkey < 5000
+    ORDER BY o_orderkey
+    """,
+    doc="GROUPS window frame, rewritten: neither Spark nor DuckDB 1.0 "
+    "implements SQL:2011 GROUPS frames (SURVEY §2B flags the gap), so "
+    "'sum OVER (ORDER BY d GROUPS 1 PRECEDING)' becomes: aggregate per "
+    "peer group -> ROWS frame over the (small) group relation -> join "
+    "back to detail rows. The unpartitioned window runs over |distinct "
+    "dates|, not |orders|, and the group relation broadcasts.",
+)
+def window_frames_groups_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderdate").agg(F.sum("o_totalprice").alias("g_sum"))
+    w = W.orderBy("o_orderdate").rowsBetween(-1, 0)
+    group_frame = per_group.select(
+        "o_orderdate", F.round(F.sum("g_sum").over(w), 2).alias("grp_sum")
+    )
+    return (
+        o.filter(F.col("o_orderkey") < 5000)
+        .join(F.broadcast(group_frame), "o_orderdate")
+        .select("o_orderkey", "o_orderdate", "grp_sum")
+        .orderBy("o_orderkey")
+    )
