@@ -212,3 +212,89 @@ def decode_lines(
     if mode == "permissive-skip":
         return out.filter(~F.col("_corrupt")).select(*[f.name for f in schema.fields])
     return out.select(*[f.name for f in schema.fields], "_corrupt")
+
+
+def _infer_value_type(value: str) -> T.DataType:
+    """Narrowest wire type of one CSV field value.
+
+    Ordering note: ``0``/``1`` are valid wire booleans (csv.rs:145-147)
+    but infer as Int32 — integers are the more general reading; explicit
+    ``true``/``false`` infer as Boolean.
+    """
+    if value == "":
+        return T.StringType()
+    if value.lower() in ("true", "false"):
+        return T.BooleanType()
+    try:
+        n = int(value)
+        if -(2**31) <= n < 2**31:
+            return T.IntegerType()
+        return T.DoubleType()
+    except ValueError:
+        pass
+    try:
+        float(value)
+        return T.DoubleType()
+    except ValueError:
+        pass
+    try:
+        datetime.datetime.strptime(value, "%Y-%m-%d %H:%M:%S")
+        return T.TimestampType()
+    except ValueError:
+        pass
+    try:
+        datetime.datetime.strptime(value, "%Y-%m-%d")
+        return T.DateType()
+    except ValueError:
+        pass
+    return T.StringType()
+
+
+def _merge_types(a: T.DataType, b: T.DataType) -> T.DataType:
+    if a == b:
+        return a
+    pair = {type(a), type(b)}
+    if pair == {T.IntegerType, T.DoubleType}:
+        return T.DoubleType()
+    if pair == {T.TimestampType, T.DateType}:
+        return T.TimestampType()
+    return T.StringType()
+
+
+def infer_schema(payloads: list[bytes], names: list[str] | None = None) -> T.StructType:
+    """Infer a wire schema from sample messages — completes the reference's
+    unimplemented roadmap item (reference README.md:17, unchecked
+    "Schema Inference/Configuration"; SURVEY §1.4).
+
+    Every message must have the same arity (the wire format has no ragged
+    rows); column types are the per-column merge of the narrowest wire
+    type of each sampled value, falling back to Utf8 on conflict. Column
+    names default to ``c0..cN-1`` (the wire format has no header line).
+    """
+    if not payloads:
+        raise SchemaValidationError("cannot infer schema from an empty subject")
+    rows = [p.decode("utf-8", errors="replace").split(",") for p in payloads]
+    arity = len(rows[0])
+    for i, r in enumerate(rows):
+        if len(r) != arity:
+            raise SchemaValidationError(
+                f"inconsistent arity in sample: message 0 has {arity} fields, "
+                f"message {i} has {len(r)}"
+            )
+    if names is not None and len(names) != arity:
+        raise SchemaValidationError(
+            f"{len(names)} column names supplied for {arity} columns"
+        )
+    types: list[T.DataType] = [T.StringType()] * arity
+    for j in range(arity):
+        col_types = [_infer_value_type(r[j]) for r in rows]
+        merged = col_types[0]
+        for t in col_types[1:]:
+            merged = _merge_types(merged, t)
+        types[j] = merged
+    field_names = names if names is not None else [f"c{j}" for j in range(arity)]
+    schema = T.StructType(
+        [T.StructField(n, t, nullable=False) for n, t in zip(field_names, types)]
+    )
+    validate_schema(schema)
+    return schema

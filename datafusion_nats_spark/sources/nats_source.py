@@ -131,6 +131,13 @@ class _OptionsMixin:
         return subject
 
     @property
+    def subjects(self) -> list[str]:
+        """Comma-separated subject list (one table over several subjects —
+        the Kafka subscribe-many analogue; the reference is pinned to one
+        subject per table, reference: data_source.rs:20-26)."""
+        return [s.strip() for s in self.subject.split(",") if s.strip()]
+
+    @property
     def transport(self) -> str:
         return self._opt("transport", "memory")
 
@@ -222,11 +229,19 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
         if self.transport == "memory":
             from datafusion_nats_spark.sources.broker import get_broker
 
-            log = get_broker(self.url).fetch(self.subject, 0)
+            broker = get_broker(self.url)
+            log: list[bytes] = []
+            for subject in self.subjects:  # subject order, then log order
+                log.extend(broker.fetch(subject, 0))
             return log[:max_messages] if max_messages else log
         if self.transport == "nats":
             from datafusion_nats_spark.sources.broker import fetch_from_nats
 
+            if len(self.subjects) > 1:
+                raise CodecError(
+                    "multi-subject reads need the replayable transport; core "
+                    "NATS drains one subscription per query"
+                )
             return fetch_from_nats(
                 self.url,
                 self.subject,
@@ -247,10 +262,20 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
                 )
             from datafusion_nats_spark.sources.broker import get_broker
 
-            size = get_broker(self.url).size(self.subject)
-            max_messages = int(self._opt("maxmessages", "0"))
-            end = min(size, max_messages) if max_messages else size
-            return _split_offset_ranges(self.url, self.subject, 0, end, self.num_partitions)
+            broker = get_broker(self.url)
+            budget = int(self._opt("maxmessages", "0")) or None
+            parts: list[NatsOffsetRangePartition] = []
+            for subject in self.subjects:  # cap spends in subject order
+                size = broker.size(subject)
+                end = min(size, budget) if budget is not None else size
+                parts.extend(
+                    _split_offset_ranges(self.url, subject, 0, end, self.num_partitions)
+                )
+                if budget is not None:
+                    budget -= end
+                    if budget <= 0:
+                        break
+            return parts
         # driver-prefetch (the reference's consumer-task analogue)
         payloads = self._fetch_payloads()
         return [NatsPartition(p) for p in _split_round_robin_contiguous(payloads, self.num_partitions)]
@@ -349,6 +374,11 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
             raise CodecError(
                 "streaming currently supports transport=memory (JetStream-"
                 "backed replayable NATS is the documented upgrade path)"
+            )
+        if len(self.subjects) > 1:
+            raise CodecError(
+                "streaming reads one subject per query (offsets index one "
+                "subject log); union streams for multi-subject"
             )
 
     def _size(self) -> int:
@@ -454,11 +484,30 @@ class NatsDataSource(DataSource):
         return "nats"
 
     def schema(self):
-        # Schema is user-declared in the reference too (inference is an
-        # unimplemented TODO there — reference: README.md:17).
-        raise CodecError(
-            "the nats source requires a user-declared schema: "
-            "spark.read.format('nats').schema(...).options(...)"
+        # Schema is user-declared by default, as in the reference; with
+        # .option("inferSchema", "true") a sample of the subject log is
+        # type-inferred instead — completing the reference's unimplemented
+        # roadmap item (reference: README.md:17, unchecked TODO).
+        opts = {k.lower(): v for k, v in self.options.items()}
+        if opts.get("inferschema", "").lower() != "true":
+            raise CodecError(
+                "the nats source requires a user-declared schema: "
+                "spark.read.format('nats').schema(...).options(...) — or "
+                "pass .option('inferSchema', 'true') to sample the subject"
+            )
+        from datafusion_nats_spark.codec import infer_schema
+        from datafusion_nats_spark.sources.broker import get_broker
+
+        url = opts.get("url", "memory://default")
+        subject = opts.get("subject")
+        if not subject:
+            raise CodecError("option 'subject' is required for the nats source")
+        sample_size = int(opts.get("samplesize", "100"))
+        first_subject = subject.split(",")[0].strip()
+        sample = get_broker(url).fetch(first_subject, 0, sample_size)
+        names = opts.get("columnnames")
+        return infer_schema(
+            sample, names=[n.strip() for n in names.split(",")] if names else None
         )
 
     def reader(self, schema: T.StructType) -> NatsBatchReader:

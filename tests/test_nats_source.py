@@ -318,3 +318,79 @@ def test_executor_ingest_rejects_core_nats_transport(spark, broker):
     broker.publish("exerej", b"1,a")
     with pytest.raises(Exception):
         _read(spark, "exerej", ingest="executor", transport="nats").collect()
+
+
+def test_infer_schema_from_subject(spark, broker):
+    """inferSchema=true samples the subject log and types the columns —
+    the reference's unimplemented roadmap item (README.md:17)."""
+    broker.publish("infer", b"1,apple,3.5,true,2024-01-01 10:00:00,2024-01-01")
+    broker.publish("infer", b"2,banana,2.25,false,2024-01-02 11:30:00,2024-01-02")
+    df = (
+        spark.read.format("nats")
+        .option("url", "memory://test")
+        .option("subject", "infer")
+        .option("inferSchema", "true")
+        .load()
+    )
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "int", "string", "double", "boolean", "timestamp", "date"]
+    rows = sorted(df.collect(), key=lambda r: r.c0)
+    assert rows[0].c0 == 1 and rows[0].c1 == "apple" and rows[0].c3 is True
+
+
+def test_infer_schema_with_column_names_and_promotion(spark, broker):
+    """columnNames renames inferred columns; mixed int/double promotes."""
+    broker.publish("infer2", b"1,x")
+    broker.publish("infer2", b"2.5,y")
+    df = (
+        spark.read.format("nats")
+        .option("url", "memory://test")
+        .option("subject", "infer2")
+        .option("inferSchema", "true")
+        .option("columnNames", "score,name")
+        .load()
+    )
+    assert df.columns == ["score", "name"]
+    assert dict(df.dtypes)["score"] == "double"
+    assert sorted(r.score for r in df.collect()) == [1.0, 2.5]
+
+
+def test_multi_subject_read(spark, broker):
+    """Comma-separated subjects read as one table (subject order, then
+    log order) — one-table-over-many-subjects, which the reference's
+    one-subject-per-table binding can't express."""
+    broker.publish("multi_a", b"1,apple")
+    broker.publish("multi_a", b"2,banana")
+    broker.publish("multi_b", b"3,orange")
+    df = _read(spark, "multi_a, multi_b")
+    assert sorted((r.id, r.name) for r in df.collect()) == [
+        (1, "apple"), (2, "banana"), (3, "orange")]
+
+
+def test_multi_subject_executor_ingest(spark, broker):
+    for i in range(10):
+        broker.publish(f"ms_{i % 2}", f"{i},item{i}".encode())
+    df = _read(spark, "ms_0,ms_1", ingest="executor", numPartitions="2")
+    assert sorted(r.id for r in df.collect()) == list(range(10))
+
+
+def test_multi_subject_rejected_for_streaming(spark, broker):
+    broker.publish("ms_s", b"1,a")
+    with pytest.raises(Exception, match="one subject"):
+        q = (
+            spark.readStream.format("nats")
+            .schema(KV_SCHEMA)
+            .option("url", "memory://test")
+            .option("subject", "ms_s,other")
+            .load()
+            .writeStream.format("memory")
+            .queryName("ms_out")
+            .start()
+        )
+        try:
+            # the reader is constructed on the stream thread — drive the
+            # query so its failure surfaces here
+            q.processAllAvailable()
+            q.awaitTermination(30)
+        finally:
+            q.stop()
