@@ -21,8 +21,10 @@ re-expression:
 Decode is the reference-exact CSV codec (one message = one row,
 ``datafusion_nats_spark.codec``). Error modes (reference A10 semantics):
 ``mode=failfast`` (default — a bad message fails the query, like the
-reference surfacing parse errors into the result stream) or
-``mode=permissive-skip`` (log-and-continue).
+reference surfacing parse errors into the result stream),
+``mode=permissive-skip`` (log-and-continue), or ``mode=dlq``
+(malformed messages re-published to a dead-letter subject,
+``dlqSubject``, default ``<subject>.dlq``).
 
 Scale design (100 TB / 1000-executor): two ingest shapes, selected by
 ``.option("ingest", ...)``:
@@ -144,9 +146,29 @@ class _OptionsMixin:
     @property
     def mode(self) -> str:
         mode = self._opt("mode", "failfast")
-        if mode not in ("failfast", "permissive-skip"):
+        if mode not in ("failfast", "permissive-skip", "dlq"):
             raise CodecError(f"unknown mode: {mode}")
         return mode
+
+    @property
+    def dlq_subject(self) -> str:
+        return self._opt("dlqsubject", f"{self.subjects[0]}.dlq")
+
+    def _dlq_publisher(self):
+        """Per-task dead-letter publisher (mode=dlq): malformed messages are
+        re-published to a DLQ subject instead of being silently dropped —
+        the production upgrade of the reference's log-and-continue error
+        path (reference: executor.rs:140-145). Works from executor tasks:
+        the file-backed log uses O_APPEND atomic single-line writes."""
+        if self.mode != "dlq":
+            return None
+        if self.transport != "memory":
+            raise CodecError("mode=dlq requires the replayable (memory) transport")
+        from datafusion_nats_spark.sources.broker import get_broker
+
+        broker = get_broker(self.url)
+        subject = self.dlq_subject
+        return lambda payload: broker.publish(subject, payload)
 
     @property
     def num_partitions(self) -> int:
@@ -160,7 +182,7 @@ class _OptionsMixin:
         return ingest
 
 
-def _decode(payloads: list[bytes], codec: CsvCodec, mode: str):
+def _decode(payloads: list[bytes], codec: CsvCodec, mode: str, dlq=None):
     for payload in payloads:
         # Reference uses from_utf8_lossy (executor.rs:109) — replicate.
         line = payload.decode("utf-8", errors="replace")
@@ -169,7 +191,9 @@ def _decode(payloads: list[bytes], codec: CsvCodec, mode: str):
         except ParseError:
             if mode == "failfast":
                 raise
-            # permissive-skip: drop the bad message, keep consuming
+            if dlq is not None:
+                dlq(payload)  # mode=dlq: route, don't drop
+            # permissive-skip / dlq: keep consuming
             continue
 
 
@@ -300,7 +324,7 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
             if lines:
                 yield pa.RecordBatch.from_arrays([pa.array(lines, pa.string())], ["value"])
             return
-        for row in _decode(payloads, self.codec, self.mode):
+        for row in _decode(payloads, self.codec, self.mode, self._dlq_publisher()):
             if self._row_passes(row):
                 yield row
 
@@ -420,7 +444,7 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
             )
         else:
             payloads = partition.payloads
-        yield from _decode(payloads, self.codec, self.mode)
+        yield from _decode(payloads, self.codec, self.mode, self._dlq_publisher())
 
     def commit(self, end: dict) -> None:
         # Log is retained (replayability); nothing to prune.

@@ -394,3 +394,29 @@ def test_multi_subject_rejected_for_streaming(spark, broker):
             q.awaitTermination(30)
         finally:
             q.stop()
+
+
+def test_dlq_mode_routes_bad_messages(spark, broker):
+    """mode=dlq: malformed messages land on a dead-letter subject instead
+    of being dropped (permissive-skip) or failing the query (failfast) —
+    the production-grade form of the reference's log-and-continue error
+    path (executor.rs:140-145)."""
+    broker.publish("dlqsrc", b"1,ok")
+    broker.publish("dlqsrc", b"oops")          # bad arity
+    broker.publish("dlqsrc", b"x,bad-int")     # bad int
+    broker.publish("dlqsrc", b"2,fine")
+    df = _read(spark, "dlqsrc", mode="dlq")
+    assert sorted((r.id, r.name) for r in df.collect()) == [(1, "ok"), (2, "fine")]
+    dead = broker.fetch("dlqsrc.dlq", 0)
+    assert sorted(dead) == [b"oops", b"x,bad-int"]
+    # the DLQ subject is itself readable (raw payloads preserved verbatim)
+    broker.clear("dlqsrc.dlq")
+
+
+def test_dlq_custom_subject(spark, broker):
+    broker.publish("dlqsrc2", b"nope")
+    broker.publish("dlqsrc2", b"7,good")
+    df = _read(spark, "dlqsrc2", mode="dlq", dlqSubject="graveyard")
+    assert [(r.id, r.name) for r in df.collect()] == [(7, "good")]
+    assert broker.fetch("graveyard", 0) == [b"nope"]
+    broker.clear("graveyard")
