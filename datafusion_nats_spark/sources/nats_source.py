@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -500,6 +501,39 @@ class NatsBatchWriter(DataSourceWriter, _OptionsMixin):
         pass
 
 
+class NatsStreamWriter(DataSourceStreamWriter, _OptionsMixin):
+    """Streaming sink: ``df.writeStream.format("nats")`` publishes every
+    micro-batch's rows as CSV wire lines to a subject.
+
+    Task side encodes (``write``); the driver-side ``commit(messages,
+    batchId)`` publishes after ALL tasks of the epoch succeed — so a
+    failed/retried task never half-publishes an epoch (transactional
+    batch boundary; an executor-side direct publish would be at-least-
+    once instead).
+    """
+
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self.options = {k.lower(): v for k, v in options.items()}
+        CsvCodec(schema)  # validate the schema against wire rules
+
+    def write(self, rows) -> NatsCommitMessage:
+        lines = [",".join(_encode_value(v) for v in row).encode("utf-8") for row in rows]
+        return NatsCommitMessage(lines=lines)
+
+    def commit(self, messages, batchId: int) -> None:
+        from datafusion_nats_spark.sources.broker import get_broker
+
+        broker = get_broker(self.url)
+        for message in messages:
+            if message is None:
+                continue
+            for line in message.lines:
+                broker.publish(self.subject, line)
+
+    def abort(self, messages, batchId: int) -> None:
+        pass
+
+
 class NatsDataSource(DataSource):
     """``format("nats")`` — one subject, one table (reference: README.md:27-30)."""
 
@@ -545,6 +579,9 @@ class NatsDataSource(DataSource):
 
     def writer(self, schema: T.StructType, overwrite: bool) -> NatsBatchWriter:
         return NatsBatchWriter(schema, dict(self.options))
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> NatsStreamWriter:
+        return NatsStreamWriter(schema, dict(self.options))
 
 
 def register(spark) -> None:

@@ -420,3 +420,37 @@ def test_dlq_custom_subject(spark, broker):
     assert [(r.id, r.name) for r in df.collect()] == [(7, "good")]
     assert broker.fetch("graveyard", 0) == [b"nope"]
     broker.clear("graveyard")
+
+
+def test_streaming_write_to_nats(spark, broker):
+    """writeStream.format('nats'): a NATS→transform→NATS streaming
+    pipeline; the sink publishes per committed epoch (driver-side commit
+    after all tasks succeed), and the result is readable back through the
+    batch source."""
+    for payload in GOLDEN:
+        broker.publish("pipe_in", payload)
+    q = (
+        spark.readStream.format("nats")
+        .schema(KV_SCHEMA)
+        .option("url", "memory://test")
+        .option("subject", "pipe_in")
+        .load()
+        .selectExpr("id * 10 AS id", "upper(name) AS name")
+        .writeStream.format("nats")
+        .option("url", "memory://test")
+        .option("subject", "pipe_out")
+        .option("checkpointLocation", f"/tmp/nats_sw_ckpt_{id(spark)}")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        broker.publish("pipe_in", b"4,plum")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = _read(spark, "pipe_out").collect()
+    assert sorted((r.id, r.name) for r in rows) == [
+        (10, "APPLE"), (20, "BANANA"), (30, "ORANGE"), (40, "PLUM")]
+    import shutil
+    shutil.rmtree(f"/tmp/nats_sw_ckpt_{id(spark)}", ignore_errors=True)

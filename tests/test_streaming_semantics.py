@@ -240,3 +240,27 @@ def test_foreach_batch_exactly_once_replay(spark, broker, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert len(rows) == 4  # replayed epoch overwrote itself — no duplicates
     assert sorted(r.key for r in rows) == ["k0", "k1", "k2", "k3"]
+
+
+def test_streaming_progress_metrics_reflect_admission(spark, broker):
+    """Observability: recentProgress reports per-batch numInputRows, which
+    must respect the maxMessagesPerBatch admission cap (the reference's
+    batch_size analogue) — the metrics surface an operator SLO would
+    monitor."""
+    for i in range(10):
+        broker.publish("obs", f"2024-01-01 10:00:0{i % 10},k".encode())
+    q = (
+        _stream(spark, "obs", maxMessagesPerBatch="3")
+        .writeStream.format("memory")
+        .queryName("obs_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert sum(batches) == 10
+    assert max(batches) <= 3  # admission control honored per trigger
+    assert len(batches) >= 4  # 10 rows / cap 3 -> at least 4 non-empty batches
