@@ -297,3 +297,32 @@ def agg_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgy("l_extendedprice", "l_quantity"), 6).alias("avgy"),
         F.count_if(F.col("l_quantity") > 25).alias("n_big"),
     )
+
+
+@query(
+    "agg_countif_mode",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big_qty,
+           CAST(count(*) FILTER (WHERE l_discount = 0.0) AS BIGINT) AS n_no_disc,
+           mode(l_linestatus) AS status_mode
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="count_if (≡ FILTER-ed count) and mode() per group — newer "
+    "aggregate surface (Spark 3.5+/4.x). mode is deterministic on this "
+    "data: each returnflag group has a unique most-frequent linestatus "
+    "at every SF (verified 0.001/0.01/0.1).",
+)
+def agg_countif_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_big_qty"),
+            F.count_if(F.col("l_discount") == 0.0).alias("n_no_disc"),
+            F.mode("l_linestatus").alias("status_mode"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -478,3 +478,38 @@ def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches.alias("long_words"),
         F.size(matches).alias("n_long"),
     )
+
+
+@query(
+    "fn_bitwise_battery",
+    oracle="""
+    SELECT o_orderkey,
+           (o_orderkey & 15)        AS b_and,
+           (o_orderkey | 48)        AS b_or,
+           xor(o_orderkey, 85)      AS b_xor,
+           (~o_orderkey)            AS b_not,
+           (o_orderkey << 2)        AS b_shl,
+           (o_orderkey >> 1)        AS b_shr,
+           bit_count(o_orderkey)    AS b_pop
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+    doc="Scalar bitwise battery: AND/OR/XOR/NOT, shifts, popcount — the "
+    "expression-level complement of the bit_and/or/xor aggregates "
+    "(DataFusion inherits these as operators; Spark exposes them as "
+    "functions + SQL operators).",
+)
+def fn_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(15).alias("b_and"),
+        k.bitwiseOR(48).alias("b_or"),
+        k.bitwiseXOR(85).alias("b_xor"),
+        F.bitwise_not(k).alias("b_not"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 1).alias("b_shr"),
+        F.bit_count(k).cast("bigint").alias("b_pop"),
+    ).orderBy("o_orderkey")
