@@ -122,3 +122,106 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+CONTAM_MAX = 0.5
+
+
+@query(
+    "pipeline_train_ready",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, lang, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_key
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= {MIN_TOKENS}
+        AND doc_id >= {{bench}}
+    ), exact_kept AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY content_key
+    ), shingled AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT shingle FROM shingled WHERE doc_id < {{bench}}
+    ), corp AS (
+      SELECT DISTINCT doc_id, shingle FROM shingled WHERE doc_id >= {{bench}}
+    ), contaminated AS (
+      SELECT s.doc_id
+      FROM (SELECT doc_id, count(*) AS n FROM corp GROUP BY doc_id) s
+      JOIN (SELECT c.doc_id, count(*) AS i FROM corp c JOIN bench b USING (shingle)
+            GROUP BY c.doc_id) o USING (doc_id)
+      WHERE CAST(o.i AS DOUBLE) / s.n >= {CONTAM_MAX}
+    ), ready AS (
+      SELECT q.doc_id, q.lang, q.n_chars,
+             ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+               AS bucket
+      FROM quality q
+      JOIN exact_kept USING (doc_id)
+      WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = q.doc_id)
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM ready
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """.replace("{bench}", "20"),
+    doc="Train-ready pipeline: quality gate → exact dedup → benchmark "
+    "decontamination (drop docs whose shingle overlap with the held-out "
+    "benchmark set is ≥ 50%) → deterministic md5-bucket train/val/test "
+    "split → per-(split, lang) counts. One declarative plan; the "
+    "benchmark shingle set broadcasts, the split is map-side, and no "
+    "stage is all-pairs or driver-collected.",
+)
+def pipeline_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_nats_spark.extensions.curation import BENCH_MAX_DOC, _hash_bucket
+    from datafusion_nats_spark.extensions.dedup import _shingles_spark
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    quality = d.filter(
+        (F.size(toks) >= MIN_TOKENS) & (F.col("doc_id") >= BENCH_MAX_DOC)
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
+            "content_key"
+        ),
+    )
+    exact_kept = quality.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
+    sh = d.select("doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle"))
+    bench = sh.filter(F.col("doc_id") < BENCH_MAX_DOC).select("shingle").distinct()
+    corp = sh.filter(F.col("doc_id") >= BENCH_MAX_DOC).distinct()
+    sizes = corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    overlap = (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    contaminated = (
+        sizes.join(overlap, "doc_id")
+        .filter(F.col("i").cast("double") / F.col("n") >= CONTAM_MAX)
+        .select("doc_id")
+    )
+    bucket = _hash_bucket(F.col("doc_id"), 100)
+    ready = (
+        quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select(
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+            "lang",
+            "n_chars",
+        )
+    )
+    return (
+        ready.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
