@@ -201,3 +201,65 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp_int.alias("fp_int"),
         (fp_int % 1024).cast("int").alias("fp_bucket"),
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n FROM words
+    ), scored AS (
+      SELECT t.doc_id, t.word,
+             round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+      FROM tf t JOIN df d USING (word) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rn
+      FROM scored
+    )
+    SELECT doc_id, word, tfidf, CAST(rn AS INT) AS rn
+    FROM ranked
+    WHERE rn <= 3 AND doc_id < 10
+    ORDER BY doc_id, rn
+    """,
+    doc="TF-IDF top terms per document: term frequency (per doc) × "
+    "ln(N/document-frequency), top-3 per doc by (tfidf desc, word) — the "
+    "keyword-extraction primitive. The df table is |vocabulary|-sized "
+    "and broadcasts; tf shuffles once on (doc, word); the per-doc rank "
+    "partitions on doc_id — no driver collects, no all-pairs.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = words.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 10))
+        .select("doc_id", "word", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )

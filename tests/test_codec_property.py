@@ -86,3 +86,49 @@ def test_parse_never_crashes_uncontrolled(line):
 def test_int_wire_exact(i):
     codec = CsvCodec(T.StructType([T.StructField("x", T.IntegerType(), False)]))
     assert codec.parse_line(str(i)) == (i,)
+
+
+_TYPED_VALUES = {
+    "int": st.integers(min_value=-(2**31), max_value=2**31 - 1).map(str),
+    "double": st.floats(
+        allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6
+    ).map(lambda f: f"{f:.4f}"),
+    "boolean": st.sampled_from(["true", "false"]),
+    "timestamp": st.integers(min_value=0, max_value=2**31 - 1).map(
+        lambda s: __import__("datetime")
+        .datetime.utcfromtimestamp(s)
+        .strftime("%Y-%m-%d %H:%M:%S")
+    ),
+    "date": st.integers(min_value=0, max_value=3000).map(
+        lambda d: (
+            __import__("datetime").date(2000, 1, 1)
+            + __import__("datetime").timedelta(days=d)
+        ).isoformat()
+    ),
+}
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.sampled_from(sorted(_TYPED_VALUES)), min_size=1, max_size=6),
+    st.data(),
+)
+def test_infer_schema_recovers_types(col_types, data):
+    """Rows generated from a known type signature infer back to exactly
+    that signature (double may absorb int-looking values, so int columns
+    assert int-or-double)."""
+    from datafusion_nats_spark.codec import infer_schema
+
+    n_rows = data.draw(st.integers(min_value=1, max_value=5))
+    payloads = []
+    for _ in range(n_rows):
+        payloads.append(
+            ",".join(data.draw(_TYPED_VALUES[t]) for t in col_types).encode()
+        )
+    inferred = [f.dataType.simpleString() for f in infer_schema(payloads).fields]
+    for want, got in zip(col_types, inferred):
+        if want == "double":
+            # an all-integral sample legitimately infers int
+            assert got in ("double", "int")
+        else:
+            assert got == want
