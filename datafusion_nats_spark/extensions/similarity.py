@@ -191,3 +191,140 @@ def sim_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cos"), 6).alias("max_cos"),
         )
     )
+
+
+@query(
+    "sim_int8_quantization",
+    oracle="""
+    WITH pe AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), stats AS (
+      SELECT idx, min(val) AS lo, max(val) AS hi FROM pe GROUP BY idx
+    ), q AS (
+      SELECT vec_id, label, val, lo, hi,
+             round((val - lo) / (hi - lo) * 255) - 128 AS qv
+      FROM pe JOIN stats USING (idx)
+    ), r AS (
+      SELECT vec_id, label,
+             abs(val - ((qv + 128) / 255.0 * (hi - lo) + lo)) AS err
+      FROM q
+    )
+    SELECT label,
+           count(DISTINCT vec_id) AS n_vecs,
+           round(avg(err), 6) AS avg_err,
+           round(max(err), 6) AS max_err
+    FROM r
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Int8 scalar quantization of embeddings (per-dimension min/max "
+    "codebook -> 8-bit codes -> dequantize) with per-label reconstruction "
+    "error — the 4× vector-compression step of large-scale ANN pipelines. "
+    "The 64-row per-dimension codebook broadcasts; everything else is one "
+    "posexplode + two aggregations, no driver collects.",
+)
+def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    pe = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("idx", "valf")
+    ).select("vec_id", "label", "idx", F.col("valf").cast("double").alias("val"))
+    stats = pe.groupBy("idx").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    q = pe.join(F.broadcast(stats), "idx").select(
+        "vec_id",
+        "label",
+        "val",
+        "lo",
+        "hi",
+        (F.round((F.col("val") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255) - 128).alias("qv"),
+    )
+    err = F.abs(
+        F.col("val") - ((F.col("qv") + 128) / 255.0 * (F.col("hi") - F.col("lo")) + F.col("lo"))
+    )
+    return (
+        q.select("vec_id", "label", err.alias("err"))
+        .groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vecs"),
+            F.round(F.avg("err"), 6).alias("avg_err"),
+            F.round(F.max("err"), 6).alias("max_err"),
+        )
+        .orderBy("label")
+    )
+
+
+N_PLANES = 16  # random-projection signature bits
+
+
+@query(
+    "sim_random_projection_lsh",
+    oracle=f"""
+    WITH pe AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), proj AS (
+      SELECT vec_id, j,
+             sum(val * ((('0x' || substr(md5(CAST(j AS VARCHAR) || ','
+                          || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2001
+                         - 1000) / 1000.0)) AS dot
+      FROM pe, range({N_PLANES}) t(j)
+      GROUP BY vec_id, j
+    ), sigs AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+               AS signature
+      FROM proj GROUP BY vec_id
+    )
+    SELECT signature, count(*) AS n_vecs
+    FROM sigs
+    GROUP BY signature
+    HAVING count(*) >= 2
+    ORDER BY n_vecs DESC, signature
+    LIMIT 20
+    """,
+    doc="Random-projection (sign) LSH over embeddings: 16 md5-derived "
+    "pseudo-random hyperplanes -> sign-bit signature per vector -> "
+    "candidate buckets (>=2 members). The cosine analogue of SimHash and "
+    "the bucket stage of an ANN pipeline; hyperplane weights derive from "
+    "md5 so both engines compute bit-identical signatures. Scale: one "
+    "explode + two keyed aggregations; bucket join replaces all-pairs.",
+)
+def sim_random_projection_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    pe = e.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "valf")
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), F.col("valf").cast("double").alias("val"))
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("j"))
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(",", F.col("j").cast("string"), F.col("d").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2001
+        - 1000
+    ) / 1000.0
+    proj = (
+        pe.crossJoin(F.broadcast(planes))
+        .select("vec_id", "j", (F.col("val") * weight).alias("contrib"))
+        .groupBy("vec_id", "j")
+        .agg(F.sum("contrib").alias("dot"))
+    )
+    # shiftleft() needs a literal shift amount — column shifts go via expr
+    bit = F.expr("CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END")
+    sigs = proj.groupBy("vec_id").agg(F.sum(bit).cast("bigint").alias("signature"))
+    return (
+        sigs.groupBy("signature")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("n_vecs") >= 2)
+        .orderBy(F.desc("n_vecs"), "signature")
+        .limit(20)
+    )
