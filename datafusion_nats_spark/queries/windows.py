@@ -189,3 +189,41 @@ def window_frames_groups_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate", "grp_sum")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS last_finished_price,
+           round(first_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                             IGNORE NULLS)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS first_finished_price
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="IGNORE NULLS analytic functions: running last/first non-null "
+    "finished-order price per customer (the gap-filling / "
+    "last-observation-carried-forward primitive). Spark expresses IGNORE "
+    "NULLS via the ignoreNulls argument of first/last over a running "
+    "frame; window partitions on the high-cardinality customer key.",
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    finished = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.last(finished, ignorenulls=True).over(w), 2).alias("last_finished_price"),
+        F.round(F.first(finished, ignorenulls=True).over(w), 2).alias("first_finished_price"),
+    ).orderBy("o_custkey", "o_orderkey")

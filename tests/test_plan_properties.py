@@ -129,3 +129,24 @@ def test_q21_semi_and_anti_joins(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantization_broadcasts_codebook(spark, sf_dir):
+    # the 64-row per-dimension codebook must broadcast; the exploded
+    # vector table must never sort-merge
+    plan = _plan(spark, sf_dir, "sim_int8_quantization")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_train_ready_pipeline_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pipeline_train_ready")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
