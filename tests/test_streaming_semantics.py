@@ -264,3 +264,53 @@ def test_streaming_progress_metrics_reflect_admission(spark, broker):
     assert sum(batches) == 10
     assert max(batches) <= 3  # admission control honored per trigger
     assert len(batches) >= 4  # 10 rows / cap 3 -> at least 4 non-empty batches
+
+
+def test_stream_stream_left_outer_join(spark, broker):
+    """LEFT OUTER stream-stream join: the unmatched left row may only
+    emit (with NULL right side) once the watermark passes its join
+    window — Structured Streaming's outer-join state management, driven
+    two-phase through the replayable broker."""
+    imps = (
+        _stream(spark, "sj_imp")
+        .selectExpr("ts AS i_ts", "key AS ad")
+        .withWatermark("i_ts", "5 minutes")
+    )
+    clicks = (
+        _stream(spark, "sj_click")
+        .selectExpr("ts AS c_ts", "key AS c_ad")
+        .withWatermark("c_ts", "5 minutes")
+    )
+    joined = imps.join(
+        clicks,
+        (F.col("ad") == F.col("c_ad"))
+        & (F.col("c_ts") >= F.col("i_ts"))
+        & (F.col("c_ts") <= F.col("i_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    )
+    q = (
+        joined.select("ad", "i_ts", "c_ts")
+        .writeStream.format("memory")
+        .queryName("sj_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # phase 1: ad_a impressed and clicked; ad_b impressed, never clicked
+        broker.publish("sj_imp", b"2024-01-01 10:00:00,ad_a")
+        broker.publish("sj_imp", b"2024-01-01 10:01:00,ad_b")
+        broker.publish("sj_click", b"2024-01-01 10:02:00,ad_a")
+        q.processAllAvailable()
+        # phase 2: far-future rows on BOTH sides push the watermark past
+        # ad_b's join window, forcing its NULL-click emission
+        broker.publish("sj_imp", b"2024-01-01 12:00:00,ad_z")
+        broker.publish("sj_click", b"2024-01-01 12:00:00,ad_z")
+        q.processAllAvailable()
+        broker.publish("sj_imp", b"2024-01-01 14:00:00,ad_y")
+        broker.publish("sj_click", b"2024-01-01 14:00:00,ad_y")
+        q.processAllAvailable()
+        rows = {r.ad: r.c_ts for r in spark.sql("SELECT * FROM sj_out").collect()}
+    finally:
+        q.stop()
+    assert rows["ad_a"] is not None  # matched inside the window
+    assert "ad_b" in rows and rows["ad_b"] is None  # emitted with NULL on expiry
