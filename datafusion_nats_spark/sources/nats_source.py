@@ -249,15 +249,28 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
                 return False
         return True
 
+    @property
+    def offset_range(self) -> tuple[int, int | None]:
+        """Kafka-style bounded slice of the replayable log:
+        ``startingOffset`` (default 0) / ``endingOffset`` (exclusive,
+        default end-of-log), per subject."""
+        start = int(self._opt("startingoffset", "0"))
+        end_opt = self._opt("endingoffset")
+        end = int(end_opt) if end_opt is not None else None
+        if start < 0 or (end is not None and end < start):
+            raise CodecError(f"invalid offset range [{start}, {end})")
+        return start, end
+
     def _fetch_payloads(self) -> list[bytes]:
         max_messages = int(self._opt("maxmessages", "0")) or None
         if self.transport == "memory":
             from datafusion_nats_spark.sources.broker import get_broker
 
             broker = get_broker(self.url)
+            start, end = self.offset_range
             log: list[bytes] = []
             for subject in self.subjects:  # subject order, then log order
-                log.extend(broker.fetch(subject, 0))
+                log.extend(broker.fetch(subject, start, end))
             return log[:max_messages] if max_messages else log
         if self.transport == "nats":
             from datafusion_nats_spark.sources.broker import fetch_from_nats
@@ -289,15 +302,19 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
 
             broker = get_broker(self.url)
             budget = int(self._opt("maxmessages", "0")) or None
+            range_start, range_end = self.offset_range
             parts: list[NatsOffsetRangePartition] = []
             for subject in self.subjects:  # cap spends in subject order
                 size = broker.size(subject)
-                end = min(size, budget) if budget is not None else size
+                end = min(size, range_end) if range_end is not None else size
+                start = min(range_start, end)
+                if budget is not None:
+                    end = min(end, start + budget)
                 parts.extend(
-                    _split_offset_ranges(self.url, subject, 0, end, self.num_partitions)
+                    _split_offset_ranges(self.url, subject, start, end, self.num_partitions)
                 )
                 if budget is not None:
-                    budget -= end
+                    budget -= end - start
                     if budget <= 0:
                         break
             return parts
