@@ -410,7 +410,7 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
 
     def __init__(self, schema: T.StructType, options: dict) -> None:
         self.options = {k.lower(): v for k, v in options.items()}
-        self.codec = CsvCodec(schema)
+        self.codec = None if self._opt("decode") == "raw" else CsvCodec(schema)
         self.max_per_batch = int(self._opt("maxmessagesperbatch", "1000"))
         if self.transport != "memory":
             raise CodecError(
@@ -462,6 +462,16 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
             )
         else:
             payloads = partition.payloads
+        if self._opt("decode") == "raw":
+            # Arrow raw-line batches; typed decode happens downstream as
+            # JVM expressions (codec.decode_lines) — the vectorized
+            # streaming path, same contract as the batch reader's.
+            import pyarrow as pa
+
+            lines = [p.decode("utf-8", errors="replace") for p in payloads]
+            if lines:
+                yield pa.RecordBatch.from_arrays([pa.array(lines, pa.string())], ["value"])
+            return
         yield from _decode(payloads, self.codec, self.mode, self._dlq_publisher())
 
     def commit(self, end: dict) -> None:
@@ -631,6 +641,35 @@ def read_nats(spark, schema: T.StructType, vectorized: bool = False, **options):
         raise CodecError(
             "vectorized decode is null-based; use mode='permissive-skip' or "
             "'marked' (or the row path for failfast semantics)"
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return decode_lines(reader.load(), schema, mode=mode)
+
+
+def read_nats_stream(spark, schema: T.StructType, vectorized: bool = False, **options):
+    """Composed streaming read of a NATS subject — the readStream twin of
+    :func:`read_nats`.
+
+    vectorized=True ships Arrow batches of raw lines from the stream
+    reader and decodes them as JVM expressions downstream
+    (codec.decode_lines works unchanged on streaming DataFrames) — no
+    per-row Python in the micro-batch hot loop.
+    """
+    from datafusion_nats_spark.codec import decode_lines, validate_schema
+
+    if not vectorized:
+        reader = spark.readStream.format("nats").schema(schema)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    validate_schema(schema)
+    reader = spark.readStream.format("nats").schema("value string").option("decode", "raw")
+    mode = options.pop("mode", "permissive-skip")
+    if mode == "failfast":
+        raise CodecError(
+            "vectorized decode is null-based; use mode='permissive-skip' "
+            "(or the row path for failfast semantics)"
         )
     for k, v in options.items():
         reader = reader.option(k, v)

@@ -478,3 +478,69 @@ def test_offset_range_with_max_messages(spark, broker):
     df2 = _read(spark, "slice2", startingOffset="10", maxMessages="4",
                 ingest="executor", numPartitions="2")
     assert sorted(r.id for r in df2.collect()) == [10, 11, 12, 13]
+
+
+def test_vectorized_streaming_matches_row_streaming(spark, broker):
+    """Streaming raw-Arrow read + JVM decode == per-row streaming codec."""
+    from datafusion_nats_spark.sources.nats_source import read_nats_stream
+
+    payloads = [f"{i},item{i}".encode() for i in range(40)] + [b"junk"]
+    for p in payloads:
+        broker.publish("vstream", p)
+
+    def drain(df, name):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(map(tuple, spark.table(name).collect()))
+
+    opts = dict(url="memory://test", subject="vstream", maxMessagesPerBatch="16")
+    row = drain(
+        read_nats_stream(spark, KV_SCHEMA, mode="permissive-skip", **opts), "vs_row"
+    )
+    vec = drain(read_nats_stream(spark, KV_SCHEMA, vectorized=True, **opts), "vs_vec")
+    assert row == vec
+    assert len(vec) == 40
+
+
+def test_executor_ingest_stream_restart_resumes(spark, broker, tmp_path):
+    """Executor-ingest streaming + checkpoint restart: offset-range
+    partitions replay exactly from the committed offset."""
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("nats")
+            .schema(KV_SCHEMA)
+            .option("url", "memory://test")
+            .option("subject", "exeresume")
+            .option("ingest", "executor")
+            .option("numPartitions", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    for i in range(6):
+        broker.publish("exeresume", f"{i},first".encode())
+    run_once()
+    for i in range(6, 9):
+        broker.publish("exeresume", f"{i},second".encode())
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    assert sorted(r.id for r in rows) == list(range(9))
+    assert sum(1 for r in rows if r.name == "second") == 3
