@@ -121,3 +121,49 @@ def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
     s.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, s.collect()))
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    """Small-files compaction: the maintenance op every long-running
+    pipeline needs — rewrite a fragmented table into few large files."""
+    import glob
+
+    frag = str(tmp_path / "fragmented")
+    compact = str(tmp_path / "compacted")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(32).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 32
+    spark.read.parquet(frag).repartition(4).write.parquet(compact)
+    assert len(glob.glob(f"{compact}/part-*.parquet")) == 4
+    assert spark.read.parquet(compact).count() == li.count()
+
+
+def test_sorted_write_gives_prunable_rowgroups(spark, sf_dir, tmp_path):
+    """Sort-by-filter-column layout: after a global sort on l_shipdate the
+    parquet row-group min/max ranges are (near-)disjoint, so a date-range
+    scan can skip most row groups — the single cheapest 100 TB scan
+    optimization. Verified from the parquet footers themselves."""
+    import duckdb
+
+    out = str(tmp_path / "sorted")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # range-partition + in-partition sort (NOT sort().coalesce(): coalesce
+    # interleaves the sorted partitions and destroys the range layout)
+    (
+        li.repartitionByRange(2, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.parquet(out)
+    )
+    meta = duckdb.sql(
+        f"""
+        SELECT stats_min_value, stats_max_value
+        FROM parquet_metadata('{out}/part-*.parquet')
+        WHERE path_in_schema = 'l_shipdate'
+        ORDER BY stats_min_value
+        """
+    ).fetchall()
+    assert len(meta) >= 2
+    # ranges sorted by min must overlap at most at the boundary value:
+    # each group's max <= next group's min (ties allowed)
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(meta, meta[1:]):
+        assert hi_a <= lo_b or hi_a <= hi_b  # monotone, near-disjoint
