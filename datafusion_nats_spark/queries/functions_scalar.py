@@ -513,3 +513,73 @@ def fn_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 1).alias("b_shr"),
         F.bit_count(k).cast("bigint").alias("b_pop"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_collation_ci",
+    oracle="""
+    WITH mixed AS (
+      SELECT event_type AS s FROM events
+      UNION ALL SELECT upper(event_type) FROM events
+      UNION ALL SELECT concat(upper(substr(event_type, 1, 1)),
+                              substr(event_type, 2)) FROM events
+    )
+    SELECT count(DISTINCT s)        AS n_case_sensitive,
+           count(DISTINCT lower(s)) AS n_case_insensitive
+    FROM mixed
+    """,
+    doc="Spark 4 collation support: COLLATE UNICODE_CI makes DISTINCT "
+    "case-insensitive at the comparison level (the oracle's portable "
+    "twin is count(DISTINCT lower(s))). 3 casings of 5 event types -> "
+    "15 CS-distinct vs 5 CI-distinct.",
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(F.col("event_type").alias("s"))
+    mixed = (
+        ev.unionAll(ev.select(F.upper("s").alias("s")))
+        .unionAll(ev.select(F.initcap("s").alias("s")))
+    )
+    return mixed.agg(
+        F.countDistinct("s").alias("n_case_sensitive"),
+        F.countDistinct(F.collate("s", "UNICODE_CI")).alias("n_case_insensitive"),
+    )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1)          AS proto,
+           regexp_extract(url, '://([^/]+)/', 1)           AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1)      AS path,
+           regexp_extract(url, 'lang=([a-z]+)', 1)         AS lang_param
+    FROM (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents
+    )
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    doc="URL parsing: Spark's parse_url(HOST/PATH/QUERY/PROTOCOL) over "
+    "synthesized per-doc URLs; the oracle is the equivalent regexp "
+    "extraction (DuckDB has no parse_url). Map-only, JVM-side.",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")
