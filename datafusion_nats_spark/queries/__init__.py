@@ -16,6 +16,7 @@ from datafusion_nats_spark.queries import (  # noqa: F401
     projection_filter,
     scale_patterns,
     setops_subqueries,
+    timeseries,
     tpch,
     windows,
 )

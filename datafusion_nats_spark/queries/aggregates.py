@@ -326,3 +326,62 @@ def agg_countif_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_max_by_min_by",
+    oracle="""
+    -- arg_max with a composite ordering key is unsupported in DuckDB 1.0;
+    -- tie-safe extremum picks via row_number (lexicographic == Spark's
+    -- struct(o_totalprice, o_orderkey) comparator in max_by/min_by).
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC,  o_orderkey ASC)  AS rn_min
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)                        AS n,
+           max(CASE WHEN rn_max = 1 THEN o_orderkey END)   AS biggest_order,
+           max(CASE WHEN rn_min = 1 THEN o_orderkey END)   AS smallest_order,
+           round(max(o_totalprice), 2)                     AS top_price,
+           round(min(o_totalprice), 2)                     AS bottom_price
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+    doc="max_by/min_by (DuckDB arg_max/arg_min): pick the argument at the "
+    "extremum of an ordering expression, made tie-safe by a unique "
+    "(price, orderkey) struct comparator — single hash aggregate, no "
+    "window sort, map-side partials at scale.",
+)
+def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    key = F.struct("o_totalprice", "o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max_by("o_orderkey", key).alias("biggest_order"),
+        F.min_by("o_orderkey", key).alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+        F.round(F.min("o_totalprice"), 2).alias("bottom_price"),
+    )
+
+
+@query(
+    "agg_hll_partial_merge",
+    oracle=None,  # sketch binaries are engine-specific; accuracy vs the
+    # exact distinct count is pytest-asserted (test_extensions.py)
+    doc="Re-aggregatable approx-distinct: per (event_type, month) HLL "
+    "sketches built map-side (hll_sketch_agg), then merged per event_type "
+    "with hll_union_agg — the two-level partial/final pattern that lets a "
+    "100 TB rollup reuse daily sketches instead of rescanning raw data.",
+)
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    partial = ev.groupBy(
+        "event_type", F.date_trunc("month", "ts").alias("month")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return partial.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )

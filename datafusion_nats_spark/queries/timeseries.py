@@ -1,0 +1,175 @@
+"""Time-series operator family over the ``events`` stream table.
+
+The reference exposes NATS subjects as append-only tables (SURVEY.md
+§1.1); the natural workload on such a table is time-series analysis.
+These are the batch twins of the streaming windows in
+``streaming/pipelines.py``: sessionization (gaps-and-islands), dense
+resampling with LOCF gap-fill, and OHLC downsampling.
+
+Scale notes: every operator here partitions by a high-cardinality key
+(``user_id`` / ``event_type``×day) before any window sort, so no single
+window partition exceeds executor memory at 100 TB; the gap-fill grid is
+generated per-key (sequence/explode map-side — no shuffle beyond the
+initial per-key aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load
+
+SESSION_GAP = "INTERVAL 30 MINUTES"
+
+
+@query(
+    "window_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*)                                          AS n_events,
+           min(ts)                                           AS session_start,
+           max(ts)                                           AS session_end,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s,
+           round(sum(value), 2)                              AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization (gaps-and-islands): a new session starts "
+    "after a >30 min silence per user. The batch twin of the streaming "
+    "session_window pipeline; timestamp arithmetic (not unix-seconds "
+    "truncation) so the gap test is exact to the microsecond.",
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr(SESSION_GAP)), 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_s"
+        ),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS day_val
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    )
+    SELECT g.user_id, g.day,
+           last_value(d.day_val IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_val,
+           (d.day_val IS NOT NULL) AS is_observed
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    doc="Dense daily resample with LOCF (last-observation-carried-forward) "
+    "gap-fill: per-user date grid via sequence/explode, left join against "
+    "observed days, IGNORE NULLS running last_value. The grid is generated "
+    "map-side per user — no extra shuffle over the per-day aggregate.",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_val"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    filled = grid.join(daily, ["user_id", "day"], "left")
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return filled.select(
+        "user_id",
+        "day",
+        F.last("day_val", ignorenulls=True).over(w).alias("filled_val"),
+        F.col("day_val").isNotNull().alias("is_observed"),
+    )
+
+
+@query(
+    "timeseries_ohlc_resample",
+    oracle="""
+    -- DuckDB 1.0's arg_min/arg_max reject a composite (row) ordering key,
+    -- so the tie-safe (ts, event_id) pick is spelled as row_number windows;
+    -- lexicographic (ts, event_id) ASC/DESC == Spark's struct min_by/max_by.
+    WITH ranked AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts ASC,  event_id ASC)  AS rn_first,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM events
+    )
+    SELECT event_type, day,
+           count(*)                                   AS n,
+           max(CASE WHEN rn_first = 1 THEN value END) AS open,
+           max(value)                                 AS high,
+           min(value)                                 AS low,
+           max(CASE WHEN rn_last = 1 THEN value END)  AS close,
+           round(sum(value), 2)                       AS total
+    FROM ranked
+    GROUP BY event_type, day
+    """,
+    doc="OHLC downsampling: first/last-in-bucket via min_by/max_by over a "
+    "unique (ts, event_id) ordering struct — a single hash aggregate, no "
+    "window sort. open/high/low/close are picked raw doubles (no "
+    "arithmetic), so they hash-match bit-exactly across engines.",
+)
+def timeseries_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    tiebreak = F.struct("ts", "event_id")
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by("value", tiebreak).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", tiebreak).alias("close"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )

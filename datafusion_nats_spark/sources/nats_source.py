@@ -412,6 +412,8 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
         self.options = {k.lower(): v for k, v in options.items()}
         self.codec = None if self._opt("decode") == "raw" else CsvCodec(schema)
         self.max_per_batch = int(self._opt("maxmessagesperbatch", "1000"))
+        mb = self._opt("maxbytesperbatch")
+        self.max_bytes_per_batch = int(mb) if mb is not None else None
         if self.transport != "memory":
             raise CodecError(
                 "streaming currently supports transport=memory (JetStream-"
@@ -433,10 +435,27 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
 
     def latestOffset(self) -> dict:
         # Admission control: never advance more than maxMessagesPerBatch per
-        # trigger (the batch_size=1000 analogue, batch_buffer.rs:24).
+        # trigger (the batch_size=1000 analogue, batch_buffer.rs:24), and —
+        # when maxBytesPerBatch is set — never admit more payload bytes than
+        # that (Kafka maxTriggerDelay/maxBytes-style byte admission; the
+        # reference's count-only buffer has no byte bound, so an outlier
+        # burst of large messages can overrun one micro-batch there).
         size = self._size()
         start = getattr(self, "_last_end", 0)
         end = min(size, start + self.max_per_batch)
+        if self.max_bytes_per_batch is not None and end > start:
+            from datafusion_nats_spark.sources.broker import get_broker
+
+            budget = self.max_bytes_per_batch
+            admitted = start
+            for payload in get_broker(self.url).fetch(self.subject, start, end):
+                budget -= len(payload)
+                if budget < 0 and admitted > start:
+                    break  # always admit ≥1 message so the stream progresses
+                admitted += 1
+                if budget <= 0:
+                    break
+            end = admitted
         self._last_end = max(start, end)
         return {"offset": self._last_end}
 

@@ -182,3 +182,26 @@ def test_connected_components_groups_planted_triangle(spark, sf_dir, tmp_path_fa
     comp = {r.doc_id: r.component for r in dedup_connected_components(spark, out).collect()}
     assert comp[0] == comp[100001] == comp[100002] == 0
     assert comp[1] == comp[200001] == 1
+
+
+def test_hll_partial_merge_accuracy(spark, sf_dir):
+    # The merged two-level sketch estimate must track the exact distinct
+    # count within HLL's expected error (lgConfigK=12 -> ~1.6% sigma; 5%
+    # is a >3-sigma bound).
+    from datafusion_nats_spark.queries.aggregates import agg_hll_partial_merge
+    from datafusion_nats_spark.tables import load
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in agg_hll_partial_merge(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.05 * n), (et, approx[et], n)

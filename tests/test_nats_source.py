@@ -544,3 +544,59 @@ def test_executor_ingest_stream_restart_resumes(spark, broker, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert sorted(r.id for r in rows) == list(range(9))
     assert sum(1 for r in rows if r.name == "second") == 3
+
+
+def test_max_bytes_per_batch_admission(spark, broker):
+    # 6 equal-size payloads; a byte budget of exactly two payloads per
+    # trigger must admit 2 messages per micro-batch -> 3 non-empty batches.
+    payloads = [f"{i},xxxxxxxx".encode() for i in range(1, 7)]
+    assert len({len(p) for p in payloads}) == 1
+    for p in payloads:
+        broker.publish("bytecap", p)
+    q = (
+        spark.readStream.format("nats")
+        .schema(KV_SCHEMA)
+        .option("url", "memory://test")
+        .option("subject", "bytecap")
+        .option("maxBytesPerBatch", str(2 * len(payloads[0])))
+        .load()
+        .writeStream.format("memory")
+        .queryName("bytecap_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT id FROM bytecap_out ORDER BY id").collect()
+        assert [r.id for r in rows] == [1, 2, 3, 4, 5, 6]
+        sizes = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"]]
+        assert sizes == [2, 2, 2]
+    finally:
+        q.stop()
+
+
+def test_max_bytes_oversized_message_still_progresses(spark, broker):
+    # A single message larger than the byte budget must still be admitted
+    # (alone) -- otherwise the stream would stall forever.
+    broker.publish("bigmsg", b"1," + b"a" * 100)
+    broker.publish("bigmsg", b"2," + b"b" * 100)
+    q = (
+        spark.readStream.format("nats")
+        .schema(KV_SCHEMA)
+        .option("url", "memory://test")
+        .option("subject", "bigmsg")
+        .option("maxBytesPerBatch", "10")
+        .load()
+        .writeStream.format("memory")
+        .queryName("bigmsg_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT id FROM bigmsg_out ORDER BY id").collect()
+        assert [r.id for r in rows] == [1, 2]
+        sizes = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"]]
+        assert sizes == [1, 1]
+    finally:
+        q.stop()
