@@ -167,3 +167,38 @@ def test_sorted_write_gives_prunable_rowgroups(spark, sf_dir, tmp_path):
     # each group's max <= next group's min (ties allowed)
     for (lo_a, hi_a), (lo_b, hi_b) in zip(meta, meta[1:]):
         assert hi_a <= lo_b or hi_a <= hi_b  # monotone, near-disjoint
+
+
+def test_zorder_write_narrows_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout: after write_zordered on (o_custkey, o_orderkey),
+    every parquet file's min/max footer range must be narrow for BOTH
+    columns (a linear sort narrows one and leaves the other full-width).
+    Verified from the parquet footers, like the sorted-write test."""
+    import duckdb
+
+    from datafusion_nats_spark.extensions.layout import write_zordered
+
+    out = str(tmp_path / "zordered")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_zordered(o, out, "o_custkey", "o_orderkey", n_files=4)
+
+    con = duckdb.connect()
+    for col in ("o_custkey", "o_orderkey"):
+        stats = con.execute(
+            f"""
+            SELECT file_name,
+                   min(CAST(stats_min_value AS BIGINT)) AS lo,
+                   max(CAST(stats_max_value AS BIGINT)) AS hi
+            FROM parquet_metadata('{out}/__zq=*/*.parquet')
+            WHERE path_in_schema = '{col}'
+            GROUP BY file_name
+            """
+        ).fetchall()
+        assert len(stats) >= 4
+        glo = min(s[1] for s in stats)
+        ghi = max(s[2] for s in stats)
+        # every file sits inside one Z-curve quadrant -> covers ~half the
+        # global range in BOTH dimensions (a linear sort would leave one
+        # dimension full-width); 0.65 allows bucket-rounding slack
+        for _, lo, hi in stats:
+            assert (hi - lo) <= 0.65 * (ghi - glo), (col, lo, hi, glo, ghi)

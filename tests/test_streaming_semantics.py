@@ -314,3 +314,64 @@ def test_stream_stream_left_outer_join(spark, broker):
         q.stop()
     assert rows["ad_a"] is not None  # matched inside the window
     assert "ad_b" in rows and rows["ad_b"] is None  # emitted with NULL on expiry
+
+
+def test_stream_static_enrichment_join(spark, broker):
+    """Stream-static join: each micro-batch joins against a static
+    (broadcastable) dimension without any streaming state — the standard
+    enrich-on-ingest pattern. Keys missing from the dimension survive via
+    LEFT OUTER with a default."""
+    for i in range(6):
+        broker.publish("enrich", f"2024-01-01 10:00:0{i},k{i % 3}".encode())
+    dim = spark.createDataFrame(
+        [("k0", "gold"), ("k1", "silver")], ["key", "tier"]
+    )
+    enriched = _stream(spark, "enrich").join(F.broadcast(dim), "key", "left").select(
+        "key", "ts", F.coalesce("tier", F.lit("unknown")).alias("tier")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT key, tier, count(*) AS n FROM enrich_out GROUP BY key, tier ORDER BY key"
+        ).collect()
+        assert [(r.key, r.tier, r.n) for r in rows] == [
+            ("k0", "gold", 2),
+            ("k1", "silver", 2),
+            ("k2", "unknown", 2),
+        ]
+    finally:
+        q.stop()
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    """df.observe(): data-quality counters collected as accumulators during
+    the SAME pass that produces the result — at 100 TB this replaces a
+    second quality-scan of the corpus with zero extra I/O."""
+    from pyspark.sql import Observation
+
+    from datafusion_nats_spark.tables import load
+
+    obs = Observation("quality")
+    li = load(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+    out = li.groupBy("l_returnflag").count().collect()
+    assert len(out) >= 2
+    got = obs.get
+    exact = load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    ).first()
+    assert got["n_rows"] == exact["n_rows"]
+    assert got["n_big"] == exact["n_big"]
+    assert abs(got["revenue"] - exact["revenue"]) < 1e-6
