@@ -184,3 +184,35 @@ def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_supp"),
         )
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(event_type, 'error') AS k, count(*) AS n_all
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT nullif(event_type, 'error') AS k, count(*) AS n_big
+      FROM events WHERE value > 50 GROUP BY 1
+    )
+    SELECT a.k, CAST(a.n_all AS BIGINT) AS n_all, CAST(b.n_big AS BIGINT) AS n_big
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc="Null-safe equality join (Spark <=> / SQL IS NOT DISTINCT FROM): "
+    "NULL keys match each other instead of dropping — still plans as a "
+    "hash join (null-safe keys are hashable), not a nested loop.",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.nullif("event_type", F.lit("error")).alias("k")
+    a = ev.groupBy(k).agg(F.count(F.lit(1)).alias("n_all")).alias("a")
+    b = (
+        ev.filter(F.col("value") > 50)
+        .groupBy(k)
+        .agg(F.count(F.lit(1)).alias("n_big"))
+        .alias("b")
+    )
+    return a.join(b, F.col("a.k").eqNullSafe(F.col("b.k"))).select(
+        F.col("a.k").alias("k"), "n_all", "n_big"
+    )

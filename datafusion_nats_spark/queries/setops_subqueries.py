@@ -256,3 +256,31 @@ def values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation ON n_regionkey = t.code
         """
     )
+
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+    SELECT region_name, src, n FROM (
+      SELECT r_name AS region_name, 'regions' AS src, CAST(NULL AS BIGINT) AS n
+      FROM region
+      UNION ALL BY NAME
+      SELECT CAST(count(*) AS BIGINT) AS n, n_regionkey AS rk, 'nations' AS src
+      FROM nation GROUP BY n_regionkey
+    )
+    """,
+    doc="Position-independent union (unionByName + allowMissingColumns / "
+    "DuckDB UNION ALL BY NAME): columns align by name, absent columns "
+    "null-fill — schema-drift-tolerant ingestion at scale.",
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").select(
+        F.col("r_name").alias("region_name"), F.lit("regions").alias("src")
+    )
+    n = (
+        load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("n"), F.col("n_regionkey").alias("rk"), F.lit("nations").alias("src"))
+    )
+    return r.unionByName(n, allowMissingColumns=True).select("region_name", "src", "n")

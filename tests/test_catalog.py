@@ -202,3 +202,22 @@ def test_zorder_write_narrows_both_columns(spark, sf_dir, tmp_path):
         # dimension full-width); 0.65 allows bucket-rounding slack
         for _, lo, hi in stats:
             assert (hi - lo) <= 0.65 * (ghi - glo), (col, lo, hi, glo, ghi)
+
+
+def test_merge_schema_reads_evolved_parquet(spark, sf_dir, tmp_path):
+    """Schema evolution: a corpus written over months gains columns; with
+    mergeSchema the scan unions all file footers' schemas and null-fills
+    missing columns — no rewrite of old files."""
+    out = str(tmp_path / "evolving")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.select("o_orderkey", "o_totalprice").limit(10).write.parquet(out)
+    (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(10)
+        .write.mode("append")
+        .parquet(out)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "o_orderpriority"}
+    assert merged.count() == 20
+    assert merged.filter(merged.o_orderpriority.isNull()).count() == 10
