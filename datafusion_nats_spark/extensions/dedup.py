@@ -86,10 +86,18 @@ _SHINGLES_DUCK = f"""
                (regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))[i:i+{SHINGLE_W - 1}], ' ')))
 """
 
+# Kirsch-Mitzenmacher double hashing: ONE md5 per shingle yields two
+# independent 60-bit halves (hex chars 1-15 and 17-31); slot k's hash is
+# (h1 + k*h2) mod M. Same minhash guarantees as k independent hashes, at
+# 1/N_HASHES the hashing cost — this is the map-side hot loop of the
+# whole dedup pipeline. M = 2^45 keeps k*h2 + h1 < 2^49, far from BIGINT
+# overflow, with collision probability ~2^-45 per slot.
+MH_MOD = 1 << 45
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# Shared oracle CTE chain: shingle -> df-cap -> double-hash minhash ->
+# banded LSH keys (used by both dedup_minhash_lsh and dedup_ngram_jaccard
+# so the two oracles can never drift apart).
+_LSH_BANDED_DUCK = f"""
     WITH shingled AS (
       SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
       FROM documents
@@ -97,10 +105,14 @@ _SHINGLES_DUCK = f"""
       SELECT s.doc_id, s.shingle FROM shingled s
       JOIN (SELECT shingle FROM shingled GROUP BY shingle
             HAVING count(DISTINCT doc_id) <= {MAX_DF}) ok USING (shingle)
+    ), halves AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MH_MOD} AS h1,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % {MH_MOD} AS h2
+      FROM capped
     ), hashed AS (
-      SELECT doc_id, k,
-             min(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || shingle), 1, 15))::BIGINT) AS mh
-      FROM capped, range({N_HASHES}) t(k)
+      SELECT doc_id, k, min((h1 + k * h2) % {MH_MOD}) AS mh
+      FROM halves, range({N_HASHES}) t(k)
       GROUP BY doc_id, k
     ), banded AS (
       SELECT doc_id, k // {BAND_SIZE} AS band_id,
@@ -108,16 +120,24 @@ _SHINGLES_DUCK = f"""
       FROM hashed
       GROUP BY doc_id, k // {BAND_SIZE}
     )
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    {_LSH_BANDED_DUCK}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(DISTINCT a.band_id) AS n_shared_bands
     FROM banded a JOIN banded b
       ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     """,
-    doc="MinHash+LSH near-dup candidates: shingle → 12 md5-derived minhash "
-    "slots → 4 bands of 3 → bucket-join on (band_id, band_key). The only "
-    "shuffles are the per-doc signature aggregation and the band-bucket "
-    "join — never all-pairs.",
+    doc="MinHash+LSH near-dup candidates: shingle → one md5 split into two "
+    "halves → 12 double-hashed minhash slots (Kirsch-Mitzenmacher) → 4 "
+    "bands of 3 → bucket-join on (band_id, band_key). The only shuffles "
+    "are the per-doc signature aggregation and the band-bucket join — "
+    "never all-pairs.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A single parquet file scans as ONE partition — spread the docs across
@@ -136,20 +156,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = shingled.join(
         F.broadcast(df_counts.filter(F.col("df") <= MAX_DF).select("shingle")), "shingle"
     )
-    # All N_HASHES slots computed map-side as one array per shingle row,
-    # then a single narrow aggregation with element-wise mins — the rows
-    # through the shuffle stay 1× the shingle count (not N_HASHES×).
-    def slot(k: int):
-        return F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.lit(k), F.col("shingle"))), 1, 15),
-            16,
-            10,
-        ).cast("bigint")
-
-    sig = (
-        capped.select("doc_id", *[slot(k).alias(f"h{k}") for k in range(N_HASHES)])
-        .groupBy("doc_id")
-        .agg(*[F.min(f"h{k}").alias(f"mh{k}") for k in range(N_HASHES)])
+    # ONE md5 per shingle, split into two 60-bit halves; the N_HASHES slots
+    # are double-hashed arithmetic combinations (h1 + k*h2) mod M computed
+    # inside the partial aggregate — map-side cost is 1 hash + 12 integer
+    # ops per shingle, and the rows through the shuffle stay 1× the
+    # shingle count (not N_HASHES×).
+    m = F.md5(F.col("shingle"))
+    halves = capped.select(
+        "doc_id",
+        (F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint") % MH_MOD).alias("h1"),
+        (F.conv(F.substring(m, 17, 15), 16, 10).cast("bigint") % MH_MOD).alias("h2"),
+    )
+    sig = halves.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + k * F.col("h2")) % MH_MOD).alias(f"mh{k}")
+            for k in range(N_HASHES)
+        ]
     )
     band_structs = F.array(
         *[
@@ -193,24 +215,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH shingled AS (
-      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
-      FROM documents
-    ), capped AS (
-      SELECT s.doc_id, s.shingle FROM shingled s
-      JOIN (SELECT shingle FROM shingled GROUP BY shingle
-            HAVING count(DISTINCT doc_id) <= {MAX_DF}) ok USING (shingle)
-    ), hashed AS (
-      SELECT doc_id, k,
-             min(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || shingle), 1, 15))::BIGINT) AS mh
-      FROM capped, range({N_HASHES}) t(k)
-      GROUP BY doc_id, k
-    ), banded AS (
-      SELECT doc_id, k // {BAND_SIZE} AS band_id,
-             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS band_key
-      FROM hashed
-      GROUP BY doc_id, k // {BAND_SIZE}
-    ), cand AS (
+    {_LSH_BANDED_DUCK}
+    , cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b
         ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
