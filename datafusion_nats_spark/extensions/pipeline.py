@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from datafusion_nats_spark.extensions.dedup import (
     MAX_DF,
+    _LSH_BANDED_DUCK,
     _SHINGLES_DUCK,
     dedup_ngram_jaccard,
 )
@@ -29,45 +30,33 @@ NEAR_DUP_JACCARD = 0.8
 @query(
     "pipeline_corpus_curation",
     oracle=f"""
-    WITH quality AS (
+    {_LSH_BANDED_DUCK}
+    , quality AS (
       SELECT doc_id, lang, n_chars,
              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_key
       FROM documents
       WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= {MIN_TOKENS}
     ), exact_kept AS (
       SELECT min(doc_id) AS doc_id FROM quality GROUP BY content_key
-    ), shingled AS (
-      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
-      FROM documents
-    ), capped AS (
-      SELECT s.doc_id, s.shingle FROM shingled s
-      JOIN (SELECT shingle FROM shingled GROUP BY shingle
-            HAVING count(DISTINCT doc_id) <= {MAX_DF}) ok USING (shingle)
-    ), hashed AS (
-      SELECT doc_id, k,
-             min(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || shingle), 1, 15))::BIGINT) AS mh
-      FROM capped, range(12) t(k)
-      GROUP BY doc_id, k
-    ), banded AS (
-      SELECT doc_id, k // 3 AS band_id,
-             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS band_key
-      FROM hashed GROUP BY doc_id, k // 3
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b
         ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ), sizes AS (
       SELECT doc_id, count(DISTINCT shingle) AS n FROM capped GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN capped x ON x.doc_id = c.doc_a
+      JOIN capped y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
     ), verified AS (
       SELECT c.doc_a, c.doc_b
       FROM cand c
-      JOIN (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
-            FROM capped x JOIN capped y
-              ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-            GROUP BY x.doc_id, y.doc_id) s USING (doc_a, doc_b)
+      JOIN inter USING (doc_a, doc_b)
       JOIN sizes sa ON sa.doc_id = c.doc_a
       JOIN sizes sb ON sb.doc_id = c.doc_b
-      WHERE CAST(s.i AS DOUBLE) / (sa.n + sb.n - s.i) >= {NEAR_DUP_JACCARD}
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {NEAR_DUP_JACCARD}
     ), curated AS (
       SELECT q.doc_id, q.lang, q.n_chars
       FROM quality q

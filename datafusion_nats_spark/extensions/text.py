@@ -263,3 +263,59 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "word", "tfidf", "rn")
         .orderBy("doc_id", "rn")
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ), bigrams AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                           i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      FROM toks
+    ), model AS (
+      SELECT bg, count(*) AS c12 FROM bigrams GROUP BY bg
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT)                        AS n_bigrams,
+           CAST(count(DISTINCT b.bg) AS BIGINT)            AS n_distinct,
+           CAST(count(*) FILTER (WHERE m.c12 <= 2) AS BIGINT) AS n_rare,
+           round(avg(ln(CAST(m.c12 AS DOUBLE))), 6)        AS avg_log_count
+    FROM bigrams b JOIN model m USING (bg)
+    GROUP BY b.doc_id
+    """,
+    doc="Corpus bigram language-model scoring: count every consecutive "
+    "word pair over the corpus (the 'model'), then score each document by "
+    "its bigram frequency profile — rare-bigram count flags disfluent / "
+    "machine-garbled text, avg log-count is the unnormalized LM "
+    "likelihood. Two shuffles total (model build + per-doc score), both "
+    "on high-cardinality keys; the bigram extraction is a map-side "
+    "transform over the token array.",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = tokens(F.lower(F.col("text")))
+    n = F.size(ws)
+    bg_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = d.select("doc_id", F.explode(bg_arr).alias("bg"))
+    model = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    return (
+        bigrams.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bg").alias("n_distinct"),
+            F.count_if(F.col("c12") <= 2).alias("n_rare"),
+            F.round(F.avg(F.log(F.col("c12").cast("double"))), 6).alias(
+                "avg_log_count"
+            ),
+        )
+    )

@@ -173,3 +173,55 @@ def timeseries_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", tiebreak).alias("close"),
         F.round(F.sum("value"), 2).alias("total"),
     )
+
+
+@query(
+    "funnel_click_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    ), per_purchase AS (
+      SELECT p.user_id, p.purchase_id, count(c.cts) AS n_clicks
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL 30 DAY
+      GROUP BY p.user_id, p.purchase_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                          AS n_purchases,
+           CAST(count(*) FILTER (WHERE n_clicks > 0) AS BIGINT) AS n_attributed,
+           CAST(sum(n_clicks) AS BIGINT)                     AS total_clicks
+    FROM per_purchase
+    GROUP BY user_id
+    """,
+    doc="Funnel attribution: every purchase left-joined to the clicks that "
+    "preceded it within 30 days, per user — an equi(user) + time-range "
+    "join, the batch twin of a stream-stream interval join. The equi key "
+    "keeps it a hash/SMJ partition-local range probe, never a cartesian.",
+)
+def funnel_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+    )
+    pairs = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 30 DAYS")),
+        "left",
+    )
+    per_purchase = pairs.groupBy("user_id", "purchase_id").agg(
+        F.count("cts").alias("n_clicks")
+    )
+    return per_purchase.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_if(F.col("n_clicks") > 0).alias("n_attributed"),
+        F.sum("n_clicks").alias("total_clicks"),
+    )
