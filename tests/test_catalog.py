@@ -221,3 +221,77 @@ def test_merge_schema_reads_evolved_parquet(spark, sf_dir, tmp_path):
     assert set(merged.columns) == {"o_orderkey", "o_totalprice", "o_orderpriority"}
     assert merged.count() == 20
     assert merged.filter(merged.o_orderpriority.isNull()).count() == 10
+
+
+def test_zorder_key_bits_roundtrip(spark):
+    """Property: de-interleaving zorder_key's even/odd bits recovers the
+    two inputs exactly for every pair in [0, 63]^2 (verified exhaustively
+    on the 4096-pair grid)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_nats_spark.extensions.layout import ZBITS, zorder_key
+
+    grid = (
+        spark.range(64)
+        .select(F.col("id").alias("x"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("y")))
+    )
+    dx = sum(
+        (F.shiftleft(F.shiftright(F.col("z"), 2 * i).bitwiseAND(F.lit(1)), i))
+        for i in range(ZBITS)
+    )
+    dy = sum(
+        (F.shiftleft(F.shiftright(F.col("z"), 2 * i + 1).bitwiseAND(F.lit(1)), i))
+        for i in range(ZBITS)
+    )
+    bad = (
+        grid.withColumn("z", zorder_key(F.col("x"), F.col("y")))
+        .withColumn("rx", dx)
+        .withColumn("ry", dy)
+        .filter((F.col("rx") != F.col("x")) | (F.col("ry") != F.col("y")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """INSERT OVERWRITE with partitionOverwriteMode=dynamic rewrites ONLY
+    the partitions present in the incoming batch — the incremental-reload
+    primitive for partitioned 100 TB tables (static mode would wipe every
+    other partition)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_nats_spark.tables import load
+
+    out = str(tmp_path / "parted")
+    # events.parquet stores ns timestamps -> must go through tables.load
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ev.write.partitionBy("event_type").parquet(out)
+    before = {
+        r.event_type: r.n
+        for r in spark.read.parquet(out).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            ev.filter(F.col("event_type") == "click")
+            .limit(5)
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    after = {
+        r.event_type: r.n
+        for r in spark.read.parquet(out).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert after["click"] == 5  # replaced
+    for et, n in before.items():
+        if et != "click":
+            assert after[et] == n  # untouched
