@@ -195,3 +195,33 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ohlc_is_single_aggregate_no_window(spark, sf_dir):
+    """OHLC uses min_by/max_by extremum aggregates — one hash-aggregate
+    pair, never a per-bucket window sort."""
+    plan = _plan(spark, sf_dir, "timeseries_ohlc_resample")
+    assert "Window" not in plan
+    # struct-keyed min_by/max_by can't use a primitive hash buffer, so
+    # Spark picks SortAggregate — still a partial/final pair, no window
+    n_agg = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert n_agg >= 2  # partial + final
+
+
+def test_funnel_attribution_no_cartesian(spark, sf_dir):
+    """The time-range condition must ride on the user_id equi-join; a
+    cartesian/broadcast-NL plan would explode at scale."""
+    plan = _plan(spark, sf_dir, "funnel_click_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_windows_partitioned_by_user(spark, sf_dir):
+    """Both window passes must be partitioned (per-user), never a global
+    single-partition sort."""
+    plan = _plan(spark, sf_dir, "window_sessionize")
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        frag = plan[m.start() : m.start() + 400]
+        assert "user_id" in frag
