@@ -13,6 +13,7 @@ from datafusion_nats_spark.queries import (  # noqa: F401
     aggregates,
     functions_scalar,
     joins,
+    maintenance,
     projection_filter,
     scale_patterns,
     setops_subqueries,

@@ -1,0 +1,161 @@
+"""Table-maintenance operators: upsert (SCD-1 merge) and slowly-changing-
+dimension history (SCD-2) — the change-data-application surface a
+long-lived 100 TB table needs. OSS Spark parquet has no MERGE INTO DML;
+both are expressed as declarative join/window plans (exactly what Delta's
+MERGE compiles to underneath): a full-outer key join for SCD-1, a
+per-key version window for SCD-2. Both shuffle once on the (high-
+cardinality) business key.
+
+The change sets are derived deterministically from ``orders`` so the
+DuckDB oracle can replay the identical merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load
+
+# deterministic change-set recipe shared by Spark and the oracle:
+# every 7th order gets a 10% price update; every 97th key is re-inserted
+# shifted by +10_000_000 (a brand-new key -> INSERT side of the merge)
+_UPD_MOD, _INS_MOD, _INS_SHIFT = 7, 97, 10_000_000
+
+
+def _changes(o: DataFrame) -> DataFrame:
+    upd = o.filter(F.col("o_orderkey") % _UPD_MOD == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.floor(F.col("o_totalprice") * 1.1).alias("new_price"),
+    )
+    ins = o.filter(F.col("o_orderkey") % _INS_MOD == 0).select(
+        (F.col("o_orderkey") + _INS_SHIFT).alias("key"),
+        F.floor(F.col("o_totalprice")).alias("new_price"),
+    )
+    return upd.unionByName(ins)
+
+
+_CHANGES_DUCK = f"""
+      SELECT o_orderkey AS key, CAST(trunc(o_totalprice * 1.1) AS BIGINT) AS new_price
+      FROM orders WHERE o_orderkey % {_UPD_MOD} = 0
+      UNION ALL
+      SELECT o_orderkey + {_INS_SHIFT} AS key, CAST(trunc(o_totalprice) AS BIGINT) AS new_price
+      FROM orders WHERE o_orderkey % {_INS_MOD} = 0
+"""
+
+
+@query(
+    "maintenance_upsert_scd1",
+    oracle=f"""
+    WITH changes AS ({_CHANGES_DUCK}),
+    merged AS (
+      SELECT coalesce(b.o_orderkey, c.key) AS key,
+             coalesce(c.new_price, CAST(trunc(b.o_totalprice) AS BIGINT)) AS price,
+             CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+                  WHEN c.key IS NULL THEN 'kept'
+                  ELSE 'updated' END AS action
+      FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.key
+    )
+    SELECT action,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(price) AS BIGINT)  AS total_price
+    FROM merged
+    GROUP BY action
+    """,
+    doc="SCD-1 upsert (MERGE INTO semantics on plain parquet): base FULL "
+    "OUTER change-set on the business key; matched rows take the new "
+    "value, unmatched-by-source rows are kept, unmatched-by-target rows "
+    "are inserts. One shuffle on the key — the same physical shape "
+    "Delta's MERGE lowers to.",
+)
+def maintenance_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = _changes(o)
+    b = o.select("o_orderkey", F.floor("o_totalprice").alias("old_price"))
+    merged = b.join(c, b.o_orderkey == c.key, "full_outer").select(
+        F.coalesce(F.col("o_orderkey"), F.col("key")).alias("key"),
+        F.coalesce(F.col("new_price"), F.col("old_price")).alias("price"),
+        F.when(F.col("o_orderkey").isNull(), "inserted")
+        .when(F.col("key").isNull(), "kept")
+        .otherwise("updated")
+        .alias("action"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").alias("total_price"),
+    )
+
+
+@query(
+    "maintenance_scd2_history",
+    oracle=f"""
+    WITH snap1 AS (
+      SELECT o_orderkey AS key, CAST(trunc(o_totalprice) AS BIGINT) AS price, 1 AS version
+      FROM orders
+    ), snap2 AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % {_UPD_MOD} = 0
+                  THEN CAST(trunc(o_totalprice * 1.1) AS BIGINT)
+                  ELSE CAST(trunc(o_totalprice) AS BIGINT) END AS price,
+             2 AS version
+      FROM orders
+    ), united AS (
+      SELECT * FROM snap1 UNION ALL SELECT * FROM snap2
+    ), changed AS (
+      -- keep only rows whose value differs from the previous version
+      SELECT key, price, version
+      FROM (SELECT key, price, version,
+                   lag(price) OVER (PARTITION BY key ORDER BY version) AS prev
+            FROM united)
+      WHERE prev IS NULL OR price <> prev
+    ), history AS (
+      SELECT key, price, version AS valid_from,
+             lead(version) OVER (PARTITION BY key ORDER BY version) AS valid_to
+      FROM changed
+    )
+    SELECT (valid_to IS NULL)         AS is_current,
+           CAST(count(*) AS BIGINT)   AS n_rows,
+           CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+           CAST(sum(price) AS BIGINT)  AS total_price
+    FROM history
+    GROUP BY is_current
+    """,
+    doc="SCD-2 history build: union of two snapshots -> per-key version "
+    "window -> suppress no-op versions (value unchanged) -> open/closed "
+    "validity ranges via lead(). Per-key windows keep every sort "
+    "partition-local at scale.",
+)
+def maintenance_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    snap1 = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.floor("o_totalprice").alias("price"),
+        F.lit(1).alias("version"),
+    )
+    snap2 = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.when(
+            F.col("o_orderkey") % _UPD_MOD == 0, F.floor(F.col("o_totalprice") * 1.1)
+        )
+        .otherwise(F.floor("o_totalprice"))
+        .alias("price"),
+        F.lit(2).alias("version"),
+    )
+    united = snap1.unionByName(snap2)
+    w = W.partitionBy("key").orderBy("version")
+    changed = (
+        united.withColumn("prev", F.lag("price").over(w))
+        .filter(F.col("prev").isNull() | (F.col("price") != F.col("prev")))
+        .drop("prev")
+    )
+    history = changed.withColumn("valid_to", F.lead("version").over(w)).withColumnRenamed(
+        "version", "valid_from"
+    )
+    return history.groupBy(
+        F.col("valid_to").isNull().alias("is_current")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("key").alias("n_keys"),
+        F.sum("price").alias("total_price"),
+    )
