@@ -111,3 +111,28 @@ def limit_offset_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(25)
     )
+
+
+@query(
+    "fn_tvf_range",
+    oracle="""
+    SELECT CAST(range % 7 AS BIGINT)            AS k,
+           CAST(count(*) AS BIGINT)             AS n,
+           CAST(sum(range * range) AS BIGINT)   AS sum_sq
+    FROM range(0, 10000)
+    GROUP BY 1
+    """,
+    doc="Table-valued function source: range() generates rows engine-side "
+    "(Spark's Range exec: no I/O, split across tasks) — the synthetic-"
+    "input surface for backfills and load generation.",
+)
+def fn_tvf_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT CAST(id % 7 AS BIGINT)      AS k,
+               CAST(count(*) AS BIGINT)    AS n,
+               CAST(sum(id * id) AS BIGINT) AS sum_sq
+        FROM range(0, 10000)
+        GROUP BY 1
+        """
+    )

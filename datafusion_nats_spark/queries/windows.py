@@ -227,3 +227,33 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last(finished, ignorenulls=True).over(w), 2).alias("last_finished_price"),
         F.round(F.first(finished, ignorenulls=True).over(w), 2).alias("first_finished_price"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_range_interval_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT)   AS n_7d,
+           round(sum(value) OVER w, 2)       AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    """,
+    doc="Interval-bounded RANGE frame: per-user rolling 7-day count/sum "
+    "keyed on event time — the time-decayed rolling metric primitive. "
+    "RANGE frames are peer-inclusive on the ordering timestamp, so the "
+    "result is deterministic without a tiebreak column; the window "
+    "partitions by user, keeping every sort partition-local at scale.",
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)"
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.expr(f"CAST(count(1) {over} AS BIGINT)").alias("n_7d"),
+        F.expr(f"round(sum(value) {over}, 2)").alias("sum_7d"),
+    )
