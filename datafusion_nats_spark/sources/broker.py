@@ -71,6 +71,13 @@ class LocalLogBroker:
     def size(self, subject: str) -> int:
         return len(self._lines(subject))
 
+    def list_subjects(self) -> list[str]:
+        """All subjects with at least one published message (sorted — the
+        deterministic expansion order for wildcard subscriptions)."""
+        return sorted(
+            n[: -len(".log")] for n in os.listdir(self._dir) if n.endswith(".log")
+        )
+
     def fetch(self, subject: str, start: int, end: int | None = None) -> list[bytes]:
         """Messages [start, end) of the subject log."""
         lines = self._lines(subject)
@@ -138,3 +145,19 @@ def fetch_from_nats(url: str, subject: str, max_messages: int, timeout_ms: int) 
             await client.close()
 
     return asyncio.run(_drain())
+
+
+def subject_matches(pattern: str, subject: str) -> bool:
+    """NATS subject-pattern semantics: subjects are '.'-separated tokens;
+    '*' matches exactly one token, '>' (only meaningful as the last
+    token) matches one or more remaining tokens. 'orders.*' matches
+    'orders.us' but not 'orders' or 'orders.us.west'; 'orders.>' matches
+    both 'orders.us' and 'orders.us.west'."""
+    pt = pattern.split(".")
+    st = subject.split(".")
+    for i, tok in enumerate(pt):
+        if tok == ">":
+            return len(st) >= i + 1 and i == len(pt) - 1
+        if i >= len(st) or (tok != "*" and tok != st[i]):
+            return False
+    return len(st) == len(pt)

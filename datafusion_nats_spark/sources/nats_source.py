@@ -66,6 +66,16 @@ class NatsPartition(InputPartition):
 
 
 @dataclass
+class NatsMetaPartition(InputPartition):
+    """Driver-prefetch partition carrying (subject, offset, payload)
+    triples — used when ``includeMetadata=true`` so each row can expose
+    its provenance (_subject, _offset) like Kafka's topic/offset
+    metadata columns."""
+
+    records: list  # of (subject, offset, payload)
+
+
+@dataclass
 class NatsOffsetRangePartition(InputPartition):
     """Executor-side-ingest partition: carries only ``[start, end)`` log
     offsets, never payload bytes. Each Spark task opens the replayable
@@ -140,6 +150,34 @@ class _OptionsMixin:
         subject per table, reference: data_source.rs:20-26)."""
         return [s.strip() for s in self.subject.split(",") if s.strip()]
 
+    def resolved_subjects(self) -> list[str]:
+        """Subjects with NATS wildcards expanded against the broker's known
+        subjects ('*' = one token, '>' = one-or-more trailing tokens) —
+        the subscription semantics of a real NATS server, resolved at
+        planning time over the replayable log."""
+        subs = self.subjects
+        if not any("*" in s or ">" in s for s in subs):
+            return subs
+        if self.transport != "memory":
+            raise CodecError(
+                "wildcard subjects require the replayable transport (a live "
+                "core-NATS drain subscribes to the pattern directly)"
+            )
+        from datafusion_nats_spark.sources.broker import get_broker, subject_matches
+
+        known = get_broker(self.url).list_subjects()
+        out: list[str] = []
+        for s in subs:
+            if "*" in s or ">" in s:
+                out.extend(k for k in known if subject_matches(s, k))
+            else:
+                out.append(s)
+        return list(dict.fromkeys(out))  # dedupe, keep order
+
+    @property
+    def include_metadata(self) -> bool:
+        return (self._opt("includemetadata", "false") or "").lower() == "true"
+
     @property
     def transport(self) -> str:
         return self._opt("transport", "memory")
@@ -201,9 +239,26 @@ def _decode(payloads: list[bytes], codec: CsvCodec, mode: str, dlq=None):
 class NatsBatchReader(DataSourceReader, _OptionsMixin):
     """Bounded subject drain (reference LIMIT-UX, §3.1)."""
 
+    META_FIELDS = (("_subject", T.StringType()), ("_offset", T.LongType()))
+
     def __init__(self, schema: T.StructType, options: dict) -> None:
         self.options = {k.lower(): v for k, v in options.items()}
-        self.codec = None if self._opt("decode") == "raw" else CsvCodec(schema)
+        data_schema = schema
+        if self.include_metadata:
+            if self._opt("decode") == "raw":
+                raise CodecError(
+                    "includeMetadata composes with the typed decode path; "
+                    "the raw/vectorized path carries only the line column"
+                )
+            names = [f.name for f in schema.fields]
+            want = [n for n, _ in self.META_FIELDS]
+            if names[-len(want) :] != want:
+                raise CodecError(
+                    "includeMetadata=true requires the declared schema to end "
+                    f"with {want} (Kafka-style provenance columns)"
+                )
+            data_schema = T.StructType(schema.fields[: -len(want)])
+        self.codec = None if self._opt("decode") == "raw" else CsvCodec(data_schema)
         self._field_index = {f.name: i for i, f in enumerate(schema.fields)}
         self._pushed: list = []
 
@@ -269,7 +324,7 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
             broker = get_broker(self.url)
             start, end = self.offset_range
             log: list[bytes] = []
-            for subject in self.subjects:  # subject order, then log order
+            for subject in self.resolved_subjects():  # subject order, then log order
                 log.extend(broker.fetch(subject, start, end))
             return log[:max_messages] if max_messages else log
         if self.transport == "nats":
@@ -304,7 +359,7 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
             budget = int(self._opt("maxmessages", "0")) or None
             range_start, range_end = self.offset_range
             parts: list[NatsOffsetRangePartition] = []
-            for subject in self.subjects:  # cap spends in subject order
+            for subject in self.resolved_subjects():  # cap spends in subject order
                 size = broker.size(subject)
                 end = min(size, range_end) if range_end is not None else size
                 start = min(range_start, end)
@@ -319,6 +374,31 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
                         break
             return parts
         # driver-prefetch (the reference's consumer-task analogue)
+        if self.include_metadata:
+            if self.transport != "memory":
+                raise CodecError(
+                    "includeMetadata requires the replayable transport "
+                    "(core NATS has no stable offsets to expose)"
+                )
+            from datafusion_nats_spark.sources.broker import get_broker
+
+            broker = get_broker(self.url)
+            start, end = self.offset_range
+            max_messages = int(self._opt("maxmessages", "0")) or None
+            records = []
+            for subject in self.resolved_subjects():
+                records.extend(
+                    (subject, start + i, p)
+                    for i, p in enumerate(broker.fetch(subject, start, end))
+                )
+            if max_messages:
+                records = records[:max_messages]
+            size = (len(records) + self.num_partitions - 1) // max(1, self.num_partitions)
+            size = max(1, size)
+            return [
+                NatsMetaPartition(records[i : i + size])
+                for i in range(0, len(records), size)
+            ] or [NatsMetaPartition([])]
         payloads = self._fetch_payloads()
         return [NatsPartition(p) for p in _split_round_robin_contiguous(payloads, self.num_partitions)]
 
@@ -329,7 +409,37 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
             return get_broker(partition.url).fetch(partition.subject, partition.start, partition.end)
         return partition.payloads
 
+    def _read_with_metadata(self, partition):
+        """Typed decode + (subject, offset) provenance columns appended to
+        every row — pairing happens per payload BEFORE error-mode skips so
+        offsets stay correct when malformed messages are dropped/routed."""
+        if isinstance(partition, NatsOffsetRangePartition):
+            payloads = self._payloads_of(partition)
+            records = [
+                (partition.subject, partition.start + i, p)
+                for i, p in enumerate(payloads)
+            ]
+        else:
+            records = partition.records
+        dlq = self._dlq_publisher()
+        for subject, offset, payload in records:
+            line = payload.decode("utf-8", errors="replace")
+            try:
+                row = self.codec.parse_line(line)
+            except ParseError:
+                if self.mode == "failfast":
+                    raise
+                if dlq is not None:
+                    dlq(payload)
+                continue
+            full = (*row, subject, offset)
+            if self._row_passes(full):
+                yield full
+
     def read(self, partition):  # executor-side (ingest and/or decode)
+        if self.include_metadata:
+            yield from self._read_with_metadata(partition)
+            return
         payloads = self._payloads_of(partition)
         if self._opt("decode") == "raw":
             # Vectorized path (SURVEY §7.4-5): hand Spark Arrow batches of
@@ -419,10 +529,18 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
                 "streaming currently supports transport=memory (JetStream-"
                 "backed replayable NATS is the documented upgrade path)"
             )
-        if len(self.subjects) > 1:
+        if len(self.subjects) > 1 or any(
+            "*" in s or ">" in s for s in self.subjects
+        ):
             raise CodecError(
-                "streaming reads one subject per query (offsets index one "
-                "subject log); union streams for multi-subject"
+                "streaming reads one literal subject per query (offsets "
+                "index one subject log); union streams for multi-subject "
+                "or wildcard reads"
+            )
+        if self.include_metadata:
+            raise CodecError(
+                "includeMetadata is a batch-reader option (streaming rows "
+                "carry provenance via the checkpointed offsets themselves)"
             )
 
     def _size(self) -> int:

@@ -600,3 +600,113 @@ def test_max_bytes_oversized_message_still_progresses(spark, broker):
         assert sizes == [1, 1]
     finally:
         q.stop()
+
+
+def test_subject_matches_semantics():
+    from datafusion_nats_spark.sources.broker import subject_matches
+
+    assert subject_matches("orders.*", "orders.us")
+    assert not subject_matches("orders.*", "orders")
+    assert not subject_matches("orders.*", "orders.us.west")
+    assert subject_matches("orders.>", "orders.us")
+    assert subject_matches("orders.>", "orders.us.west")
+    assert not subject_matches("orders.>", "orders")
+    assert not subject_matches("orders.>.x", "orders.a.x")  # '>' must be last
+    assert subject_matches("a.*.c", "a.b.c")
+    assert not subject_matches("a.*.c", "a.b.d")
+
+
+def test_wildcard_subject_batch_read(spark, broker):
+    broker.publish("orders.us", b"1,us-a")
+    broker.publish("orders.eu", b"2,eu-a")
+    broker.publish("orders.us.west", b"3,west-a")
+    broker.publish("billing.us", b"4,bill-a")
+    star = _read(spark, "orders.*").collect()
+    assert sorted((r.id, r.name) for r in star) == [(1, "us-a"), (2, "eu-a")]
+    deep = _read(spark, "orders.>").collect()
+    assert sorted((r.id, r.name) for r in deep) == [
+        (1, "us-a"),
+        (2, "eu-a"),
+        (3, "west-a"),
+    ]
+
+
+def test_wildcard_subject_executor_ingest(spark, broker):
+    for i in range(1, 5):
+        broker.publish(f"m.part{i % 2}", f"{i},v{i}".encode())
+    rows = _read(spark, "m.*", ingest="executor", numPartitions="2").collect()
+    assert sorted(r.id for r in rows) == [1, 2, 3, 4]
+
+
+def test_metadata_columns_batch(spark, broker):
+    import pyspark.sql.types as T
+
+    broker.publish("meta.a", b"1,x")
+    broker.publish("meta.a", b"2,y")
+    broker.publish("meta.b", b"3,z")
+    schema = T.StructType(
+        KV_SCHEMA.fields
+        + [
+            T.StructField("_subject", T.StringType()),
+            T.StructField("_offset", T.LongType()),
+        ]
+    )
+    rows = (
+        spark.read.format("nats")
+        .schema(schema)
+        .option("url", "memory://test")
+        .option("subject", "meta.a,meta.b")
+        .option("includeMetadata", "true")
+        .load()
+        .collect()
+    )
+    got = sorted((r.id, r._subject, r._offset) for r in rows)
+    assert got == [(1, "meta.a", 0), (2, "meta.a", 1), (3, "meta.b", 0)]
+
+
+def test_metadata_columns_executor_ingest_offsets(spark, broker):
+    import pyspark.sql.types as T
+
+    for i in range(6):
+        broker.publish("meta.ex", f"{i},v{i}".encode())
+    schema = T.StructType(
+        KV_SCHEMA.fields
+        + [
+            T.StructField("_subject", T.StringType()),
+            T.StructField("_offset", T.LongType()),
+        ]
+    )
+    rows = (
+        spark.read.format("nats")
+        .schema(schema)
+        .option("url", "memory://test")
+        .option("subject", "meta.ex")
+        .option("includeMetadata", "true")
+        .option("ingest", "executor")
+        .option("numPartitions", "3")
+        .load()
+        .collect()
+    )
+    assert sorted((r.id, r._offset) for r in rows) == [(i, i) for i in range(6)]
+    assert {r._subject for r in rows} == {"meta.ex"}
+
+
+def test_metadata_requires_trailing_meta_fields(spark, broker):
+    broker.publish("meta.bad", b"1,x")
+    with pytest.raises(Exception, match="includeMetadata"):
+        _read(spark, "meta.bad", includeMetadata="true").collect()
+
+
+def test_streaming_rejects_wildcard_subject():
+    # query start is async, so assert at reader construction (where the
+    # stream would fail on its first trigger)
+    from datafusion_nats_spark.codec import CodecError
+    from datafusion_nats_spark.sources.nats_source import NatsStreamReader
+
+    with pytest.raises(CodecError, match="literal subject"):
+        NatsStreamReader(KV_SCHEMA, {"url": "memory://test", "subject": "w.*"})
+    with pytest.raises(CodecError, match="includeMetadata"):
+        NatsStreamReader(
+            KV_SCHEMA,
+            {"url": "memory://test", "subject": "w.a", "includemetadata": "true"},
+        )
