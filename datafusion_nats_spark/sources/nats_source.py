@@ -647,19 +647,48 @@ class NatsBatchWriter(DataSourceWriter, _OptionsMixin):
 
     def __init__(self, schema: T.StructType, options: dict) -> None:
         self.options = {k.lower(): v for k, v in options.items()}
-        CsvCodec(schema)  # validate the schema against wire rules
+        # subjectColumn: route each row to the subject named in that column
+        # (excluded from the wire payload) — the Kafka topic-column
+        # analogue, and the natural NATS shape: subjects are cheap,
+        # hierarchical routing keys.
+        col = self._opt("subjectcolumn")
+        self._route_idx: int | None = None
+        if col is not None:
+            names = [f.name for f in schema.fields]
+            if col not in names:
+                raise CodecError(f"subjectColumn '{col}' not in the written schema")
+            self._route_idx = names.index(col)
+            schema = T.StructType(
+                [f for i, f in enumerate(schema.fields) if i != self._route_idx]
+            )
+        CsvCodec(schema)  # validate the (payload) schema against wire rules
 
     def write(self, rows) -> NatsCommitMessage:
-        lines = [",".join(_encode_value(v) for v in row).encode("utf-8") for row in rows]
-        return NatsCommitMessage(lines=lines)
+        if self._route_idx is None:
+            lines = [
+                ",".join(_encode_value(v) for v in row).encode("utf-8") for row in rows
+            ]
+            return NatsCommitMessage(lines=lines)
+        i = self._route_idx
+        routed = []
+        for row in rows:
+            payload = ",".join(
+                _encode_value(v) for j, v in enumerate(row) if j != i
+            ).encode("utf-8")
+            routed.append((str(row[i]), payload))
+        return NatsCommitMessage(lines=routed)
 
     def commit(self, messages) -> None:
         from datafusion_nats_spark.sources.broker import get_broker
 
         broker = get_broker(self.url)
         for message in messages:
-            for line in message.lines:
-                broker.publish(self.subject, line)
+            for item in message.lines:
+                if self._route_idx is not None:
+                    subject, line = item
+                    broker.publish(subject, line)
+                else:
+                    broker.publish(self.subject, item)
 
     def abort(self, messages) -> None:
         pass

@@ -710,3 +710,43 @@ def test_streaming_rejects_wildcard_subject():
             KV_SCHEMA,
             {"url": "memory://test", "subject": "w.a", "includemetadata": "true"},
         )
+
+
+def test_subject_column_routed_write_then_wildcard_read(spark, broker):
+    """Per-row subject routing on the sink (Kafka topic-column analogue),
+    round-tripped through a wildcard read with provenance metadata."""
+    import pyspark.sql.types as T
+
+    df = spark.createDataFrame(
+        [(1, "a", "route.us"), (2, "b", "route.eu"), (3, "c", "route.us")],
+        T.StructType(KV_SCHEMA.fields + [T.StructField("route", T.StringType())]),
+    )
+    (
+        df.write.format("nats")
+        .option("url", "memory://test")
+        .option("subjectColumn", "route")
+        .mode("append")
+        .save()
+    )
+    schema = T.StructType(
+        KV_SCHEMA.fields
+        + [
+            T.StructField("_subject", T.StringType()),
+            T.StructField("_offset", T.LongType()),
+        ]
+    )
+    rows = (
+        spark.read.format("nats")
+        .schema(schema)
+        .option("url", "memory://test")
+        .option("subject", "route.*")
+        .option("includeMetadata", "true")
+        .load()
+        .collect()
+    )
+    got = sorted((r.id, r.name, r._subject, r._offset) for r in rows)
+    assert got == [
+        (1, "a", "route.us", 0),
+        (2, "b", "route.eu", 0),
+        (3, "c", "route.us", 1),
+    ]
