@@ -225,3 +225,23 @@ def test_sessionize_windows_partitioned_by_user(spark, sf_dir):
     for m in re.finditer(r"Window \[", plan):
         frag = plan[m.start() : m.start() + 400]
         assert "user_id" in frag
+
+
+def test_upsert_merge_is_single_key_join(spark, sf_dir):
+    """The SCD-1 merge must resolve as ONE join on the business key —
+    never a nested loop, and no second shuffle before the final agg."""
+    plan = _plan(spark, sf_dir, "maintenance_upsert_scd1")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_scd2_windows_partitioned_by_key(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "maintenance_scd2_history")
+    for m in re.finditer(r"Window \[", plan):
+        frag = plan[m.start() : m.start() + 400]
+        assert "key" in frag  # per-key partitioning, no global sort
