@@ -338,3 +338,41 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "explode_outer_long_tokens",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         w -> len(w) >= 8) AS zs
+      FROM documents
+    ), exploded AS (
+      SELECT doc_id, lang,
+             unnest(CASE WHEN len(zs) = 0 THEN [CAST(NULL AS VARCHAR)]
+                         ELSE zs END) AS ztok
+      FROM arr
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                          AS n_rows,
+           CAST(count(ztok) AS BIGINT)                       AS n_tokens,
+           CAST(count(*) FILTER (WHERE ztok IS NULL) AS BIGINT) AS n_docs_without
+    FROM exploded
+    GROUP BY lang
+    """,
+    doc="explode_outer: docs whose long-word (len>=8) array is EMPTY survive as a NULL row "
+    "(plain explode drops them — silently losing every document without "
+    "a match). The oracle spells the same semantics as a NULL-padded "
+    "unnest, since DuckDB has no outer unnest.",
+)
+def explode_outer_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    zs = F.filter(toks, lambda w: F.length(w) >= 8)
+    exploded = d.select("doc_id", "lang", F.explode_outer(zs).alias("ztok"))
+    return exploded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("ztok").alias("n_tokens"),
+        F.count_if(F.col("ztok").isNull()).alias("n_docs_without"),
+    )
