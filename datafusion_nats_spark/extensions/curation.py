@@ -294,3 +294,51 @@ def curation_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.desc("contamination"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "curation_lang_balance_resample",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), target AS (
+      SELECT min(n) AS m FROM counts
+    ), ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|balance'), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.lang,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(r.n_chars) AS BIGINT) AS total_chars
+    FROM ranked r, target t
+    WHERE r.rn <= t.m
+    GROUP BY r.lang
+    """,
+    doc="Language rebalancing: downsample every language to the smallest "
+    "language's document count, picking rows in deterministic hash order "
+    "(md5 of doc_id — an unbiased, reproducible shuffle both engines "
+    "compute identically). Per-lang windows keep the sort partition-"
+    "local; the 1-row target count broadcasts.",
+)
+def curation_lang_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    m = d.groupBy("lang").count().agg(F.min("count").alias("m"))
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|balance"))), "doc_id"
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -295,3 +295,20 @@ def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
     for et, n in before.items():
         if et != "click":
             assert after[et] == n  # untouched
+
+
+def test_zorder_prefix_partition_pruning(spark, sf_dir, tmp_path):
+    """The curve-prefix directories double as partition-pruning keys: a
+    filter on __zq must reach the scan as a PartitionFilter (directory
+    skipped entirely, zero I/O) rather than a row filter."""
+    from datafusion_nats_spark.extensions.layout import write_zordered
+
+    out = str(tmp_path / "zp")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_zordered(o, out, "o_custkey", "o_orderkey", n_files=4)
+    df = spark.read.parquet(out).filter("__zq = 0")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__zq" in plan.split("PartitionFilters")[1][:120]
+    n_all = spark.read.parquet(out).count()
+    n_pruned = df.count()
+    assert 0 < n_pruned < n_all
