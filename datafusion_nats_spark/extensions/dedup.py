@@ -383,9 +383,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _connected_components_oracle() -> str:
+    """DuckDB twin of the iterative min-label propagation: the same
+    verified-edge graph, closed transitively with WITH RECURSIVE, then
+    component = min reachable vertex id. (The Spark side stays an
+    iterative join loop — a recursive CTE would materialize the closure
+    through a single plan, which doesn't scale; the oracle only needs to
+    be correct, not scalable.)"""
+    chain = _LSH_BANDED_DUCK.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""
+    {chain}
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(DISTINCT shingle) AS n FROM capped GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN capped x ON x.doc_id = c.doc_a
+      JOIN capped y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ), verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN inter USING (doc_a, doc_b)
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+    ), adj AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION
+      SELECT doc_b, doc_a FROM verified
+    ), reach AS (
+      SELECT a AS id, a AS r FROM adj
+      UNION
+      SELECT reach.id, adj.b FROM reach JOIN adj ON adj.a = reach.r
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach
+    GROUP BY id
+    """
+
+
 @query(
     "dedup_connected_components",
-    oracle=None,  # iterative fixpoint — not single-statement SQL; pytest-verified
+    oracle=_connected_components_oracle(),
     doc="Connected components over the verified near-dup pair graph "
     "(iterative min-label propagation: each round every vertex adopts the "
     "smallest component id among itself and its neighbors, until "
