@@ -92,12 +92,65 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOT_DUCK = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM_DUCK = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+
+
 @query(
     "sim_ivf_ann",
-    oracle=None,  # approximate recall vs. brute force is asserted in tests
+    # The whole pipeline (per-label mean centroids -> nprobe probe ->
+    # exact rerank) is deterministic arithmetic, so it gets a full oracle:
+    # cell similarity is rounded to 6 decimals on BOTH sides before the
+    # probe ranking (ties then break on the cell id), same convention as
+    # every other cross-engine float ordering here.
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS cell, list(m ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, i AS pos, avg(emb[i]) AS m
+        FROM e, range(1, 65) t(i)
+        GROUP BY label, i
+      )
+      GROUP BY label
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_DOT_DUCK.format(a='q.qe', b='c.centroid')}
+                          / ({_NORM_DUCK.format(a='q.qe')}
+                             * {_NORM_DUCK.format(a='c.centroid')}), 6) DESC,
+                          c.cell
+               ) AS cell_rank
+        FROM q, cent c
+      ) WHERE cell_rank <= {NPROBE}
+    ), scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             round({_DOT_DUCK.format(a='p.qe', b='e.emb')}
+                   / ({_NORM_DUCK.format(a='p.qe')}
+                      * {_NORM_DUCK.format(a='e.emb')}), 6) AS cosine
+      FROM probes p JOIN e ON e.label = p.cell AND e.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
     doc="IVF-style ANN: per-label centroid codebook (broadcast), probe the "
     f"{NPROBE} nearest cells per query, exact cosine rerank within cells. "
-    "Rows-only driver check; recall@10 vs brute force asserted in pytest.",
+    "Full DuckDB oracle (deterministic arithmetic end-to-end); recall@10 "
+    "vs brute force additionally asserted in pytest.",
 )
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
@@ -127,8 +180,12 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(centroids))
         .withColumn(
             "cell_sim",
-            _dot(F.col("qe"), F.col("centroid"))
-            / (_norm(F.col("qe")) * _norm(F.col("centroid"))),
+            # rounded before ranking so the probe choice is engine-stable
+            F.round(
+                _dot(F.col("qe"), F.col("centroid"))
+                / (_norm(F.col("qe")) * _norm(F.col("centroid"))),
+                6,
+            ),
         )
         .withColumn("cell_rank", F.row_number().over(probe_w))
         .filter(F.col("cell_rank") <= NPROBE)
