@@ -44,8 +44,11 @@ def fake_decode_features(payload: bytes) -> tuple[int, int, float]:
     n = len(payload)
     width = (n % 64) + 1
     height = (n // 64) + 1
+    # raw IEEE division (integer sum / integer count) — bit-identical in
+    # every engine, so no rounding step (Python's banker's rounding would
+    # diverge from SQL round() on exact .5e-6 boundaries)
     mean_px = (sum(payload[:256]) / min(n, 256)) if n else 0.0
-    return width, height, round(mean_px, 6)
+    return width, height, mean_px
 
 
 def with_binary_payload(documents: DataFrame) -> DataFrame:
@@ -90,10 +93,26 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_feature_extract",
-    oracle=None,  # mapInPandas path — behavior asserted in pytest
+    # The deterministic fake decoder is pure byte arithmetic, and the
+    # corpus is ASCII (verified: octet_length == char length at every SF),
+    # so even the Python mapInPandas path gets an exact SQL twin —
+    # byte i == ord(char i).
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(n % 64 + 1 AS INTEGER)  AS width,
+           CAST(n // 64 + 1 AS INTEGER) AS height,
+           CAST(list_sum(list_transform(range(1, least(n, 256) + 1),
+                                        i -> ord(substr(text, i, 1)))) AS DOUBLE)
+             / least(n, 256)            AS mean_px
+    FROM f
+    """,
     doc="Arrow-batched feature extraction over binary payloads via "
     "mapInPandas (deterministic fake decoder; swap decode_image for real "
-    "media). Map-only: no shuffle touches the payload bytes.",
+    "media). Map-only: no shuffle touches the payload bytes. The fake is "
+    "pure byte arithmetic, so the Python path has an exact DuckDB twin.",
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = with_binary_payload(load(spark, sf_dir, "documents"))
@@ -119,10 +138,25 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_frame_sample",
-    oracle=None,  # mapInPandas path — behavior asserted in pytest
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER)                                AS frame_idx,
+           CAST(least(n, (i + 1) * 32) - i * 32 AS INTEGER)  AS frame_len,
+           CAST(list_sum(list_transform(
+                  range(i * 32 + 1, least(n, (i + 1) * 32) + 1),
+                  j -> ord(substr(text, j, 1)))) AS DOUBLE)  AS frame_sum
+    FROM (SELECT doc_id, text, n,
+                 unnest(range(0, CAST((n + 31) // 32 AS BIGINT), 4)) AS i
+          FROM f)
+    """,
     doc="Frame-sampling shape for video-like payloads: chunk the binary "
     "into fixed-size 'frames', emit every k-th with an index — one row in, "
-    "many rows out through mapInPandas (the explode-with-python shape).",
+    "many rows out through mapInPandas (the explode-with-python shape). "
+    "ASCII corpus makes the byte chunking SQL-expressible -> full oracle.",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = with_binary_payload(load(spark, sf_dir, "documents")).filter(
