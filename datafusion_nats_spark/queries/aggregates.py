@@ -385,3 +385,70 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     )
+
+
+@query(
+    "agg_percentile_within_group",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50_cont,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_cont,
+           round(quantile_disc(o_totalprice, 0.25), 2) AS p25_disc,
+           round(quantile_disc(o_totalprice, 0.75), 2) AS p75_disc
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Ordered-set aggregates (SQL:2008 WITHIN GROUP): percentile_cont "
+    "linear interpolation + percentile_disc exact order statistic per "
+    "priority class. DuckDB spells them quantile_cont/quantile_disc — "
+    "identical (n-1)*p indexing, verified value-equal at both SFs.",
+)
+def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50_cont,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90_cont,
+               round(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p25_disc,
+               round(percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p75_disc
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact distinct counting via Spark 3.5 bitmap aggregates: keys are "
+    "bucketed (bitmap_bucket_number), each bucket builds a fixed-size "
+    "bitmap (bitmap_construct_agg of bit positions), and bucket "
+    "cardinalities sum to the exact distinct count. Unlike "
+    "count(DISTINCT) this is re-aggregatable: persisted per-bucket "
+    "bitmaps OR-merge (bitmap_or_agg) across rollup levels without "
+    "rescanning the fact table — the exact-count analogue of the HLL "
+    "partial/merge pipeline. Oracle: plain count(DISTINCT).",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH buckets AS (
+          SELECT o_orderpriority,
+                 bitmap_bucket_number(o_custkey) AS bkt,
+                 bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+          FROM orders
+          GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)
+        )
+        SELECT o_orderpriority,
+               CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_customers
+        FROM buckets
+        GROUP BY o_orderpriority
+        """
+    )

@@ -216,3 +216,40 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("a.k").eqNullSafe(F.col("b.k"))).select(
         F.col("a.k").alias("k"), "n_all", "n_big"
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 3
+    ) t
+    """,
+    doc="Correlated LATERAL join (SQL:2016 lateral derived table, Spark "
+    "3.2+/4.x JOIN LATERAL): top-3 orders per customer where the inner "
+    "query references the outer row. Catalyst decorrelates the "
+    "ORDER BY+LIMIT lateral into a window/filter over an equi-join — no "
+    "per-row re-execution, so the plan scales as one shuffle on the "
+    "join key rather than |customer| inner scans.",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_nats_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3
+        ) t
+        """
+    )

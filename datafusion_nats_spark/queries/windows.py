@@ -257,3 +257,46 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(count(1) {over} AS BIGINT)").alias("n_7d"),
         F.expr(f"round(sum(value) {over}, 2)").alias("sum_7d"),
     )
+
+
+@query(
+    "window_count_distinct_rewrite",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS first_of_type
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(first_of_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_types_so_far
+    FROM flagged
+    """,
+    doc="Running COUNT(DISTINCT) over a window — unsupported natively by "
+    "both Spark and DuckDB — via the standard rewrite: flag the first "
+    "occurrence of each (user, event_type) with row_number()=1, then "
+    "running-sum the flags. Two partition-local window passes over the "
+    "same (user_id) shuffle; no state blow-up at scale because the "
+    "distinct-ness is materialized as a 0/1 column, not a growing set.",
+)
+def window_count_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    flagged = ev.withColumn(
+        "first_of_type",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_of_type").over(w_run).alias("n_types_so_far"),
+    )
