@@ -385,3 +385,51 @@ def sim_random_projection_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_vecs"), "signature")
         .limit(20)
     )
+
+
+@query(
+    "sim_arrow_vector_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_sum(list_transform(
+             embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+           round(list_sum(list_transform(
+             embedding, x -> CAST(x AS DOUBLE))), 4) AS comp_sum
+    FROM embeddings
+    """,
+    doc="Vector statistics through mapInArrow — the zero-copy Python "
+    "path: Arrow batches reach numpy without per-row conversion "
+    "(ListArray.values is one flat float32 buffer reshaped to a matrix), "
+    "vectorized math runs per batch, and Arrow batches go straight back. "
+    "The template for normalize/quantize/score kernels where built-in "
+    "higher-order functions run out; ~row-at-a-time UDF cost /100. "
+    "Float32 values are widened to float64 before squaring on BOTH "
+    "engines so the arithmetic is bit-comparable.",
+)
+def sim_arrow_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def vector_stats(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            vec_id = tbl.column("vec_id").to_numpy()
+            arr = tbl.column("embedding").combine_chunks()
+            flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            dim = len(flat) // len(vec_id) if len(vec_id) else 0
+            mat = flat.reshape(len(vec_id), dim) if len(vec_id) else flat.reshape(0, 0)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pa.array(vec_id),
+                    "dim": pa.array(np.full(len(vec_id), dim, dtype=np.int32)),
+                    "l2_norm": pa.array(np.round(np.sqrt((mat * mat).sum(axis=1)), 4)),
+                    "comp_sum": pa.array(np.round(mat.sum(axis=1), 4)),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        vector_stats, "vec_id long, dim int, l2_norm double, comp_sum double"
+    )

@@ -376,3 +376,85 @@ def explode_outer_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ztok").alias("n_tokens"),
         F.count_if(F.col("ztok").isNull()).alias("n_docs_without"),
     )
+
+
+@query(
+    "cogroup_asof_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ), c0 AS (
+      SELECT user_id, ts AS cts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.purchase_id, p.pts, c0.cts AS click_ts, c0.click_id
+    FROM p ASOF LEFT JOIN c0
+      ON p.user_id = c0.user_id AND p.pts >= c0.cts
+    """,
+    doc="As-of join implemented as a cogrouped-Pandas custom operator: "
+    "both sides shuffle once on user_id, then each key's purchase and "
+    "click groups meet in one Arrow batch where pandas.merge_asof does "
+    "the per-key backward search. This is the imperative scale path for "
+    "as-of semantics Spark lacks natively (vs the window-composition "
+    "rewrite in asof_join_last_purchase): per-key work is a local "
+    "sort-merge, state never exceeds one key group, and the only shuffle "
+    "is the cogroup exchange. Click side pre-deduped per (user, ts) with "
+    "max(event_id) so the as-of pick is unambiguous under ts ties. "
+    "Oracle: DuckDB native ASOF LEFT JOIN.",
+)
+def cogroup_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("cts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+
+    out_schema = (
+        "user_id long, purchase_id long, pts timestamp, "
+        "click_ts timestamp, click_id long"
+    )
+
+    def asof_merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "purchase_id", "pts", "click_ts", "click_id"]
+        if left.empty:  # key has clicks but no purchases → no output rows
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "purchase_id": pd.Series(dtype="int64"),
+                    "pts": pd.Series(dtype="datetime64[us]"),
+                    "click_ts": pd.Series(dtype="datetime64[us]"),
+                    "click_id": pd.Series(dtype="Int64"),
+                }
+            )
+        left = left.sort_values("pts")
+        if right.empty:
+            res = left.copy()
+            res["click_ts"] = pd.NaT
+            res["click_id"] = pd.array([None] * len(left), dtype="Int64")
+            return res[cols]
+        right = right.sort_values("cts").rename(columns={"cts": "click_ts"})[
+            ["click_ts", "click_id"]
+        ]
+        merged = pd.merge_asof(
+            left,
+            right,
+            left_on="pts",
+            right_on="click_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        merged["click_id"] = merged["click_id"].astype("Int64")
+        return merged[cols]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(asof_merge, out_schema)
+    )

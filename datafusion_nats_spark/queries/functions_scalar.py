@@ -583,3 +583,31 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     ).orderBy("doc_id")
+
+
+@query(
+    "fn_regexp_extract_all",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b\w{6,}\b')) AS INTEGER) AS n_long,
+           regexp_extract_all(text, '\b\w{6,}\b')[1]                    AS first_long,
+           split_part(concat(lang, '_', source, '_', CAST(doc_id AS VARCHAR)),
+                      '_', 2)                                           AS src_part
+    FROM documents
+    """,
+    doc="Multi-match regex extraction (regexp_extract_all → array of all "
+    "matches, Java regex on the Spark side, RE2 on the oracle side — the "
+    r"\b\w{n,} class behaves identically) plus split_part field access. "
+    "Map-only over the scan; the extracted array stays columnar.",
+)
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pat = F.lit(r"\b\w{6,}\b")
+    matches = F.regexp_extract_all(F.col("text"), pat, F.lit(0))
+    tagged = F.concat_ws("_", "lang", "source", F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        F.size(matches).alias("n_long"),
+        F.try_element_at(matches, F.lit(1)).alias("first_long"),
+        F.split_part(tagged, F.lit("_"), F.lit(2)).alias("src_part"),
+    )

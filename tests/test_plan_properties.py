@@ -245,3 +245,42 @@ def test_scd2_windows_partitioned_by_key(spark, sf_dir):
     for m in re.finditer(r"Window \[", plan):
         frag = plan[m.start() : m.start() + 400]
         assert "key" in frag  # per-key partitioning, no global sort
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    # the ORDER BY+LIMIT lateral must become a window/filter over ONE
+    # equi-join — per-outer-row re-execution would be a nested loop
+    plan = _plan(spark, sf_dir, "join_lateral_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_cogroup_asof_single_exchange_per_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cogroup_asof_join")
+    assert "FlatMapCoGroupsInPandas" in plan
+    # both sides shuffle once on user_id and meet in the cogroup — no
+    # join node anywhere (the as-of logic lives in the pandas kernel)
+    assert "Join" not in plan
+
+
+def test_pagerank_iterations_reuse_cached_edges(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_pagerank_suppliers")
+    # the cached edge list must be read from the block store, not
+    # recomputed from parquet each iteration
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_arrow_vector_stats_is_pure_map(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sim_arrow_vector_stats")
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+    assert "Exchange" not in plan  # map-only: no shuffle at any width
+
+
+def test_continuous_aggregate_partials_before_union(spark, sf_dir):
+    # both branches (hourly rollup re-agg + raw tail) must partial-agg
+    # before the final merge: >=4 HashAggregate nodes (2 per branch)
+    plan = _plan(spark, sf_dir, "rollup_continuous_aggregate")
+    assert plan.count("HashAggregate") >= 4
+    assert "Union" in plan
