@@ -452,3 +452,64 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "agg_regression_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4)      AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)  AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)         AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 6)       AS avgx,
+           round(regr_avgy(l_extendedprice, l_quantity), 6)       AS avgy
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Linear-regression aggregate family (SQL:2003 regr_*): slope, "
+    "intercept, R², and the paired averages of price-vs-quantity per "
+    "return flag. One hash aggregate with map-side partials — the "
+    "moment sums are decomposable, so this scales like any sum.",
+)
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+               round(regr_slope(l_extendedprice, l_quantity), 4)      AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4)  AS icept,
+               round(regr_r2(l_extendedprice, l_quantity), 6)         AS r2,
+               round(regr_avgx(l_extendedprice, l_quantity), 6)       AS avgx,
+               round(regr_avgy(l_extendedprice, l_quantity), 6)       AS avgy
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "agg_histogram_width_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 21
+                ELSE CAST(floor(o_totalprice / 30000) + 1 AS BIGINT)
+           END                      AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Equi-width histogram via width_bucket(x, 0, 600000, 20): the "
+    "single-pass binning aggregate (21 = overflow bucket). DuckDB 1.0 "
+    "has no width_bucket, so the oracle spells out the same floor "
+    "arithmetic — which also documents the exact bucket semantics.",
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = F.expr("width_bucket(o_totalprice, 0, 600000, 20)")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

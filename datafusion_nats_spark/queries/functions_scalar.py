@@ -611,3 +611,64 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(matches, F.lit(1)).alias("first_long"),
         F.split_part(tagged, F.lit("_"), F.lit(2)).alias("src_part"),
     )
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(text, ' ')))      AS uniq_sorted,
+           flatten([string_split(text, ' ')[1:3],
+                    string_split(text, ' ')[4:6]])                AS first6,
+           CAST(len(list_distinct(string_split(text, ' ')))
+                AS INTEGER)                                       AS n_uniq
+    FROM documents
+    """,
+    doc="Array set operations: distinct + canonical sort (set-equality "
+    "normal form — array_distinct alone is order-dependent between "
+    "engines, array_sort makes it comparable), slice windows, and "
+    "flatten of nested arrays. All columnar JVM higher-order "
+    "functions, map-only over the scan.",
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(words)).alias("uniq_sorted"),
+        F.flatten(
+            F.array(F.slice(words, 1, 3), F.slice(words, 4, 3))
+        ).alias("first6"),
+        F.size(F.array_distinct(words)).alias("n_uniq"),
+    )
+
+
+@query(
+    "fn_xml_xpath",
+    oracle="""
+    SELECT doc_id,
+           lang                         AS xl,
+           source                       AS xs,
+           CAST(n_chars AS INTEGER)     AS xn
+    FROM documents
+    """,
+    doc="XML extraction via Spark's xpath_string/xpath_int over "
+    "field-wrapped XML documents (the round-trip proves the XPath "
+    "evaluation, not the construction). DuckDB has no XML support, so "
+    "the oracle is the identity on the wrapped fields — any XPath "
+    "mis-evaluation breaks the hash.",
+)
+def fn_xml_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<d><l>"), F.col("lang"),
+        F.lit("</l><s>"), F.col("source"),
+        F.lit("</s><n>"), F.col("n_chars").cast("string"),
+        F.lit("</n></d>"),
+    )
+    return d.select(
+        "doc_id",
+        F.xpath_string(xml, F.lit("/d/l")).alias("xl"),
+        F.xpath_string(xml, F.lit("/d/s")).alias("xs"),
+        F.xpath_int(xml, F.lit("/d/n")).alias("xn"),
+    )

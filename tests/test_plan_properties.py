@@ -284,3 +284,43 @@ def test_continuous_aggregate_partials_before_union(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rollup_continuous_aggregate")
     assert plan.count("HashAggregate") >= 4
     assert "Union" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime filtering: when the build side of a shuffle join is
+    selectively filtered, Spark injects a bloom_filter_agg subquery and a
+    might_contain() predicate on the probe side — at 100 TB this skips
+    shuffling probe rows that can never match. Pinned here with broadcast
+    disabled (broadcast joins don't need the bloom) and the scan-size
+    threshold dropped for the small local files."""
+    from pyspark.sql import functions as F
+
+    from datafusion_nats_spark.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

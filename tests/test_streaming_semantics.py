@@ -375,3 +375,79 @@ def test_observe_metrics_single_pass(spark, sf_dir):
     assert got["n_rows"] == exact["n_rows"]
     assert got["n_big"] == exact["n_big"]
     assert abs(got["revenue"] - exact["revenue"]) < 1e-6
+
+
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("val", T.IntegerType(), False),
+    ]
+)
+
+
+def test_foreach_batch_cdc_merge(spark, broker, tmp_path):
+    """CDC apply: a stream of upsert/delete change records maintains a
+    keyed snapshot table through foreachBatch — the streaming twin of the
+    batch SCD-1 merge (maintenance_upsert_scd1). Each epoch merges into a
+    new snapshot version (versioned directories = poor-man's atomic
+    commit; Delta/Iceberg MERGE INTO at production scale), so a replayed
+    epoch would rewrite the same version instead of double-applying."""
+    from pyspark.sql import Window as W
+
+    state = {"ver": 0}
+    base = str(tmp_path / "state_v")
+    spark.createDataFrame(
+        [("k1", 1), ("k2", 2)], "key string, val int"
+    ).write.parquet(base + "0")
+
+    def apply_cdc(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        # last change per key within the epoch wins
+        w = W.partitionBy("key").orderBy(F.desc("ts"))
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("key", "op", "val")
+        )
+        current = spark.read.parquet(base + str(state["ver"]))
+        merged = current.join(latest, "key", "left_anti").unionByName(
+            latest.filter(F.col("op") == "upsert").select("key", "val")
+        )
+        merged.write.parquet(base + str(state["ver"] + 1))
+        state["ver"] += 1
+
+    changes = [
+        b"2024-01-01 10:00:00,k1,upsert,10",
+        b"2024-01-01 10:00:01,k3,upsert,30",
+        b"2024-01-01 10:00:02,k2,delete,0",
+        b"2024-01-01 10:00:03,k3,upsert,31",
+        b"2024-01-01 10:00:04,k4,upsert,40",
+        b"2024-01-01 10:00:05,k1,delete,0",
+    ]
+    for p in changes:
+        broker.publish("cdc", p)
+
+    q = (
+        spark.readStream.format("nats")
+        .schema(CDC_SCHEMA)
+        .option("url", "memory://stream_sem")
+        .option("subject", "cdc")
+        .option("maxMessagesPerBatch", "3")
+        .load()
+        .writeStream.foreachBatch(apply_cdc)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert state["ver"] >= 2  # 6 changes / 3 per batch
+    final = {
+        r.key: r.val
+        for r in spark.read.parquet(base + str(state["ver"])).collect()
+    }
+    assert final == {"k3": 31, "k4": 40}
