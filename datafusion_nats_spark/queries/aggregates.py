@@ -513,3 +513,22 @@ def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle=None,  # t-digest/GK sketches are engine-specific; accuracy vs
+    # the exact percentile is pytest-asserted (test_oracle_parity.py)
+    doc="approx_percentile (Greenwald-Khanna sketch, accuracy 10000) per "
+    "event_type — the single-pass, mergeable quantile estimator that "
+    "replaces exact percentile at 100 TB (exact needs a full sort or "
+    "all values in memory per group; the sketch is O(1/accuracy) "
+    "state and re-aggregatable map-side).",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -300,3 +300,44 @@ def window_count_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_id",
         F.sum("first_of_type").over(w_run).alias("n_types_so_far"),
     )
+
+
+@query(
+    "sort_null_ordering",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, event_type,
+             CASE WHEN value < 10 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id,
+           CAST(row_number() OVER (
+             PARTITION BY event_type
+             ORDER BY v ASC NULLS FIRST, event_id) AS INTEGER)  AS rn_nulls_first,
+           CAST(row_number() OVER (
+             PARTITION BY event_type
+             ORDER BY v DESC NULLS LAST, event_id) AS INTEGER)  AS rn_nulls_last
+    FROM t
+    """,
+    doc="Explicit NULL ordering (ASC NULLS FIRST / DESC NULLS LAST — the "
+    "opposite of Spark's defaults): made hash-observable by materializing "
+    "each ordering as a row_number, since the correctness gate compares "
+    "order-insensitive multisets. Partitioned by event_type so the sort "
+    "stays partition-local at scale; event_id tiebreak keeps ranks "
+    "deterministic under value ties.",
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value"))
+    t = ev.select("event_id", "event_type", v.alias("v"))
+    w_nf = W.partitionBy("event_type").orderBy(
+        F.col("v").asc_nulls_first(), "event_id"
+    )
+    w_nl = W.partitionBy("event_type").orderBy(
+        F.col("v").desc_nulls_last(), "event_id"
+    )
+    return t.select(
+        "event_id",
+        F.row_number().over(w_nf).alias("rn_nulls_first"),
+        F.row_number().over(w_nl).alias("rn_nulls_last"),
+    )

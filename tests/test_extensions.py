@@ -205,3 +205,24 @@ def test_hll_partial_merge_accuracy(spark, sf_dir):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(2, 0.05 * n), (et, approx[et], n)
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    # GK guarantees RANK error (<= n/accuracy), not value error — in a
+    # sparse tail the value gap can be large while the rank is spot-on.
+    # Assert each estimate's true cumulative rank is within 0.5% of the
+    # requested quantile (the guarantee at accuracy=10000 is 0.01%).
+    from datafusion_nats_spark.queries.aggregates import agg_approx_percentile
+    from datafusion_nats_spark.tables import load
+
+    approx = {
+        r.event_type: (r.p50_approx, r.p99_approx)
+        for r in agg_approx_percentile(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    for et, (p50, p99) in approx.items():
+        grp = ev.filter(F.col("event_type") == et)
+        n = grp.count()
+        for target, est in ((0.5, p50), (0.99, p99)):
+            rank = grp.filter(F.col("value") <= est).count() / n
+            assert abs(rank - target) <= 0.005, (et, target, est, rank)

@@ -324,3 +324,40 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sql_join_hints_are_honored(spark, sf_dir):
+    """SQL join-strategy hints: /*+ BROADCAST(d) */ must produce a
+    BroadcastHashJoin, /*+ MERGE(d) */ a SortMergeJoin — the escape
+    hatch when statistics mislead the planner at scale."""
+    from datafusion_nats_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    bc = spark.sql(
+        """SELECT /*+ BROADCAST(n) */ c_custkey, n_name
+           FROM customer JOIN nation n ON c_nationkey = n_nationkey"""
+    )
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+    smj = spark.sql(
+        """SELECT /*+ MERGE(n) */ c_custkey, n_name
+           FROM customer JOIN nation n ON c_nationkey = n_nationkey"""
+    )
+    assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
+
+
+def test_distribute_and_cluster_by_partition_the_exchange(spark, sf_dir):
+    """DISTRIBUTE BY hashes rows to partitions without a sort; CLUSTER BY
+    adds the partition-local sort — the SQL spellings of
+    repartition()/repartition().sortWithinPartitions() used to pre-shape
+    data for bucketed writes."""
+    from datafusion_nats_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    dist = spark.sql("SELECT * FROM events DISTRIBUTE BY user_id")
+    dplan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(user_id" in dplan
+    assert "Sort" not in dplan
+    clus = spark.sql("SELECT * FROM events CLUSTER BY user_id")
+    cplan = clus._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(user_id" in cplan
+    assert "Sort [user_id" in cplan

@@ -451,3 +451,56 @@ def test_foreach_batch_cdc_merge(spark, broker, tmp_path):
         for r in spark.read.parquet(base + str(state["ver"])).collect()
     }
     assert final == {"k3": 31, "k4": 40}
+
+
+def test_stream_stream_full_outer_join(spark, broker):
+    """FULL OUTER stream-stream join: unmatched rows on EITHER side emit
+    NULL-padded once the watermark passes their join window — both state
+    stores evict, not just the left."""
+    lhs = (
+        _stream(spark, "fo_l")
+        .selectExpr("ts AS l_ts", "key AS l_key")
+        .withWatermark("l_ts", "5 minutes")
+    )
+    rhs = (
+        _stream(spark, "fo_r")
+        .selectExpr("ts AS r_ts", "key AS r_key")
+        .withWatermark("r_ts", "5 minutes")
+    )
+    joined = lhs.join(
+        rhs,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    )
+    q = (
+        joined.select("l_key", "r_key", "l_ts", "r_ts")
+        .writeStream.format("memory")
+        .queryName("fo_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # k_both matches; k_left only on the left; k_right only on the right
+        broker.publish("fo_l", b"2024-01-01 10:00:00,k_both")
+        broker.publish("fo_l", b"2024-01-01 10:01:00,k_left")
+        broker.publish("fo_r", b"2024-01-01 10:02:00,k_both")
+        broker.publish("fo_r", b"2024-01-01 10:03:00,k_right")
+        q.processAllAvailable()
+        # advance the watermark on BOTH sides past every join window
+        broker.publish("fo_l", b"2024-01-01 12:00:00,k_z")
+        broker.publish("fo_r", b"2024-01-01 12:00:00,k_z")
+        q.processAllAvailable()
+        broker.publish("fo_l", b"2024-01-01 14:00:00,k_y")
+        broker.publish("fo_r", b"2024-01-01 14:00:00,k_y")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM fo_out").collect()
+    finally:
+        q.stop()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.l_key or r.r_key, []).append((r.l_key, r.r_key))
+    assert ("k_both", "k_both") in by_key["k_both"]  # matched pair
+    assert ("k_left", None) in by_key["k_left"]      # left expired NULL-padded
+    assert (None, "k_right") in by_key["k_right"]    # right expired NULL-padded
