@@ -458,3 +458,25 @@ def cogroup_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(clicks.groupBy("user_id"))
         .applyInPandas(asof_merge, out_schema)
     )
+
+
+@query(
+    "fn_posexplode_ordinality",
+    oracle="""
+    SELECT doc_id,
+           CAST(p[2] - 1 AS INTEGER) AS pos,
+           p[1]                      AS word
+    FROM (
+      SELECT doc_id, unnest(list_zip(l, range(1, len(l) + 1))) AS p
+      FROM (SELECT doc_id, string_split(text, ' ')[1:5] AS l FROM documents)
+    )
+    """,
+    doc="posexplode — UNNEST WITH ORDINALITY: each array element arrives "
+    "with its 0-based position (first 5 words per document). DuckDB 1.0 "
+    "has no WITH ORDINALITY, so the oracle zips the list with its index "
+    "range; unnamed-struct fields are accessed positionally (p[1]/p[2]).",
+)
+def fn_posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    first5 = F.slice(F.split("text", " "), 1, 5)
+    return d.select("doc_id", F.posexplode(first5).alias("pos", "word"))

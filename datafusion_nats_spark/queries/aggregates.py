@@ -9,6 +9,7 @@ these plans survive a 100 TB fact table.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -531,4 +532,36 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_grouped_pandas_udaf",
+    oracle="""
+    SELECT event_type,
+           round(sum(value * (user_id + 1.0)) / sum(user_id + 1.0), 6) AS wmean
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Custom aggregate as a GROUPED_AGG pandas UDF: weighted mean over "
+    "Arrow-batched group columns — the extension point for aggregates "
+    "Spark lacks. Unlike builtin aggregates this holds each group's "
+    "column in memory (no partial/final split), so at scale it needs "
+    "bounded group cardinality; for decomposable stats prefer the "
+    "builtin sum/count composition the oracle spells.",
+)
+def agg_grouped_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    ev = load(spark, sf_dir, "events")
+    # NB: a GROUPED_AGG pandas UDF cannot mix with builtin aggregates in
+    # the same agg() — Spark plans it as AggregateInPandas
+    return ev.groupBy("event_type").agg(
+        F.round(
+            wmean("value", F.col("user_id").cast("double") + 1.0), 6
+        ).alias("wmean")
     )

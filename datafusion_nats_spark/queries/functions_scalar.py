@@ -672,3 +672,34 @@ def fn_xml_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_string(xml, F.lit("/d/s")).alias("xs"),
         F.xpath_int(xml, F.lit("/d/n")).alias("xn"),
     )
+
+
+@query(
+    "fn_python_udf_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / (l_quantity + 1.0) AS score
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    """,
+    doc="Arrow-optimized scalar Python UDF (@udf(useArrow=True)): scalar "
+    "row semantics, but values cross the JVM↔Python boundary as Arrow "
+    "batches instead of pickled rows. Returns the raw IEEE division "
+    "(bit-identical in every engine) — NO Python round(), which is "
+    "half-to-even and diverges from SQL rounding on boundary values. "
+    "Kept OFF hot paths per the UDF hierarchy: builtin >> pandas_udf "
+    ">> arrow udf >> pickled udf.",
+)
+def fn_python_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="double", useArrow=True)
+    def price_score(price: float, qty: float) -> float:
+        return price / (qty + 1.0)
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        price_score("l_extendedprice", "l_quantity").alias("score"),
+    )

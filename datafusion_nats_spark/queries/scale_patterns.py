@@ -121,3 +121,48 @@ def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+RANGE_BUCKET_SECONDS = 600
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    GROUP BY a.user_id
+    """,
+    doc="Range self-join (pairs of same-user events within 10 minutes) "
+    "rewritten as an EQUI-join: each left row replicates into its own "
+    "10-minute bucket and the next (explode of 2 bucket ids), the join "
+    "runs on (user_id, bucket) through the hash-join machinery, and the "
+    "exact range predicate filters the candidates. A naive theta join "
+    "is a per-key nested loop (O(n²) in the hot key); the bucketed form "
+    "shuffles once and touches only adjacent-bucket candidates — the "
+    "standard interval-join strategy (Flink interval join / "
+    "point-in-range bucketing). Oracle: the direct theta join.",
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    bkt = F.floor(F.unix_timestamp("ts") / RANGE_BUCKET_SECONDS)
+    left = ev.select(
+        "user_id",
+        F.col("ts").alias("a_ts"),
+        F.explode(F.array(bkt, bkt + 1)).alias("bkt"),
+    )
+    right = ev.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("b_ts"),
+        bkt.alias("bkt"),
+    )
+    pairs = left.join(
+        right, (left.user_id == right.r_user) & (left.bkt == right.bkt)
+    ).filter(
+        (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))

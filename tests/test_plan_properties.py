@@ -361,3 +361,11 @@ def test_distribute_and_cluster_by_partition_the_exchange(spark, sf_dir):
     cplan = clus._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(user_id" in cplan
     assert "Sort [user_id" in cplan
+
+
+def test_range_bucketed_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the whole point of the bucket rewrite: the range predicate must ride
+    # on a hash equi-join, never a nested loop over per-user rows
+    plan = _plan(spark, sf_dir, "join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
