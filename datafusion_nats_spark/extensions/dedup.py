@@ -482,3 +482,64 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+def _collapse_canonical_oracle() -> str:
+    """Deduplicated corpus: every document except non-canonical members
+    of near-dup components (canonical = min doc_id = the component id)."""
+    chain = _LSH_BANDED_DUCK.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""
+    {chain}
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(DISTINCT shingle) AS n FROM capped GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN capped x ON x.doc_id = c.doc_a
+      JOIN capped y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ), verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN inter USING (doc_a, doc_b)
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+    ), adj AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION
+      SELECT doc_b, doc_a FROM verified
+    ), reach AS (
+      SELECT a AS id, a AS r FROM adj
+      UNION
+      SELECT reach.id, adj.b FROM reach JOIN adj ON adj.a = reach.r
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    """
+
+
+@query(
+    "dedup_collapse_keep_canonical",
+    oracle=_collapse_canonical_oracle(),
+    doc="The dedup pipeline's OUTPUT stage: collapse each near-duplicate "
+    "component to its canonical member (min doc_id — exactly the "
+    "min-label component id, so no extra ranking pass) and emit the "
+    "surviving corpus via a left-anti join against the drop list. "
+    "Composes shingle→LSH→verify→connected-components end to end; the "
+    "anti join broadcasts the (tiny) drop list at any scale.",
+)
+def dedup_collapse_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = dedup_connected_components(spark, sf_dir)
+    drops = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    docs = load(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -703,3 +703,70 @@ def fn_python_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         price_score("l_extendedprice", "l_quantity").alias("score"),
     )
+
+
+@query(
+    "fn_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 1 MONTH   AS plus_month,
+           o_orderdate + INTERVAL 14 MONTH  AS plus_ym,
+           o_orderdate + INTERVAL 3 DAY + INTERVAL 4 HOUR
+             + INTERVAL 5 MINUTE + INTERVAL 6 SECOND AS plus_dts,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '2002-01-01') AS INTEGER) AS days_to_cutoff
+    FROM orders
+    """,
+    doc="Interval arithmetic: calendar-aware month addition (add_months "
+    "clamps month-end overflow identically in both engines), ANSI "
+    "year-month ('1-2') and day-time ('3 04:05:06') interval literals, "
+    "and day difference. add_months returns DATE in Spark — cast back "
+    "to TIMESTAMP for the cross-engine hash.",
+)
+def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 1).cast("timestamp").alias("plus_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL '1-2' YEAR TO MONTH")).alias(
+            "plus_ym"
+        ),
+        (
+            F.col("o_orderdate") + F.expr("INTERVAL '3 04:05:06' DAY TO SECOND")
+        ).alias("plus_dts"),
+        F.datediff(F.lit("2002-01-01").cast("date"), "o_orderdate").alias(
+            "days_to_cutoff"
+        ),
+    )
+
+
+@query(
+    "fn_from_csv_json",
+    oracle="""
+    SELECT doc_id,
+           '{"lang":"' || lang || '","n":' || n_chars || '}' AS j,
+           n_chars                   AS n_back,
+           CAST(n_chars AS INTEGER)  AS n_csv
+    FROM documents
+    """,
+    doc="Structured-text codecs as expressions: to_json(named_struct) "
+    "serialization, from_json round-trip, and from_csv line parsing — "
+    "the per-column twins of the source-level codecs (codec.py). The "
+    "oracle string-builds the exact JSON Spark emits (no-space "
+    "separators, field order = struct order).",
+)
+def fn_from_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payload = F.named_struct(F.lit("lang"), F.col("lang"), F.lit("n"), F.col("n_chars"))
+    j = F.to_json(payload)
+    return d.select(
+        "doc_id",
+        j.alias("j"),
+        F.from_json(j, "lang string, n bigint").getField("n").alias("n_back"),
+        F.from_csv(
+            F.concat_ws(",", "lang", F.col("n_chars").cast("string")),
+            F.lit("lang string, n int"),
+        )
+        .getField("n")
+        .alias("n_csv"),
+    )

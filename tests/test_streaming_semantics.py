@@ -504,3 +504,39 @@ def test_stream_stream_full_outer_join(spark, broker):
     assert ("k_both", "k_both") in by_key["k_both"]  # matched pair
     assert ("k_left", None) in by_key["k_left"]      # left expired NULL-padded
     assert (None, "k_right") in by_key["k_right"]    # right expired NULL-padded
+
+
+def test_drop_duplicates_within_watermark(spark, broker):
+    """dropDuplicatesWithinWatermark (Spark 3.5+): dedup keys are evicted
+    once the watermark passes them, so a duplicate arriving LATER than the
+    watermark delay re-emits — bounded state, unlike dropDuplicates whose
+    key set grows forever. Both halves asserted: suppression inside the
+    window, re-emission after eviction."""
+    dedup = (
+        _stream(spark, "ddww")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["key"])
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("ddww_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        broker.publish("ddww", b"2024-01-01 10:00:00,k1")
+        broker.publish("ddww", b"2024-01-01 10:01:00,k1")  # dup inside window
+        q.processAllAvailable()
+        # push the watermark far past k1's eviction horizon...
+        broker.publish("ddww", b"2024-01-01 12:00:00,adv")
+        q.processAllAvailable()
+        broker.publish("ddww", b"2024-01-01 12:30:00,adv2")
+        q.processAllAvailable()
+        # ...then k1 appears again: state was evicted, so it re-emits
+        broker.publish("ddww", b"2024-01-01 12:31:00,k1")
+        q.processAllAvailable()
+        rows = [r.key for r in spark.sql("SELECT key FROM ddww_out").collect()]
+    finally:
+        q.stop()
+    assert rows.count("k1") == 2  # once per watermark window, not 3x
+    assert rows.count("adv") == 1 and rows.count("adv2") == 1
