@@ -770,3 +770,163 @@ def fn_from_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .getField("n")
         .alias("n_csv"),
     )
+
+
+@query(
+    "fn_map_higher_order",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(n_regionkey * 2 AS BIGINT)  AS rk2,
+           CAST(CASE WHEN n_nationkey > 10 THEN 1 ELSE 0 END
+              + CASE WHEN n_regionkey > 10 THEN 1 ELSE 0 END AS INTEGER)
+                                            AS n_big,
+           CAST(n_nationkey * 3 AS BIGINT)  AS nk3,
+           CAST(n_nationkey AS BIGINT)      AS a_val,
+           ['NK', 'RK']                     AS keys_up
+    FROM nation
+    """,
+    doc="Higher-order MAP functions (map_from_arrays, transform_values, "
+    "transform_keys, map_filter, map_zip_with, str_to_map) — all JVM "
+    "lambda expressions, no Python. Results are extracted back to "
+    "scalars via element_at so the oracle is plain arithmetic.",
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("bigint")
+    rk = F.col("n_regionkey").cast("bigint")
+    m = F.map_from_arrays(F.array(F.lit("nk"), F.lit("rk")), F.array(nk, rk))
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    zipped = F.map_zip_with(m, doubled, lambda k, v1, v2: v1 + v2)
+    s2m = F.str_to_map(
+        F.concat(F.lit("a:"), nk, F.lit(",b:7")), F.lit(","), F.lit(":")
+    )
+    return n.select(
+        "n_nationkey",
+        F.element_at(doubled, "rk").alias("rk2"),
+        F.size(F.map_filter(m, lambda k, v: v > 10)).alias("n_big"),
+        F.element_at(zipped, "nk").alias("nk3"),
+        F.element_at(s2m, "a").cast("bigint").alias("a_val"),
+        F.array_sort(
+            F.map_keys(F.transform_keys(m, lambda k, v: F.upper(k)))
+        ).alias("keys_up"),
+    )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE round(value / (event_id % 3), 6) END        AS safe_div,
+           CASE WHEN event_id = 0 THEN 9223372036854775807
+                WHEN event_id % 2 = 0 THEN NULL
+                ELSE event_id END                                AS safe_add,
+           CASE WHEN event_id = 1
+                THEN CAST(4611686018427387904 AS BIGINT) ELSE NULL END AS safe_mul,
+           CASE CAST(event_id % 5 + 1 AS INTEGER)
+                WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c'
+                ELSE NULL END                                    AS safe_elem
+    FROM events
+    WHERE event_id < 400
+    """,
+    doc="TRY_ arithmetic (ANSI-safe error-to-NULL): try_divide by a "
+    "cycling zero, try_add past LONG max, try_multiply overflow, "
+    "try_element_at out of bounds. Oracle expresses the same semantics "
+    "with CASE short-circuits (DuckDB would hard-error on the overflow "
+    "paths if evaluated).",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    eid = F.col("event_id")
+    long_max = F.lit(9223372036854775807).cast("long")
+    big = F.lit(4611686018427387904).cast("long")
+    return ev.select(
+        "event_id",
+        F.round(F.try_divide(F.col("value"), eid % 3), 6).alias("safe_div"),
+        F.try_add(
+            F.when(eid % 2 == 0, long_max).otherwise(F.lit(0).cast("long")), eid
+        ).alias("safe_add"),
+        F.try_multiply(big, F.when(eid == 1, F.lit(1)).otherwise(F.lit(4)).cast("long"))
+        .alias("safe_mul"),
+        F.try_element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (eid % 5 + 1).cast("int"),
+        ).alias("safe_elem"),
+    )
+
+
+@query(
+    "fn_datetime_battery3",
+    oracle="""
+    SELECT event_id,
+           CAST(date_trunc('day', ts) AS DATE)
+             + INTERVAL 1 DAY * (((7 - isodow(CAST(ts AS DATE))) % 7) + 1)
+                                                        AS next_monday,
+           CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER)   AS dow_sun1,
+           CAST(isodow(CAST(ts AS DATE)) - 1 AS INTEGER)      AS wd_mon0,
+           CAST(quarter(ts) AS INTEGER)                       AS qtr,
+           CAST(dayofyear(ts) AS INTEGER)                     AS doy,
+           CAST(weekofyear(ts) AS INTEGER)                    AS iso_week,
+           dayname(CAST(ts AS DATE))                          AS day_name,
+           monthname(CAST(ts AS DATE))                        AS month_name,
+           ts + INTERVAL 1 MINUTE * (event_id % 90)           AS shifted,
+           CAST(date_diff('day', date_trunc('day', ts),
+                          TIMESTAMP '2001-06-01') AS BIGINT)  AS days_left
+    FROM events
+    WHERE event_id < 300
+    """,
+    doc="Third datetime battery: next_day, dayofweek (Sun=1) / weekday "
+    "(Mon=0), quarter, dayofyear, ISO weekofyear, day/month names, "
+    "timestampadd, timestampdiff on day-truncated stamps (complete-day "
+    "counting only agrees with DuckDB's boundary counting when the "
+    "start is at midnight).",
+)
+def fn_datetime_battery3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    d = F.col("ts").cast("date")
+    return ev.select(
+        "event_id",
+        F.next_day(d, "Mon").cast("timestamp").alias("next_monday"),
+        F.dayofweek(d).alias("dow_sun1"),
+        F.weekday(d).alias("wd_mon0"),
+        F.quarter("ts").alias("qtr"),
+        F.dayofyear("ts").alias("doy"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.date_format(d, "EEEE").alias("day_name"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.timestamp_add("MINUTE", (F.col("event_id") % 90).cast("int"), F.col("ts")).alias(
+            "shifted"
+        ),
+        F.timestamp_diff(
+            "DAY", F.date_trunc("DAY", F.col("ts")), F.lit("2001-06-01").cast("timestamp")
+        ).cast("bigint").alias("days_left"),
+    )
+
+
+@query(
+    "fn_string_format",
+    oracle="""
+    SELECT c_custkey,
+           printf('%s=%05d', c_mktsegment, c_nationkey)       AS tagged,
+           substr(c_name, 1, 2) || 'XX' || substr(c_name, 5)  AS overlaid,
+           printf('%X', c_custkey)                            AS hex_key,
+           format('{:,}', c_custkey * 1000)                   AS grouped,
+           array_to_string(str_split(c_name, '#')[1:1], '#')  AS name_prefix
+    FROM customer
+    """,
+    doc="String formatting: format_string/printf, overlay (PLACING "
+    "rewrite), conv base-10→16, format_number digit grouping, "
+    "substring_index.",
+)
+def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.format_string("%s=%05d", F.col("c_mktsegment"), F.col("c_nationkey")).alias(
+            "tagged"
+        ),
+        F.overlay(F.col("c_name"), F.lit("XX"), F.lit(3), F.lit(2)).alias("overlaid"),
+        F.upper(F.conv(F.col("c_custkey").cast("string"), 10, 16)).alias("hex_key"),
+        F.format_number((F.col("c_custkey") * 1000).cast("bigint"), 0).alias("grouped"),
+        F.substring_index(F.col("c_name"), "#", 1).alias("name_prefix"),
+    )
