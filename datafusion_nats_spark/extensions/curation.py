@@ -342,3 +342,49 @@ def curation_lang_balance_resample(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "curation_minmax_normalize",
+    oracle="""
+    WITH stats AS (
+      SELECT lang,
+             min(n_chars) AS mn,
+             max(n_chars) AS mx,
+             avg(n_chars) AS mu,
+             stddev_samp(n_chars) AS sd
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           round(CASE WHEN s.mx = s.mn THEN 0.5
+                      ELSE CAST(d.n_chars - s.mn AS DOUBLE) / (s.mx - s.mn)
+                 END, 6)                                        AS len_minmax,
+           round((d.n_chars - s.mu) / s.sd, 6)                  AS len_z
+    FROM documents d JOIN stats s USING (lang)
+    """,
+    doc="Per-language feature scaling for training-data curation: min-max "
+    "to [0,1] and z-score of document length. Two-pass shape (tiny "
+    "per-group stats aggregate, broadcast back onto the corpus) instead "
+    "of a window over the full table — the stats side is O(#langs) "
+    "rows, so the join broadcasts and the big side never shuffles.",
+)
+def curation_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+        F.avg("n_chars").alias("mu"),
+        F.stddev_samp("n_chars").alias("sd"),
+    )
+    nc = F.col("n_chars").cast("double")
+    return d.join(F.broadcast(stats), "lang").select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.when(F.col("mx") == F.col("mn"), F.lit(0.5)).otherwise(
+                (nc - F.col("mn")) / (F.col("mx") - F.col("mn"))
+            ),
+            6,
+        ).alias("len_minmax"),
+        F.round((nc - F.col("mu")) / F.col("sd"), 6).alias("len_z"),
+    )

@@ -284,3 +284,37 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n"), F.col("n_regionkey").alias("rk"), F.lit("nations").alias("src"))
     )
     return r.unionByName(n, allowMissingColumns=True).select("region_name", "src", "n")
+
+
+@query(
+    "subquery_exists_projection",
+    oracle="""
+    SELECT c.c_custkey,
+           EXISTS(SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000)         AS has_big,
+           c.c_nationkey IN (SELECT n_nationkey FROM nation
+                             WHERE n_regionkey = 2)      AS in_region2
+    FROM customer c
+    """,
+    doc="EXISTS / IN as PROJECTED booleans (mark-join shape) rather than "
+    "WHERE-clause filters: every customer row survives, annotated with "
+    "subquery truth values. Catalyst rewrites these to ExistenceJoin "
+    "(a left outer join emitting the match flag) — the same mark-join "
+    "DuckDB plans natively.",
+)
+def subquery_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               EXISTS(SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)        AS has_big,
+               c.c_nationkey IN (SELECT n_nationkey FROM nation
+                                 WHERE n_regionkey = 2)     AS in_region2
+        FROM customer c
+        """
+    )

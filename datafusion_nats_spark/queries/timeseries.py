@@ -297,3 +297,93 @@ def rollup_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("max_value"), 6).alias("max_value"),
         )
     )
+
+
+@query(
+    "window_session_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                       AS session_start,
+           max(ts) + INTERVAL 30 MINUTE  AS session_end,
+           count(*)                      AS n_events,
+           round(sum(value), 4)          AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc="Spark's NATIVE session_window() operator run in BATCH mode — the "
+    "same merging-session-window physical operator the streaming path "
+    "uses, so batch and streaming sessionization share one definition. "
+    "Session end = last event + gap by definition; the oracle is the "
+    "equivalent gaps-and-islands rewrite. Complements window_sessionize "
+    "(the manual rewrite) by proving the two formulations agree.",
+)
+def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "window_sliding_batch",
+    oracle="""
+    WITH based AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS base
+      FROM events
+    ), exploded AS (
+      SELECT event_type, value,
+             make_timestamp((base - 900 * k) * 1000000) AS win_start
+      FROM based, (SELECT unnest(range(0, 4)) AS k) ks
+    )
+    SELECT win_start,
+           win_start + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           count(*)             AS n,
+           round(avg(value), 6) AS avg_value
+    FROM exploded
+    GROUP BY win_start, event_type
+    """,
+    doc="Sliding (hopping) window aggregation in BATCH mode: window(ts, "
+    "'1 hour', '15 minutes') assigns each event to 4 overlapping "
+    "buckets. The oracle materializes the same 4 bucket starts per row "
+    "via range(0,4) — exactly what Spark's Expand operator does "
+    "physically (map-side row replication, then one hash aggregate; "
+    "no self-join, no window sort).",
+)
+def window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )

@@ -540,3 +540,41 @@ def test_drop_duplicates_within_watermark(spark, broker):
         q.stop()
     assert rows.count("k1") == 2  # once per watermark window, not 3x
     assert rows.count("adv") == 1 and rows.count("adv2") == 1
+
+
+def test_rocksdb_state_store_provider(spark, broker):
+    """Stateful aggregation with the RocksDB state store provider — the
+    scale path for streaming state: keys spill to local disk instead of
+    living on the JVM heap, so watermarked state survives key cardinality
+    far beyond executor memory. Same query semantics as the default
+    HDFS-backed provider; only the provider conf changes."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        counts = _stream(spark, "rocks").groupBy("key").count()
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("rocks_out")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            for p in [
+                b"2024-01-01 10:00:00,k1",
+                b"2024-01-01 10:01:00,k1",
+                b"2024-01-01 10:02:00,k2",
+            ]:
+                broker.publish("rocks", p)
+            q.processAllAvailable()
+            got = {r.key: r["count"] for r in spark.sql("SELECT * FROM rocks_out").collect()}
+        finally:
+            q.stop()
+        assert got == {"k1": 2, "k2": 1}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
