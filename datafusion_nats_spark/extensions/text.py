@@ -319,3 +319,41 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_vocab_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), counted AS (
+      SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok
+    ), total AS (SELECT count(*) AS n FROM toks WHERE tok <> '')
+    SELECT tok, cnt,
+           round(CAST(cnt AS DOUBLE) / (SELECT n FROM total), 8) AS corpus_share
+    FROM counted
+    WHERE cnt >= 200
+    """,
+    doc="Corpus vocabulary heavy hitters: tokens appearing >= 200 times "
+    "plus their corpus share. The groupBy is a classic two-phase "
+    "(map-side partial count, then merge) hash aggregate over the "
+    "exploded token stream — at 100 TB the partial combine collapses "
+    "each executor's token stream to its local vocabulary before any "
+    "shuffle, and the HAVING filter runs post-merge. The corpus total "
+    "rides along as a 1-row broadcast cross join, not a second scan.",
+)
+def text_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counted = toks.groupBy("tok").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= 200
+    )
+    total = toks.agg(F.count("*").alias("n"))
+    return counted.crossJoin(F.broadcast(total)).select(
+        "tok",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("n"), 8).alias("corpus_share"),
+    )

@@ -565,3 +565,71 @@ def agg_grouped_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             wmean("value", F.col("user_id").cast("double") + 1.0), 6
         ).alias("wmean")
     )
+
+
+@query(
+    "agg_group_by_all",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           year(o_orderdate)            AS yr,
+           count(*)                     AS n,
+           round(sum(o_totalprice), 2)  AS total
+    FROM orders
+    GROUP BY ALL
+    """,
+    doc="GROUP BY ALL / ORDER BY ALL (modern SQL shorthand, Spark 4 and "
+    "DuckDB both infer the grouping keys from the non-aggregate select "
+    "items — including the computed year() column).",
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               year(o_orderdate)            AS yr,
+               count(*)                     AS n,
+               round(sum(o_totalprice), 2)  AS total
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY cnt DESC, o_orderpriority DESC) AS rn
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Deterministic MODE (most frequent value): two-level aggregate — "
+    "count per (group, value), then max_by over a (count, value) struct "
+    "so ties break on the larger value instead of arbitrarily (both "
+    "engines' native mode() is nondeterministic on ties). Two hash "
+    "aggregates, no window over the raw table — the second aggregate "
+    "input is only |groups|×|distinct values| rows.",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    best = F.max_by(
+        F.struct(F.col("o_orderpriority"), F.col("cnt")),
+        F.struct(F.col("cnt"), F.col("o_orderpriority")),
+    )
+    return counts.groupBy("o_orderstatus").agg(
+        best.getField("o_orderpriority").alias("mode_priority"),
+        best.getField("cnt").alias("mode_count"),
+    )

@@ -578,3 +578,26 @@ def test_rocksdb_state_store_provider(spark, broker):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_union_two_subjects(spark, broker):
+    """Two independent NATS subjects unioned into one streaming DataFrame:
+    both sources appear in the same micro-batch plan and the downstream
+    aggregate sees the merged stream."""
+    merged = _stream(spark, "un_a").union(_stream(spark, "un_b"))
+    q = (
+        merged.groupBy("key").count()
+        .writeStream.format("memory")
+        .queryName("union_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        broker.publish("un_a", b"2024-01-01 10:00:00,x")
+        broker.publish("un_b", b"2024-01-01 10:00:01,x")
+        broker.publish("un_b", b"2024-01-01 10:00:02,y")
+        q.processAllAvailable()
+        got = {r.key: r["count"] for r in spark.sql("SELECT * FROM union_out").collect()}
+    finally:
+        q.stop()
+    assert got == {"x": 2, "y": 1}
