@@ -312,3 +312,24 @@ def test_zorder_prefix_partition_pruning(spark, sf_dir, tmp_path):
     n_all = spark.read.parquet(out).count()
     n_pruned = df.count()
     assert 0 < n_pruned < n_all
+
+
+def test_binary_file_source_reads_blobs(spark, tmp_path):
+    """spark.read.format('binaryFile') — the multimodal ingest path for
+    image/audio/video blobs sitting in object storage: one row per file
+    with (path, modificationTime, length, content), glob-filterable.
+    Downstream decode/feature-extraction runs over `content` exactly like
+    the mm_* queries run over the documents table's binary column."""
+    (tmp_path / "a.img").write_bytes(b"\x89IMGfake-a")
+    (tmp_path / "b.img").write_bytes(b"\x89IMGfake-bb")
+    (tmp_path / "skip.txt").write_bytes(b"not an image")
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.img")
+        .load(str(tmp_path))
+    )
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == {"a.img": b"\x89IMGfake-a", "b.img": b"\x89IMGfake-bb"}
+    lengths = {r.path.rsplit("/", 1)[-1]: r.length for r in df.collect()}
+    assert lengths == {"a.img": 10, "b.img": 11}

@@ -369,3 +369,59 @@ def test_range_bucketed_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_range_bucketed")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_table(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact table with a selectively-filtered dim must
+    plan a dynamic-partition-pruning subquery: at scale the fact scan reads
+    only the partitions the dim filter selects, discovered at runtime —
+    without DPP the scan reads every partition."""
+    from pyspark.sql import functions as F
+
+    from datafusion_nats_spark.tables import load
+
+    fact_dir = str(tmp_path / "orders_by_status")
+    load(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # the dim filter is on a NON-join column: the surviving `status` values
+    # are only known at runtime, so static partition-filter inference can't
+    # fire and the scan must take a DPP subquery. (Filtering the join key
+    # itself would let Catalyst push a static literal filter instead.)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")], ["status", "label"]
+    ).filter(F.col("label") == "finished")
+    joined = fact.join(dim, fact.o_orderstatus == dim.status).groupBy("label").agg(
+        F.count("*").alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert joined.collect()[0]["n"] > 0
+
+
+def test_cached_plan_reuses_inmemory_scan(spark, sf_dir):
+    """df.cache() must turn downstream scans into InMemoryTableScan — the
+    iterative-algorithm contract (PageRank, connected components) that the
+    source is read once, not once per iteration."""
+    from pyspark.sql import functions as F
+
+    from datafusion_nats_spark.tables import load
+
+    base = load(spark, sf_dir, "nation").groupBy("n_regionkey").agg(
+        F.count("*").alias("n")
+    )
+    base.cache()
+    try:
+        base.count()  # materialize
+        plan = (
+            base.filter(F.col("n") > 0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the executed plan must read from the cache; the FileScan string
+        # still appears inside InMemoryTableScan's description of the plan
+        # it cached, so assert the scan node itself, not FileScan absence
+        assert "InMemoryTableScan" in plan
+        assert plan.index("InMemoryTableScan") < plan.index("FileScan")
+    finally:
+        base.unpersist()
