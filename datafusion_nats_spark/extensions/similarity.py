@@ -433,3 +433,59 @@ def sim_arrow_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInArrow(
         vector_stats, "vec_id long, dim int, l2_norm double, comp_sum double"
     )
+
+
+@query(
+    "curation_label_centroid_outliers",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, u.x, u.i
+      FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(embedding,
+                      (v, i) -> {'x': CAST(v AS DOUBLE), 'i': i})) AS u
+        FROM embeddings
+      )
+    ), centroids AS (
+      SELECT label, i, avg(x) AS c FROM dims GROUP BY label, i
+    ), scored AS (
+      SELECT d.vec_id, d.label,
+             sum(d.x * c.c)       AS dot,
+             sqrt(sum(d.x * d.x)) AS nv,
+             sqrt(sum(c.c * c.c)) AS nc
+      FROM dims d JOIN centroids c ON c.label = d.label AND c.i = d.i
+      GROUP BY d.vec_id, d.label
+    )
+    SELECT vec_id, label,
+           round(dot / (nv * nc), 6) AS centroid_cosine
+    FROM scored
+    WHERE round(dot / (nv * nc), 6) < 0.35
+    """,
+    doc="Mislabel / outlier detection for training-data curation: cosine "
+    "of every embedding against its label's centroid; rows far from "
+    "their class centroid (cos < 0.35) are flagged for review. The "
+    "centroid aggregate is posexplode → groupBy(label, dim) — "
+    "|labels|x|dims| rows, tiny at any corpus scale — then broadcast "
+    "back and the per-row cosine is a JVM zip_with/aggregate, so the "
+    "full table is scanned once and never shuffled.",
+)
+def curation_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda v: v.cast("double")).alias("emb")
+    )
+    dims = e.select("label", F.posexplode("emb").alias("i", "x"))
+    centroids = (
+        dims.groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p.getField("c")).alias("centroid"))
+    )
+    joined = e.join(F.broadcast(centroids), "label")
+    cos = _dot(F.col("emb"), F.col("centroid")) / (
+        _norm(F.col("emb")) * _norm(F.col("centroid"))
+    )
+    return (
+        joined.select("vec_id", "label", F.round(cos, 6).alias("centroid_cosine"))
+        .filter(F.col("centroid_cosine") < 0.35)
+    )

@@ -480,3 +480,34 @@ def fn_posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     first5 = F.slice(F.split("text", " "), 1, 5)
     return d.select("doc_id", F.posexplode(first5).alias("pos", "word"))
+
+
+@query(
+    "fn_inline_structs",
+    oracle="""
+    SELECT o_orderkey, u.part AS slice_name, u.amt AS slice_amt
+    FROM (
+      SELECT o_orderkey,
+             unnest([
+               {'part': 'base',  'amt': CAST(floor(o_totalprice * 0.8  * 100) AS BIGINT)},
+               {'part': 'tax',   'amt': CAST(floor(o_totalprice * 0.15 * 100) AS BIGINT)},
+               {'part': 'fees',  'amt': CAST(floor(o_totalprice * 0.05 * 100) AS BIGINT)}
+             ]) AS u
+      FROM orders
+      WHERE o_orderkey < 2000
+    )
+    """,
+    doc="inline() — explode an ARRAY<STRUCT> into columns (one row per "
+    "struct, struct fields become top-level columns): the idiomatic way "
+    "to unpack nested repeated records. Map-side Generate, no shuffle.",
+)
+def fn_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    # floor-to-cents, not round(x, 2): double rounding is HALF_UP in Spark
+    # but HALF_EVEN in DuckDB; floor is IEEE-identical in both
+    part = lambda name, frac: F.struct(
+        F.lit(name).alias("slice_name"),
+        F.floor(F.col("o_totalprice") * frac * 100).cast("bigint").alias("slice_amt"),
+    )
+    slices = F.array(part("base", 0.8), part("tax", 0.15), part("fees", 0.05))
+    return o.select("o_orderkey", F.inline(slices))
