@@ -633,3 +633,39 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("o_orderpriority").alias("mode_priority"),
         best.getField("cnt").alias("mode_count"),
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                                               AS n_all,
+           count(*) FILTER (WHERE l_discount > 0.05)              AS n_disc,
+           round(sum(l_extendedprice) FILTER (WHERE l_quantity > 25), 2)
+                                                                  AS rev_bulk,
+           round(avg(l_quantity) FILTER (WHERE l_tax < 0.03), 4)  AS avg_lowtax,
+           count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
+                                                                  AS supp_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="SQL:2003 FILTER clause — per-aggregate predicates inside one "
+    "grouped scan (the declarative form of conditional aggregation; "
+    "one pass, no self-joins, each aggregate sees its own row subset).",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*)                                               AS n_all,
+               count(*) FILTER (WHERE l_discount > 0.05)              AS n_disc,
+               round(sum(l_extendedprice) FILTER (WHERE l_quantity > 25), 2)
+                                                                      AS rev_bulk,
+               round(avg(l_quantity) FILTER (WHERE l_tax < 0.03), 4)  AS avg_lowtax,
+               count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
+                                                                      AS supp_f
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )

@@ -601,3 +601,68 @@ def test_stream_union_two_subjects(spark, broker):
     finally:
         q.stop()
     assert got == {"x": 2, "y": 1}
+
+
+def test_stateful_event_time_timeout_closes_sessions(spark, broker):
+    """applyInPandasWithState with EventTimeTimeout: a per-key session
+    accumulates counts and arms a timeout 10 minutes past its newest
+    event; when the watermark (driven by OTHER keys' later events)
+    crosses that mark, Spark invokes the function with hasTimedOut=True
+    and the state must emit its final 'closed' row and be removed —
+    explicit state eviction, the bounded-state guarantee for custom
+    operators."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def session(key, pdfs, state):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame({"key": [key[0]], "n": [n], "closed": [True]})
+            return
+        n = state.get[0] if state.exists else 0
+        max_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            m = pdf["ts"].max()
+            max_ts = m if max_ts is None else max(max_ts, m)
+        state.update((n,))
+        state.setTimeoutTimestamp(int(max_ts.timestamp() * 1000) + 600_000)
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "closed": [False]})
+
+    out = (
+        _stream(spark, "ett")
+        .withWatermark("ts", "1 minute")
+        .groupBy("key")
+        .applyInPandasWithState(
+            session,
+            outputStructType="key string, n long, closed boolean",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ett_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        broker.publish("ett", b"2024-01-01 10:00:00,s1")
+        broker.publish("ett", b"2024-01-01 10:02:00,s1")
+        q.processAllAvailable()
+        # other-key traffic pushes the watermark past s1's 10:12 deadline
+        broker.publish("ett", b"2024-01-01 10:30:00,mover")
+        q.processAllAvailable()
+        broker.publish("ett", b"2024-01-01 10:40:00,mover")
+        q.processAllAvailable()
+        rows = [
+            (r.key, r.n, r.closed)
+            for r in spark.sql("SELECT * FROM ett_out").collect()
+        ]
+    finally:
+        q.stop()
+    assert ("s1", 2, False) in rows   # live update while open
+    assert ("s1", 2, True) in rows    # emitted once on timeout eviction
+    assert sum(1 for k, _, c in rows if k == "s1" and c) == 1
