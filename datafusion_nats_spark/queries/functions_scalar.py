@@ -930,3 +930,85 @@ def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_number((F.col("c_custkey") * 1000).cast("bigint"), 0).alias("grouped"),
         F.substring_index(F.col("c_name"), "#", 1).alias("name_prefix"),
     )
+
+
+@query(
+    "fn_array_battery3",
+    oracle="""
+    SELECT vec_id,
+           round(CAST(list_append(embedding[1:2], 9.5)[3] AS DOUBLE), 6) AS appended,
+           round(CAST(list_prepend(0.5, embedding[1:2])[1] AS DOUBLE), 6) AS prepended,
+           ['x', 'x', 'x']                                   AS repeated,
+           coalesce(list_position(
+             list_transform(embedding, v -> round(CAST(v AS DOUBLE), 6)),
+             round(CAST(embedding[8] AS DOUBLE), 6)), 0)     AS pos8,
+           len(list_filter(embedding, v -> v > 0))           AS n_pos,
+           round(CAST(embedding[1] AS DOUBLE)
+                 + CAST(embedding[2] AS DOUBLE), 6)          AS zip_sum
+    FROM embeddings
+    WHERE vec_id < 200
+    """,
+    doc="Third array battery: array_append/prepend, array_repeat, "
+    "array_position (Spark returns 0 when absent, DuckDB NULL — "
+    "normalized via coalesce), filter cardinality, arrays_zip + "
+    "field extraction (zip fields are positional: 0/1). All JVM "
+    "higher-order expressions. DuckDB 1.0 lacks sinh/tanh.",
+)
+def fn_array_battery3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = F.transform("embedding", lambda v: v.cast("double"))
+    head2 = F.slice(emb, 1, 2)
+    rounded = F.transform(emb, lambda v: F.round(v, 6))
+    zipped = F.arrays_zip(head2, F.slice(emb, 2, 2))
+    return e.select(
+        "vec_id",
+        F.round(F.element_at(F.array_append(head2, F.lit(9.5)), 3), 6).alias("appended"),
+        F.round(F.element_at(F.array_prepend(head2, F.lit(0.5)), 1), 6).alias(
+            "prepended"
+        ),
+        F.array_repeat(F.lit("x"), 3).alias("repeated"),
+        F.array_position(rounded, F.round(F.element_at(emb, 8), 6))
+        .cast("bigint")
+        .alias("pos8"),
+        F.size(F.filter(emb, lambda v: v > 0)).cast("bigint").alias("n_pos"),
+        F.round(
+            F.element_at(zipped, 1).getField("0")
+            + F.element_at(zipped, 1).getField("1"),
+            6,
+        ).alias("zip_sum"),
+    )
+
+
+@query(
+    "fn_trig_battery",
+    oracle="""
+    SELECT event_id,
+           round(sin(value), 8)             AS s,
+           round(cos(value), 8)             AS c,
+           round(atan2(value, 2.0), 8)      AS a2,
+           round(degrees(atan(value)), 8)   AS deg,
+           round(radians(value), 8)         AS rad,
+           round((exp(value / 100) - exp(-value / 100)) / 2, 8) AS sh,
+           round((exp(value / 50) - 1) / (exp(value / 50) + 1), 8) AS th,
+           round(cbrt(abs(value)), 8)       AS cr
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="Trigonometric / hyperbolic battery: sin, cos, atan2, degrees/"
+    "radians, sinh, tanh, cbrt — rounded to 8 decimals because "
+    "java.lang.Math and C libm may differ in the final ulp.",
+)
+def fn_trig_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.sin(v), 8).alias("s"),
+        F.round(F.cos(v), 8).alias("c"),
+        F.round(F.atan2(v, F.lit(2.0)), 8).alias("a2"),
+        F.round(F.degrees(F.atan(v)), 8).alias("deg"),
+        F.round(F.radians(v), 8).alias("rad"),
+        F.round(F.sinh(v / 100), 8).alias("sh"),
+        F.round(F.tanh(v / 100), 8).alias("th"),
+        F.round(F.cbrt(F.abs(v)), 8).alias("cr"),
+    )

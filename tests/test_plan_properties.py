@@ -425,3 +425,24 @@ def test_cached_plan_reuses_inmemory_scan(spark, sf_dir):
         assert plan.index("InMemoryTableScan") < plan.index("FileScan")
     finally:
         base.unpersist()
+
+
+def test_reused_exchange_for_shared_subplan(spark, sf_dir):
+    """When the same aggregated subplan feeds both sides of a join, the
+    physical plan must materialize its shuffle ONCE and wire the second
+    consumer to a ReusedExchange — at scale this halves the shuffle I/O
+    of any self-comparison query (week-over-week, share-of-total, ...)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_nats_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    a = per_supp.alias("a")
+    b = per_supp.alias("b")
+    j = a.join(b, F.col("a.l_suppkey") == F.col("b.l_suppkey") + 1).select(
+        F.col("a.l_suppkey"), (F.col("a.qty") - F.col("b.qty")).alias("delta")
+    )
+    j.collect()  # AQE finalizes the plan at execution
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan.replace(" ", "")
