@@ -511,3 +511,64 @@ def fn_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     slices = F.array(part("base", 0.8), part("tax", 0.15), part("fees", 0.05))
     return o.select("o_orderkey", F.inline(slices))
+
+
+@query(
+    "unpivot_sql_syntax",
+    oracle="""
+    SELECT c_custkey, metric, round(val, 4) AS val
+    FROM (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DOUBLE)      AS balance,
+             CAST(c_nationkey AS DOUBLE)    AS nation,
+             CAST(length(c_name) AS DOUBLE) AS name_len
+      FROM customer
+    )
+    UNPIVOT (val FOR metric IN (balance, nation, name_len))
+    """,
+    doc="ANSI UNPIVOT clause (wide → long), the SQL-syntax twin of the "
+    "stack()-based unpivot_stack query. Map-side Expand — no shuffle.",
+)
+def unpivot_sql_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, metric, round(val, 4) AS val
+        FROM (
+          SELECT c_custkey,
+                 CAST(c_acctbal AS DOUBLE)      AS balance,
+                 CAST(c_nationkey AS DOUBLE)    AS nation,
+                 CAST(length(c_name) AS DOUBLE) AS name_len
+          FROM customer
+        )
+        UNPIVOT (val FOR metric IN (balance, nation, name_len))
+        """
+    )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT doc_id, lang AS lang_back, length(lang) AS ct_longer
+    FROM documents
+    WHERE doc_id < 300
+    """,
+    doc="aes_encrypt/aes_decrypt round-trip (ECB mode is deterministic — "
+    "GCM would salt a random IV per row). The oracle is the identity on "
+    "the plaintext: decrypt(encrypt(x)) = x, plus a sanity bit that the "
+    "ciphertext length is a positive AES block multiple, surfaced as "
+    "the plaintext length both engines can compute.",
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key
+    ct = F.aes_encrypt(F.col("lang"), key, F.lit("ECB"))
+    pt = F.aes_decrypt(ct, key, F.lit("ECB")).cast("string")
+    return d.select(
+        "doc_id",
+        pt.alias("lang_back"),
+        F.when(F.length(ct) % 16 == 0, F.length("lang"))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("ct_longer"),
+    )

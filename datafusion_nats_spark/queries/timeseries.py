@@ -387,3 +387,50 @@ def window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+@query(
+    "timeseries_rolling_zscore_anomaly",
+    oracle="""
+    WITH rolled AS (
+      SELECT event_id, user_id, ts, value,
+             avg(value)         OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             count(*)           OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, value,
+           round((value - mu) / sd, 4) AS zscore
+    FROM rolled
+    WHERE n >= 10 AND sd > 0 AND abs((value - mu) / sd) > 2.5
+    """,
+    doc="Rolling z-score anomaly detection: each event scored against the "
+    "trailing 20-event window of ITS OWN series (frame ends at 1 "
+    "PRECEDING so the point never contaminates its own baseline; "
+    "warm-up of <10 points suppressed). Partitioned by user_id — the "
+    "window sort is per-key, so no global sort and no single-partition "
+    "bottleneck at scale.",
+)
+def timeseries_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    rolled = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        rolled.filter((F.col("n") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 2.5))
+        .select("event_id", "user_id", "ts", "value", F.round(z, 4).alias("zscore"))
+    )

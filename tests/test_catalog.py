@@ -333,3 +333,20 @@ def test_binary_file_source_reads_blobs(spark, tmp_path):
     assert rows == {"a.img": b"\x89IMGfake-a", "b.img": b"\x89IMGfake-bb"}
     lengths = {r.path.rsplit("/", 1)[-1]: r.length for r in df.collect()}
     assert lengths == {"a.img": 10, "b.img": 11}
+
+
+def test_tablesample_repeatable_seed(spark, sf_dir):
+    """TABLESAMPLE (n PERCENT) REPEATABLE(seed): same seed → identical
+    sample (the reproducible-subset contract data pipelines rely on);
+    the sampled fraction lands near the requested rate."""
+    from datafusion_nats_spark.tables import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ts")
+    q = "SELECT o_orderkey FROM orders_ts TABLESAMPLE (20 PERCENT) REPEATABLE ({seed})"
+    a = {r.o_orderkey for r in spark.sql(q.format(seed=42)).collect()}
+    b = {r.o_orderkey for r in spark.sql(q.format(seed=42)).collect()}
+    c = {r.o_orderkey for r in spark.sql(q.format(seed=7)).collect()}
+    total = spark.table("orders_ts").count()
+    assert a == b                      # deterministic under a fixed seed
+    assert a != c                      # seed actually matters
+    assert 0.05 < len(a) / total < 0.5  # near the requested rate
