@@ -388,3 +388,162 @@ def curation_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("len_minmax"),
         F.round((nc - F.col("mu")) / F.col("sd"), 6).alias("len_z"),
     )
+
+
+# Concat-and-chunk sequence packing: the training-prep step that turns a
+# curated corpus into fixed-token-budget sequences. Documents are laid
+# end-to-end per language in a deterministic hash order and cut every
+# PACK_BIN tokens; a document is assigned the bin where it starts and may
+# span several (reported, so the loader can decide to split or mask).
+PACK_BIN = 512
+
+
+@query(
+    "curation_sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM sized
+    )
+    SELECT doc_id, lang,
+           CAST(n_tok AS INTEGER)            AS n_tok,
+           cum - n_tok                       AS start_off,
+           (cum - n_tok) // {PACK_BIN}       AS first_bin,
+           (cum - 1) // {PACK_BIN} - (cum - n_tok) // {PACK_BIN} + 1 AS bins_spanned
+    FROM packed
+    """,
+    doc="Sequence packing (concat-and-chunk): per language, documents are "
+    "concatenated in deterministic md5-hash order and cut into "
+    f"{PACK_BIN}-token training bins via ONE running-sum window — no "
+    "driver loop, no RNG. The window partitions on lang, so the only "
+    "shuffle is per-language and each partition sorts independently; at "
+    "100 TB add a salt level (pack per lang×shard) since bins never "
+    "cross document boundaries' order anyway.",
+)
+def curation_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    sized = d.select("doc_id", "lang", n_tok.alias("n_tok"), h.alias("h"))
+    w = W.partitionBy("lang").orderBy("h", "doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = sized.withColumn("cum", F.sum("n_tok").over(w).cast("bigint"))
+    start = F.col("cum") - F.col("n_tok")
+    first_bin = F.expr(f"(cum - n_tok) DIV {PACK_BIN}")
+    last_bin = F.expr(f"(cum - 1) DIV {PACK_BIN}")
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        start.alias("start_off"),
+        first_bin.alias("first_bin"),
+        (last_bin - first_bin + 1).alias("bins_spanned"),
+    )
+
+
+# Winsorization percentiles (shared by Spark and oracle)
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@query(
+    "curation_winsorize",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang,
+             quantile_cont(n_chars, {WINSOR_LO}) AS p_lo,
+             quantile_cont(n_chars, {WINSOR_HI}) AS p_hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           round(least(greatest(CAST(d.n_chars AS DOUBLE), p_lo), p_hi), 4)
+             AS n_chars_winsor,
+           (d.n_chars < p_lo OR d.n_chars > p_hi) AS is_outlier
+    FROM documents d JOIN stats USING (lang)
+    """,
+    doc="Per-group winsorization: clamp a numeric feature to its "
+    "language's [p05, p95] band (outlier-robust feature cleaning). The "
+    "percentiles are a tiny per-lang aggregate broadcast back onto the "
+    "corpus — the big table is touched by exactly one scan + one "
+    "map-side join, never sorted globally. Spark percentile() and "
+    "DuckDB quantile_cont share the (n-1)p interpolation rule.",
+)
+def curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(
+        F.percentile("n_chars", WINSOR_LO).alias("p_lo"),
+        F.percentile("n_chars", WINSOR_HI).alias("p_hi"),
+    )
+    nc = F.col("n_chars").cast("double")
+    return d.join(F.broadcast(stats), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.least(F.greatest(nc, F.col("p_lo")), F.col("p_hi")), 4).alias(
+            "n_chars_winsor"
+        ),
+        ((F.col("n_chars") < F.col("p_lo")) | (F.col("n_chars") > F.col("p_hi"))).alias(
+            "is_outlier"
+        ),
+    )
+
+
+# Temperature for mixture reweighting (multilingual-sampling convention:
+# tau < 1 upweights low-resource groups toward uniform).
+MIX_TAU = 0.7
+
+
+@query(
+    "curation_mixture_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM per
+    ), raw AS (
+      SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / n AS p,
+             pow(CAST(n_docs AS DOUBLE) / n, {MIX_TAU}) AS w_raw
+      FROM per, tot
+    ), z AS (SELECT sum(w_raw) AS z FROM raw)
+    SELECT lang,
+           CAST(n_docs AS BIGINT)       AS n_docs,
+           round(p, 6)                  AS p,
+           round(w_raw / z, 6)          AS weight,
+           round(w_raw / z / p, 6)      AS boost
+    FROM raw, z
+    """,
+    doc="Domain-mixture reweighting (temperature sampling, tau="
+    f"{MIX_TAU}): per-language corpus shares are flattened toward "
+    "uniform with w proportional to p^tau — the standard multilingual "
+    "sampling recipe; boost = weight/share is the oversampling factor "
+    "the data loader applies per group. After the first per-group "
+    "count, everything is arithmetic over a handful of rows (two 1-row "
+    "broadcast totals) — the corpus is scanned exactly once.",
+)
+def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    raw = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n")).alias("p"),
+        F.pow(F.col("n_docs").cast("double") / F.col("n"), MIX_TAU).alias("w_raw"),
+    )
+    z = raw.agg(F.sum("w_raw").alias("z"))
+    return raw.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round("p", 6).alias("p"),
+        F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
+        F.round(F.col("w_raw") / F.col("z") / F.col("p"), 6).alias("boost"),
+    )

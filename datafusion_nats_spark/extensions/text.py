@@ -357,3 +357,171 @@ def text_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round(F.col("cnt").cast("double") / F.col("n"), 8).alias("corpus_share"),
     )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks)),
+               i -> array_to_string(toks[i:i+1], ' ')))) AS bg
+      FROM t
+    ), dfc AS (
+      SELECT bg, count(DISTINCT doc_id) AS df FROM bg GROUP BY bg
+    ), boiler AS (
+      SELECT bg FROM dfc WHERE df * 10 >= (SELECT count(*) FROM documents)
+    )
+    SELECT b.doc_id,
+           count(*)                                        AS n_bigrams,
+           count(bl.bg)                                    AS n_boiler,
+           round(CAST(count(bl.bg) AS DOUBLE) / count(*), 6) AS boiler_ratio
+    FROM bg b LEFT JOIN boiler bl ON b.bg = bl.bg
+    GROUP BY b.doc_id
+    """,
+    doc="Boilerplate detection: bigrams that occur in >=10% of all "
+    "documents are corpus boilerplate (templates, headers, navigation "
+    "chrome); each document is scored by the fraction of its distinct "
+    "bigrams that are boilerplate. The document-frequency table is "
+    "computed once (shuffle on the bigram key — bounded by vocabulary^2, "
+    "not corpus size) and the qualifying set is broadcast back, so the "
+    "corpus itself is never re-shuffled; the 10% threshold is relative "
+    "to corpus size (scale-invariant).",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - 1)
+    bigrams = F.array_distinct(
+        F.when(
+            n >= 2,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    ex = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    dfc = ex.groupBy("bg").agg(F.countDistinct("doc_id").alias("df"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        dfc.crossJoin(F.broadcast(total))
+        .filter(F.col("df") * 10 >= F.col("n_docs"))
+        .select("bg")
+        .withColumn("is_b", F.lit(1))
+    )
+    marked = ex.join(F.broadcast(boiler), "bg", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count("is_b").alias("n_boiler"),
+        F.round(F.count("is_b").cast("double") / F.count(F.lit(1)), 6).alias(
+            "boiler_ratio"
+        ),
+    )
+
+
+# Sliding-window chunking (context-window prep): CHUNK tokens per piece,
+# STRIDE-token hop -> 50% overlap keeps boundary context in both pieces.
+CHUNK_TOKENS, CHUNK_STRIDE = 40, 20
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS s
+      FROM t
+    )
+    SELECT doc_id,
+           s // {CHUNK_STRIDE}                                   AS chunk_idx,
+           CAST(least({CHUNK_TOKENS}, len(toks) - s) AS INTEGER) AS chunk_len,
+           md5(array_to_string(toks[s+1:s+{CHUNK_TOKENS}], ' ')) AS chunk_md5
+    FROM s
+    """,
+    doc=f"Sliding-window chunking: each document becomes overlapping "
+    f"{CHUNK_TOKENS}-token chunks on a {CHUNK_STRIDE}-token stride (the "
+    "standard context-window prep for embedding / pretraining loaders). "
+    "Pure generate-and-explode — a map-side Generate with no shuffle at "
+    "all; output rows carry a content hash so downstream exact-dedup of "
+    "chunks composes directly.",
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+    ex = d.select("doc_id", toks.alias("toks"), n.alias("n"), F.explode(starts).alias("s"))
+    return ex.select(
+        "doc_id",
+        F.expr(f"s DIV {CHUNK_STRIDE}").alias("chunk_idx"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("s")).alias("chunk_len"),
+        F.md5(F.array_join(F.slice(F.col("toks"), F.col("s") + 1, CHUNK_TOKENS), " ")).alias(
+            "chunk_md5"
+        ),
+    )
+
+
+@query(
+    "text_repetition_gopher",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             list_max(list_transform(list_distinct(toks),
+                      t -> len(list_filter(toks, x -> x = t)))) AS top_cnt,
+             len(list_distinct(list_transform(
+               range(1, len(toks)),
+               i -> array_to_string(toks[i:i+1], ' ')))) AS dist_bg
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tok AS INTEGER) AS n_tok,
+           round(CAST(top_cnt AS DOUBLE) / n_tok, 6) AS top_token_share,
+           round(1.0 - CAST(dist_bg AS DOUBLE) / (n_tok - 1), 6) AS dup_bigram_frac,
+           (CAST(top_cnt AS DOUBLE) / n_tok > 0.1
+            OR 1.0 - CAST(dist_bg AS DOUBLE) / (n_tok - 1) > 0.3) AS is_repetitive
+    FROM m
+    """,
+    doc="Gopher-style repetition filters: top-token share (a document "
+    "dominated by one token) and duplicate-bigram fraction (copy-paste "
+    "loops) — the quality signals used to drop degenerate documents "
+    "before training. Computed entirely with array higher-order "
+    "functions inside one map stage: zero shuffles, linear scan, "
+    "per-document cost bounded by len x distinct (fine for web-scale "
+    "documents; an explode+groupBy twin is the fallback for books).",
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    dist_bg = F.size(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.array_join(F.slice(toks, i, 2), " "),
+            )
+        )
+    )
+    top_share = top_cnt.cast("double") / n
+    dup_frac = F.lit(1.0) - dist_bg.cast("double") / (n - 1)
+    return d.select(
+        "doc_id",
+        n.alias("n_tok"),
+        F.round(top_share, 6).alias("top_token_share"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        ((top_share > 0.1) | (dup_frac > 0.3)).alias("is_repetitive"),
+    )

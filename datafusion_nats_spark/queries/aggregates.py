@@ -669,3 +669,155 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# --- Count-min sketch, composed from relational primitives -------------
+# Depth x width chosen so the sketch table is tiny (CMS_D*CMS_W cells);
+# Kirsch-Mitzenmacher double hashing reuses ONE md5 per item (same
+# construction as the MinHash family, so the DuckDB oracle is exact).
+CMS_D, CMS_W = 4, 64
+
+
+def _cms_slot(wcol, jcol):
+    h1 = F.conv(F.substring(F.md5(wcol), 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(wcol), 17, 15), 16, 10).cast("bigint")
+    return (h1 + jcol.cast("bigint") * h2) % CMS_W
+
+
+@query(
+    "agg_countmin_estimate",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ), occ AS (
+      SELECT w, j FROM words, range({CMS_D}) t(j)
+    ), cells AS (
+      SELECT j,
+             (('0x'||substr(md5(w),1,15))::BIGINT
+              + j * ('0x'||substr(md5(w),17,15))::BIGINT) % {CMS_W} AS slot,
+             count(*) AS cell_n
+      FROM occ GROUP BY j, slot
+    ), probes AS (
+      SELECT w, count(*) AS true_n FROM words GROUP BY w
+    ), pe AS (
+      SELECT w, true_n, j,
+             (('0x'||substr(md5(w),1,15))::BIGINT
+              + j * ('0x'||substr(md5(w),17,15))::BIGINT) % {CMS_W} AS slot
+      FROM probes, range({CMS_D}) t(j)
+    )
+    SELECT w,
+           CAST(true_n AS BIGINT)              AS true_n,
+           CAST(min(cell_n) AS BIGINT)         AS est_n,
+           CAST(min(cell_n) - true_n AS BIGINT) AS overcount
+    FROM pe JOIN cells USING (j, slot)
+    GROUP BY w, true_n
+    """,
+    doc="Count-min sketch composed from relational primitives: the "
+    f"{CMS_D}x{CMS_W} cell table is ONE map-side-combined groupBy over "
+    "the token stream (the sketch build is a bounded-size aggregate no "
+    "matter how big the corpus), and point queries take min over the "
+    "item's row slots via a broadcast join of the tiny cell table. "
+    "CMS guarantees est >= true (overcount is never negative); double "
+    "hashing gives the d rows from one md5, identically in the oracle. "
+    "Mirrors Spark's builtin count_min_sketch() (binary blob) with a "
+    "queryable, engine-portable plan.",
+)
+def agg_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+    js = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j")
+    occ = words.select("w", js)
+    cells = occ.withColumn("slot", _cms_slot(F.col("w"), F.col("j"))).groupBy(
+        "j", "slot"
+    ).agg(F.count(F.lit(1)).alias("cell_n"))
+    probes = words.groupBy("w").agg(F.count(F.lit(1)).alias("true_n"))
+    pe = probes.select("w", "true_n", js).withColumn(
+        "slot", _cms_slot(F.col("w"), F.col("j"))
+    )
+    return (
+        pe.join(F.broadcast(cells), ["j", "slot"])
+        .groupBy("w", "true_n")
+        .agg(F.min("cell_n").alias("est_n"))
+        .select(
+            "w",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("overcount"),
+        )
+    )
+
+
+@query(
+    "agg_theta_sketch_setops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click' AND value > 150),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND value > 150)
+    SELECT (SELECT count(*) FROM a) AS users_a,
+           (SELECT count(*) FROM b) AS users_b,
+           (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS users_union,
+           (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS users_intersect,
+           (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS users_only_a
+    """,
+    doc="Theta sketches (Datasketches) with full set algebra: distinct "
+    "high-value clickers vs purchasers, plus union / intersection / "
+    "difference cardinalities computed ON THE SKETCHES — no re-scan, no "
+    "shuffle of raw ids; each side collapses map-side into one 4KB "
+    "sketch. Below 2^12 retained entries a theta sketch is EXACT, so "
+    "the exact-SQL oracle is valid at test SFs (documented regime; at "
+    "larger scale estimates carry ~1.6% relative error).",
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "click") & (F.col("value") > 150)).agg(
+        F.theta_sketch_agg("user_id").alias("a")
+    )
+    b = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150)).agg(
+        F.theta_sketch_agg("user_id").alias("b")
+    )
+    return a.crossJoin(b).select(
+        F.theta_sketch_estimate(F.col("a")).alias("users_a"),
+        F.theta_sketch_estimate(F.col("b")).alias("users_b"),
+        F.theta_sketch_estimate(F.theta_union(F.col("a"), F.col("b"))).alias(
+            "users_union"
+        ),
+        F.theta_sketch_estimate(F.theta_intersection(F.col("a"), F.col("b"))).alias(
+            "users_intersect"
+        ),
+        F.theta_sketch_estimate(F.theta_difference(F.col("a"), F.col("b"))).alias(
+            "users_only_a"
+        ),
+    )
+
+
+@query(
+    "agg_kll_quantile_sketch",
+    oracle=None,  # KLL sketch internals are engine-specific; accuracy vs
+    # exact percentiles is pytest-asserted (test_extensions.py)
+    doc="Re-aggregatable quantiles via Datasketches KLL: per (event_type, "
+    "month) partial sketches built map-side (kll_sketch_agg_double), then "
+    "merged per event_type with a higher-order reduce over the collected "
+    "partials (kll_sketch_merge_double is a binary scalar) — the same "
+    "partial/final pattern as the HLL rollup, for quantiles: a 100 TB "
+    "daily pipeline keeps ~1KB sketches per bucket and answers p50/p90 "
+    "over any bucket union without rescanning raw data.",
+)
+def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    partial = ev.groupBy(
+        "event_type", F.date_trunc("month", "ts").alias("month")
+    ).agg(F.kll_sketch_agg_double("value").alias("sk"))
+    merged = partial.groupBy("event_type").agg(F.collect_list("sk").alias("sks"))
+    sk = F.reduce(
+        F.slice("sks", 2, 1_000_000),
+        F.element_at("sks", 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    return merged.select(
+        "event_type",
+        F.kll_sketch_get_n_double(sk).alias("n_values"),
+        F.kll_sketch_get_quantile_double(sk, F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double(sk, F.lit(0.9)).alias("p90_est"),
+    )

@@ -159,3 +159,57 @@ def maintenance_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("key").alias("n_keys"),
         F.sum("price").alias("total_price"),
     )
+
+
+@query(
+    "maintenance_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_totalprice AS p_old
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS p_new
+      FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT CASE WHEN p_old IS NULL THEN 'added'
+                WHEN p_new IS NULL THEN 'removed'
+                WHEN p_old = p_new THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM old FULL OUTER JOIN new USING (k)
+    GROUP BY status
+    """,
+    doc="Snapshot diff (table-format change detection): two versions of a "
+    "keyed table are reconciled into added / removed / changed / "
+    "unchanged classes via one full-outer join on the business key — the "
+    "audit primitive behind incremental syncs and CDC backfills. Both "
+    "snapshots shuffle once on the (unique, unskewed) key; at 100 TB "
+    "bucket both snapshots on the key so the diff is a zero-exchange "
+    "sort-merge join. Change sets are derived deterministically from "
+    "orders (mod-7 deletes, mod-3 retention, mod-5 price bump) so the "
+    "oracle replays the identical diff.",
+)
+def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = o.filter(k % 7 != 0).select(k.alias("k"), F.col("o_totalprice").alias("p_old"))
+    new = o.filter(k % 3 != 0).select(
+        k.alias("k"),
+        F.when(k % 5 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("p_new"),
+    )
+    j = old.join(new, "k", "full_outer")
+    status = (
+        F.when(F.col("p_old").isNull(), "added")
+        .when(F.col("p_new").isNull(), "removed")
+        .when(F.col("p_old") == F.col("p_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").cast("bigint").alias("key_checksum"),
+    )

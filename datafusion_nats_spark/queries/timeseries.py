@@ -434,3 +434,122 @@ def timeseries_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataF
         rolled.filter((F.col("n") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 2.5))
         .select("event_id", "user_id", "ts", "value", F.round(z, 4).alias("zscore"))
     )
+
+
+@query(
+    "timeseries_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           count(*)                             AS n_segments,
+           CAST(sum(dt) AS BIGINT)              AS total_dt_us,
+           round(sum(value * dt) / sum(dt), 6)  AS twa,
+           round(avg(value), 6)                 AS plain_avg
+    FROM seg WHERE dt IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average over irregular samples (the TimescaleDB "
+    "time_weight operator): each reading is held until the next one "
+    "(LOCF interpolation), so its weight is the microsecond gap to its "
+    "successor; the last reading of a series carries no weight. One "
+    "lead() window partitioned per user (per-key sort, no global sort) "
+    "followed by an ordinary grouped aggregate on the same key — AQE "
+    "coalesces the two stages onto one exchange. plain_avg is emitted "
+    "alongside to expose the sampling bias the weighting corrects.",
+)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.withColumn(
+        "dt", F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).filter(F.col("dt").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dt").cast("bigint").alias("total_dt_us"),
+        F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("twa"),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+    )
+
+
+@query(
+    "funnel_ordered_stages",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), base AS (SELECT DISTINCT user_id FROM events)
+    SELECT base.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1
+                ELSE 0 END AS stage,
+           t1, t2, t3,
+           epoch_us(t3) - epoch_us(t1) AS funnel_us
+    FROM base
+    LEFT JOIN t1 USING (user_id)
+    LEFT JOIN t2 USING (user_id)
+    LEFT JOIN t3 USING (user_id)
+    """,
+    doc="Ordered event funnel (ClickHouse windowFunnel semantics, strict "
+    "order): per user, the earliest view, the earliest click AFTER that "
+    "view, the earliest purchase AFTER that click — each stage's anchor "
+    "is the previous stage's min-timestamp, so the funnel is three "
+    "keyed aggregates chained by join, all hash-partitioned on user_id "
+    "(one logical shuffle key; AQE reuses the partitioning). No window "
+    "over the whole series and no per-user sort of all events.",
+)
+def funnel_ordered_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    base = ev.select("user_id").distinct()
+    j = (
+        base.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return j.select(
+        "user_id",
+        stage.alias("stage"),
+        "t1",
+        "t2",
+        "t3",
+        (F.unix_micros("t3") - F.unix_micros("t1")).alias("funnel_us"),
+    )

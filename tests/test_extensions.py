@@ -226,3 +226,30 @@ def test_approx_percentile_accuracy(spark, sf_dir):
         for target, est in ((0.5, p50), (0.99, p99)):
             rank = grp.filter(F.col("value") <= est).count() / n
             assert abs(rank - target) <= 0.005, (et, target, est, rank)
+
+
+def test_kll_quantile_sketch_accuracy(spark, sf_dir):
+    # The reduce-merged KLL sketch must put its p50/p90 estimates within
+    # KLL's rank-error bound of the exact order statistics: k=200 gives
+    # ~1.65% normalized rank error at 99% confidence; 4% is generous.
+    from datafusion_nats_spark.queries.aggregates import agg_kll_quantile_sketch
+    from datafusion_nats_spark.tables import load
+
+    est = {
+        r.event_type: (r.n_values, r.p50_est, r.p90_est)
+        for r in agg_kll_quantile_sketch(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    exact_n = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact_n)
+    for et, (n, p50, p90) in est.items():
+        assert n == exact_n[et]  # merge must not lose values
+        # measure the *rank* of each estimate in the exact distribution
+        vals = ev.filter(F.col("event_type") == et)
+        total = exact_n[et]
+        for target, estimate in ((0.5, p50), (0.9, p90)):
+            rank = vals.filter(F.col("value") <= estimate).count() / total
+            assert abs(rank - target) < 0.04, (et, target, estimate, rank)
