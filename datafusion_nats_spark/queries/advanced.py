@@ -89,7 +89,7 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       n_nationkey,
       ({'name': n_name, 'region': n_regionkey}).name   AS info_name,
       ({'name': n_name, 'region': n_regionkey}).region AS info_region,
-      CAST(map_keys(map {'nation': n_name, 'key2': 'x'}) AS VARCHAR[]) AS mkeys,
+      array_to_string(CAST(map_keys(map {'nation': n_name, 'key2': 'x'}) AS VARCHAR[]), ',') AS mkeys,
       map_values(map {'a': n_regionkey, 'b': n_nationkey})[1] AS first_val,
       list_contains(map_keys(map {'a': n_regionkey}), 'a') AS has_a
     FROM nation
@@ -106,9 +106,10 @@ def map_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         info.getField("name").alias("info_name"),
         info.getField("region").alias("info_region"),
-        F.map_keys(F.create_map(F.lit("nation"), F.col("n_name"), F.lit("key2"), F.lit("x"))).alias(
-            "mkeys"
-        ),
+        F.array_join(
+            F.map_keys(F.create_map(F.lit("nation"), F.col("n_name"), F.lit("key2"), F.lit("x"))),
+            ",",
+        ).alias("mkeys"),
         F.element_at(F.map_values(m), 1).alias("first_val"),
         F.map_contains_key(F.create_map(F.lit("a"), F.col("n_regionkey")), "a").alias("has_a"),
     )

@@ -58,8 +58,13 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # Watermarks require TIMESTAMP_LTZ; UTC session makes the cast
+        # value-preserving (see tables.load).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -34,22 +34,29 @@ def _pin_session_invariants(spark: SparkSession) -> None:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Parquet scan → Catalyst gets pushdown + pruning.
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects outright; read it as a long (legacy conf) and
-    rebuild the timestamp at microsecond precision with integer `div`
-    (a double-typed division would lose sub-µs precision at ns-epoch
-    magnitudes).
+    Timestamp normalization: driver-generated parquet stores timestamps
+    as INT64 TIMESTAMP(isAdjustedToUTC=false) — Spark reads these as
+    TIMESTAMP_NTZ, which breaks epoch functions (unix_micros) and
+    streaming watermarks (both require TIMESTAMP_LTZ). With the session
+    timezone pinned to UTC, an NTZ→LTZ cast is value-preserving against
+    the DuckDB oracle (which reads the same parquet as naive TIMESTAMP).
+    A legacy branch also tolerates INT64 TIMESTAMP(NANOS) files read as
+    bigint (earlier driver data generations used nanos).
     """
     _pin_session_invariants(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        from pyspark.sql import functions as F
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dtypes = dict(df.dtypes)
+    for col, dt in dtypes.items():
+        if dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
