@@ -150,12 +150,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = d.select(
         "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
     ).persist()
-    # document-frequency cap (anti-boilerplate guard); broadcast the small
-    # allowed-shingle list back against the exploded set
+    # document-frequency cap (anti-boilerplate guard): broadcast the
+    # BANNED set (df > MAX_DF) and left_anti-join. The banned list is the
+    # boilerplate head of the shingle distribution — at most
+    # total_shingle_occurrences / MAX_DF distinct values, small by
+    # construction — whereas the allowed set grows with corpus vocabulary
+    # (billions of shingles at 100 TB) and would OOM the driver if
+    # broadcast.
     df_counts = shingled.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
-    capped = shingled.join(
-        F.broadcast(df_counts.filter(F.col("df") <= MAX_DF).select("shingle")), "shingle"
-    )
+    banned = df_counts.filter(F.col("df") > MAX_DF).select("shingle")
+    capped = shingled.join(F.broadcast(banned), "shingle", "left_anti")
     # ONE md5 per shingle, split into two 60-bit halves; the N_HASHES slots
     # are double-hashed arithmetic combinations (h1 + k*h2) mod M computed
     # inside the partial aggregate — map-side cost is 1 hash + 12 integer
@@ -249,15 +253,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = d.select(
         "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
     ).persist()
-    ok = shingled.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df")).filter(
-        F.col("df") <= MAX_DF
+    # Same banned-set inversion as dedup_minhash_lsh: broadcast the small
+    # df > MAX_DF head, never the unbounded allowed vocabulary.
+    banned = shingled.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df")).filter(
+        F.col("df") > MAX_DF
     )
-    capped = shingled.join(F.broadcast(ok.select("shingle")), "shingle").distinct().persist()
+    capped = (
+        shingled.join(F.broadcast(banned.select("shingle")), "shingle", "left_anti")
+        .distinct()
+        .persist()
+    )
     sizes = capped.groupBy("doc_id").agg(F.countDistinct("shingle").alias("n"))
     x = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
     y = capped.select(F.col("doc_id").alias("yb"), F.col("shingle").alias("shingle_b"))
+    # No explicit broadcast on the candidate-pair table: it is usually
+    # tiny, but a near-dup-heavy crawl can blow it up — let AQE pick
+    # broadcast vs shuffle join from the measured size at runtime.
     inter = (
-        F.broadcast(cand)
+        cand
         .join(x, "doc_a")
         .join(y, (F.col("doc_b") == F.col("yb")) & (F.col("shingle") == F.col("shingle_b")))
         .groupBy("doc_a", "doc_b")
@@ -383,6 +396,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_label_propagation(
+    adj: DataFrame, max_iter: int = 10, checkpoint_every: int = 3
+) -> DataFrame:
+    """Iterative min-label propagation over an undirected adjacency list
+    (columns ``doc_a``, ``doc_b``), with the lineage hygiene an
+    iterative Spark job needs at depth:
+
+    - every round persists its ``labels`` frame (it is read twice: the
+      convergence check and the next round) and **unpersists the
+      superseded round** so executor storage memory stays O(1) rounds;
+    - every ``checkpoint_every`` rounds the frame is
+      ``localCheckpoint()``-ed, truncating the logical plan — otherwise
+      the plan nests two joins per round and analysis/codegen time grows
+      with iteration count (a planner blowup long before data size
+      matters).
+
+    Returns DataFrame(id, comp) at fixpoint (or after ``max_iter``).
+    """
+    labels = (
+        adj.select(F.col("doc_a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    for it in range(max_iter):
+        neighbor_min = (
+            adj.join(labels, adj.doc_b == labels.id)
+            .groupBy(F.col("doc_a").alias("id2"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        updated = labels.join(neighbor_min, labels.id == F.col("id2"), "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            updated = updated.localCheckpoint()  # materializes + truncates plan
+        else:
+            updated = updated.persist()
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.id") == F.col("l.id"))
+            .filter(F.col("u.comp") != F.col("l.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()  # superseded round — release executor storage
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def _connected_components_oracle() -> str:
     """DuckDB twin of the iterative min-label propagation: the same
     verified-edge graph, closed transitively with WITH RECURSIVE, then
@@ -449,38 +514,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    labels = (
-        adj.select(F.col("doc_a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .persist()
-    )
-    for _ in range(10):  # diameter bound; tiny graphs converge in 1-2 rounds
-        neighbor_min = (
-            adj.join(labels, adj.doc_b == labels.id)
-            .groupBy(F.col("doc_a").alias("id2"))
-            .agg(F.min("comp").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.id == F.col("id2"), "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-            .persist()
-        )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), F.col("u.id") == F.col("l.id"))
-            .filter(F.col("u.comp") != F.col("l.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
+    labels = min_label_propagation(adj, max_iter=10)
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 

@@ -113,7 +113,7 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = float(nodes.count())  # the one driver-side scalar
 
     rank = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(_ITERATIONS):
+    for it in range(_ITERATIONS):
         inflow = (
             edges.join(rank, edges.src == rank.node)
             .join(deg, "src")
@@ -129,6 +129,11 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(_DAMPING) * F.coalesce("inflow", F.lit(0.0))
             ).alias("rank"),
         )
+        # Lineage hygiene: the plan nests two joins per iteration —
+        # truncate it every 2 rounds so a deep run (e.g. _ITERATIONS=30
+        # on a bigger graph) doesn't hit planner/codegen blowup.
+        if (it + 1) % 2 == 0 and it + 1 < _ITERATIONS:
+            rank = rank.localCheckpoint()
 
     return rank.filter(F.col("node").startswith("s")).select(
         F.substring("node", 2, 100).cast("bigint").alias("suppkey"),
