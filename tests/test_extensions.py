@@ -136,12 +136,12 @@ def test_text_langid_covers_all_docs(spark, sf_dir):
 
 
 def test_minhash_ml_agrees_with_expression_minhash(spark, planted_dir):
-    """The MLlib MinHashLSH path must find the planted exact duplicates
-    that the expression-level implementation finds."""
+    """The MLlib MinHashLSH candidate path must find (and exactly verify)
+    the planted exact duplicates."""
     from datafusion_nats_spark.extensions.ml_variants import dedup_minhash_ml
 
     pairs = {
-        (r.doc_a, r.doc_b): r.jaccard_sim
+        (r.doc_a, r.doc_b): r.jaccard
         for r in dedup_minhash_ml(spark, planted_dir).collect()
     }
     for i in range(10):
@@ -149,19 +149,25 @@ def test_minhash_ml_agrees_with_expression_minhash(spark, planted_dir):
         assert pairs[(i, i + 100000)] == 1.0
 
 
-def test_kmeans_ann_recall(spark, sf_dir):
-    from datafusion_nats_spark.extensions.ml_variants import sim_kmeans_ann
+@pytest.mark.parametrize("impl", ["lloyd", "mllib"])
+def test_kmeans_ann_recall(spark, sf_dir, impl):
+    """Both IVF codebooks — the deterministic Lloyd one (driver-checked)
+    and the MLlib KMeans cross-check — must keep useful recall@10 vs the
+    exact brute-force baseline."""
+    from datafusion_nats_spark.extensions.ml_variants import (
+        sim_kmeans_ann,
+        sim_kmeans_ann_mllib,
+    )
     from datafusion_nats_spark.extensions.similarity import sim_bruteforce_topk
 
+    fn = sim_kmeans_ann if impl == "lloyd" else sim_kmeans_ann_mllib
     exact = {
         (r.query_id, r.neighbor_id)
         for r in sim_bruteforce_topk(spark, sf_dir).collect()
     }
-    approx = {
-        (r.query_id, r.neighbor_id) for r in sim_kmeans_ann(spark, sf_dir).collect()
-    }
+    approx = {(r.query_id, r.neighbor_id) for r in fn(spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.2, f"KMeans-IVF recall collapsed: {recall}"
+    assert recall >= 0.2, f"KMeans-IVF ({impl}) recall collapsed: {recall}"
 
 
 def test_connected_components_groups_planted_triangle(spark, sf_dir, tmp_path_factory):
