@@ -152,10 +152,27 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_watermark_late_data",
-    oracle=None,  # watermark semantics are engine-specific; behavior in pytest
+    # Deterministic regime: the source is ONE parquet file -> one micro-
+    # batch, so nothing is ever late; the final watermark is
+    # max(ts) - 10min and append mode flushes exactly the windows whose
+    # END <= that watermark. That closed-form is the oracle. (Late-DROP
+    # behavior needs multi-batch replay and is asserted in
+    # test_streaming_semantics.py instead.)
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    agg AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n FROM agg, wm
+    WHERE window_start + INTERVAL '15 minutes' <= wm.w
+    """,
     doc="Watermarked windowed aggregation (10-minute lateness bound) in "
-    "update mode — bounded state at scale; late-data drop behavior is "
-    "asserted in tests with a rate-controlled replay.",
+    "append mode — bounded state at scale; emits only watermark-closed "
+    "windows (exact closed-form oracle in the single-batch regime); "
+    "late-data drop behavior is additionally asserted in tests with a "
+    "rate-controlled replay.",
 )
 def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _stream_events(spark, sf_dir)
