@@ -547,3 +547,50 @@ def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
         F.round(F.col("w_raw") / F.col("z") / F.col("p"), 6).alias("boost"),
     )
+
+
+N_SHARDS = 16
+
+
+@query(
+    "curation_shuffle_shard",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {N_SHARDS} AS shard_id
+      FROM documents
+    )
+    SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM keyed
+    """,
+    doc="Deterministic global shuffle + shard assignment — the 'shuffle "
+    "the corpus before training' step every epoch pipeline needs, with "
+    "reproducibility across runs: shard = md5(doc_id) mod N (a map-side "
+    "expression, so the only shuffle is the per-shard position window, "
+    "hash-partitioned BY shard — no global sort, no driver bottleneck). "
+    "Within a shard, examples read in md5 order = a reproducible "
+    "pseudo-random permutation. At 100 TB each shard window sorts "
+    "~corpus/N rows with spill, and writers emit one shard per task.",
+)
+def curation_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    keyed = d.select(
+        "doc_id",
+        h.alias("h"),
+        (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % N_SHARDS).alias(
+            "shard_id"
+        ),
+    )
+    w = W.partitionBy("shard_id").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )

@@ -115,6 +115,28 @@ def nats_available() -> bool:
         return False
 
 
+def nats_server_reachable(
+    url: str = "nats://localhost:4222", timeout_s: float = 0.25
+) -> bool:
+    """True when nats-py is importable AND a broker accepts TCP connects
+    at ``url`` — the gate for the live-broker e2e test (the twin of the
+    reference's integration test, which requires a running server:
+    reference tests/integration_test.rs:14)."""
+    if not nats_available():
+        return False
+    import socket
+    from urllib.parse import urlparse
+
+    p = urlparse(url)
+    try:
+        with socket.create_connection(
+            (p.hostname or "localhost", p.port or 4222), timeout=timeout_s
+        ):
+            return True
+    except OSError:
+        return False
+
+
 def fetch_from_nats(url: str, subject: str, max_messages: int, timeout_ms: int) -> list[bytes]:
     """Bounded drain of a live core-NATS subject (at-most-once: messages
     published before this subscribe are lost, reference: executor.rs:94).
