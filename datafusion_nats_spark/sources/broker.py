@@ -100,9 +100,118 @@ class LocalLogBroker:
 InMemoryBroker = LocalLogBroker
 
 
-def get_broker(url: str = "memory://default") -> LocalLogBroker:
-    """Broker handle for a URL — cheap to construct in any process; all
-    state lives in the shared log directory."""
+class JetStreamBroker:
+    """Live-JetStream flavor of the replayable log (SURVEY §7.4 hard part
+    #1's production answer): the same ``publish/size/fetch/clear``
+    interface as ``LocalLogBroker``, backed by a real NATS JetStream
+    stream, so every offset-range consumer — executor-side ingest,
+    metadata columns, bounded historical reads, streaming checkpoints —
+    works unchanged against a durable broker.
+
+    Offset mapping: the source's 0-based per-subject offsets map 1:1 to
+    JetStream's 1-based stream sequences (one stream per subject, no
+    deletes/purge — append-only, like the file log). ``fetch`` uses
+    sequence-direct gets, which is exact and simple; a pull-consumer
+    batch drain is the high-throughput upgrade and changes nothing about
+    the offset contract.
+
+    Import-gated on nats-py and only constructed for ``nats://`` URLs;
+    every method opens a short-lived connection because executor tasks
+    run in fresh Python workers with no shared event loop.
+    """
+
+    def __init__(self, url: str) -> None:
+        self.url = url
+
+    @staticmethod
+    def stream_name(subject: str) -> str:
+        """One stream per subject; JetStream stream names forbid dots."""
+        return "sg_" + re.sub(r"[^A-Za-z0-9_-]", "_", subject)
+
+    def _run(self, fn):
+        import asyncio
+
+        import nats  # import-gated — absent package surfaces ImportError
+
+        async def _with_js():
+            nc = await nats.connect(self.url)
+            try:
+                return await fn(nc.jetstream())
+            finally:
+                await nc.close()
+
+        return asyncio.run(_with_js())
+
+    def ensure_stream(self, subject: str):
+        from nats.js.api import StreamConfig
+
+        async def _ensure(js):
+            try:
+                await js.stream_info(self.stream_name(subject))
+            except Exception:
+                await js.add_stream(
+                    StreamConfig(name=self.stream_name(subject), subjects=[subject])
+                )
+
+        return self._run(_ensure)
+
+    def publish(self, subject: str, payload: bytes | str) -> None:
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
+        self.ensure_stream(subject)
+
+        async def _pub(js):
+            await js.publish(subject, payload)
+
+        self._run(_pub)
+
+    def size(self, subject: str) -> int:
+        async def _size(js):
+            try:
+                info = await js.stream_info(self.stream_name(subject))
+            except Exception:
+                return 0
+            return info.state.messages
+
+        return self._run(_size)
+
+    def fetch(self, subject: str, start: int, end: int | None = None) -> list[bytes]:
+        """Messages [start, end) by stream sequence (seq = offset + 1)."""
+
+        async def _fetch(js):
+            name = self.stream_name(subject)
+            try:
+                info = await js.stream_info(name)
+            except Exception:
+                return []
+            last = info.state.messages
+            stop = last if end is None else min(end, last)
+            out: list[bytes] = []
+            for seq in range(start + 1, stop + 1):
+                msg = await js.get_msg(name, seq)
+                out.append(msg.data)
+            return out
+
+        return self._run(_fetch)
+
+    def clear(self, subject: str | None = None) -> None:
+        async def _clear(js):
+            if subject is not None:
+                try:
+                    await js.purge_stream(self.stream_name(subject))
+                except Exception:
+                    pass
+
+        self._run(_clear)
+
+
+def get_broker(url: str = "memory://default"):
+    """Broker handle for a URL — cheap to construct in any process.
+    Dispatches on scheme: ``memory://`` → the file-backed local log,
+    ``nats://`` → the JetStream-backed replayable broker (import-gated;
+    methods raise ImportError when nats-py is absent)."""
+    if url.startswith("nats://"):
+        return JetStreamBroker(url)
     return LocalLogBroker(url)
 
 

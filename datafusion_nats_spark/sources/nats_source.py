@@ -180,7 +180,19 @@ class _OptionsMixin:
 
     @property
     def transport(self) -> str:
-        return self._opt("transport", "memory")
+        t = self._opt("transport", "memory")
+        if t not in ("memory", "nats", "jetstream"):
+            raise CodecError(f"unknown transport: {t}")
+        return t
+
+    @property
+    def replayable(self) -> bool:
+        """``memory`` and ``jetstream`` share the offset-addressable
+        (replayable) contract — every range consumer works on either;
+        the backing store is picked by URL scheme (``memory://`` file
+        log vs ``nats://`` JetStream, see broker.get_broker). ``nats``
+        is the core-NATS at-most-once drain (no offsets, no replay)."""
+        return self.transport in ("memory", "jetstream")
 
     @property
     def mode(self) -> str:
@@ -201,8 +213,8 @@ class _OptionsMixin:
         the file-backed log uses O_APPEND atomic single-line writes."""
         if self.mode != "dlq":
             return None
-        if self.transport != "memory":
-            raise CodecError("mode=dlq requires the replayable (memory) transport")
+        if not self.replayable:
+            raise CodecError("mode=dlq requires a replayable transport")
         from datafusion_nats_spark.sources.broker import get_broker
 
         broker = get_broker(self.url)
@@ -318,7 +330,7 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
 
     def _fetch_payloads(self) -> list[bytes]:
         max_messages = int(self._opt("maxmessages", "0")) or None
-        if self.transport == "memory":
+        if self.replayable:
             from datafusion_nats_spark.sources.broker import get_broker
 
             broker = get_broker(self.url)
@@ -346,12 +358,14 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
     def partitions(self):
         if self.ingest == "executor":
             # Offset-range planning only — no payload bytes on the driver.
-            # Requires a replayable transport (the JetStream-like log);
-            # core NATS can't be range-read, so that stays driver-prefetch.
-            if self.transport != "memory":
+            # Requires a replayable transport (the file log or a real
+            # JetStream stream); core NATS can't be range-read, so that
+            # stays driver-prefetch.
+            if not self.replayable:
                 raise CodecError(
-                    "ingest=executor requires the replayable (JetStream-like) "
-                    "transport; core NATS cannot be range-read from executors"
+                    "ingest=executor requires a replayable transport "
+                    "(memory or jetstream); core NATS cannot be range-read "
+                    "from executors"
                 )
             from datafusion_nats_spark.sources.broker import get_broker
 
@@ -375,9 +389,9 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
             return parts
         # driver-prefetch (the reference's consumer-task analogue)
         if self.include_metadata:
-            if self.transport != "memory":
+            if not self.replayable:
                 raise CodecError(
-                    "includeMetadata requires the replayable transport "
+                    "includeMetadata requires a replayable transport "
                     "(core NATS has no stable offsets to expose)"
                 )
             from datafusion_nats_spark.sources.broker import get_broker
@@ -524,10 +538,11 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
         self.max_per_batch = int(self._opt("maxmessagesperbatch", "1000"))
         mb = self._opt("maxbytesperbatch")
         self.max_bytes_per_batch = int(mb) if mb is not None else None
-        if self.transport != "memory":
+        if not self.replayable:
             raise CodecError(
-                "streaming currently supports transport=memory (JetStream-"
-                "backed replayable NATS is the documented upgrade path)"
+                "streaming requires a replayable transport (memory or "
+                "jetstream) — checkpointed offsets index a durable log; "
+                "core NATS is at-most-once with no offsets"
             )
         if len(self.subjects) > 1 or any(
             "*" in s or ">" in s for s in self.subjects

@@ -1,0 +1,123 @@
+"""JetStream transport: routing + offset-contract tests.
+
+``transport=jetstream`` shares the replayable offset contract with the
+file-log transport; the backing store is chosen by URL scheme
+(``memory://`` → LocalLogBroker, ``nats://`` → JetStreamBroker). That
+split makes every routing path executable here (with the file log as
+the store) while the live JetStream backend stays import-gated — its
+e2e flavor lives in test_nats_live.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_nats_spark.sources.broker import (
+    JetStreamBroker,
+    LocalLogBroker,
+    get_broker,
+    nats_available,
+)
+from datafusion_nats_spark.sources.nats_source import register
+
+KV = "id INT, name STRING"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+@pytest.fixture()
+def broker():
+    b = get_broker("memory://jstest")
+    b.clear()
+    yield b
+    b.clear()
+
+
+def test_get_broker_dispatches_on_scheme():
+    assert isinstance(get_broker("memory://x"), LocalLogBroker)
+    assert isinstance(get_broker("nats://localhost:4222"), JetStreamBroker)
+
+
+def test_jetstream_broker_is_import_gated():
+    """Without nats-py (this sandbox), JetStreamBroker methods must fail
+    with ImportError at call time — construction stays cheap so planning
+    code can hold handles without the dependency."""
+    b = JetStreamBroker("nats://localhost:4222")
+    assert b.stream_name("test.data.live") == "sg_test_data_live"
+    if not nats_available():
+        with pytest.raises(ImportError):
+            b.size("test.data.live")
+
+
+def test_jetstream_transport_reads_replayable_log(spark, broker):
+    """transport=jetstream exercises the same offset-range machinery;
+    with a memory:// URL the store is the local log, so the full path —
+    executor ingest, offset slicing, metadata columns — runs here."""
+    for i, name in enumerate(["apple", "banana", "orange", "plum", "mango"]):
+        broker.publish("js.fruits", f"{i + 1},{name}")
+    df = (
+        spark.read.format("nats")
+        .schema(KV)
+        .option("url", "memory://jstest")
+        .option("subject", "js.fruits")
+        .option("transport", "jetstream")
+        .option("ingest", "executor")
+        .option("numPartitions", "2")
+        .option("startingOffset", "1")
+        .option("endingOffset", "4")
+        .load()
+    )
+    assert sorted((r.id, r.name) for r in df.collect()) == [
+        (2, "banana"),
+        (3, "orange"),
+        (4, "plum"),
+    ]
+
+
+def test_jetstream_transport_metadata_columns(spark, broker):
+    for i in range(3):
+        broker.publish("js.meta", f"{i},row{i}")
+    df = (
+        spark.read.format("nats")
+        .schema(KV + ", _subject STRING, _offset LONG")
+        .option("url", "memory://jstest")
+        .option("subject", "js.meta")
+        .option("transport", "jetstream")
+        .option("includeMetadata", "true")
+        .load()
+    )
+    rows = sorted((r.id, r._subject, r._offset) for r in df.collect())
+    assert rows == [(0, "js.meta", 0), (1, "js.meta", 1), (2, "js.meta", 2)]
+
+
+def test_core_nats_transport_still_rejects_executor_ingest(spark):
+    from datafusion_nats_spark.codec import CodecError
+
+    df = (
+        spark.read.format("nats")
+        .schema(KV)
+        .option("url", "nats://localhost:4222")
+        .option("subject", "x")
+        .option("transport", "nats")
+        .option("ingest", "executor")
+        .load()
+    )
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "replayable" in str(ei.value)
+
+
+def test_unknown_transport_rejected(spark):
+    df = (
+        spark.read.format("nats")
+        .schema(KV)
+        .option("url", "memory://jstest")
+        .option("subject", "x")
+        .option("transport", "carrier-pigeon")
+        .load()
+    )
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "unknown transport" in str(ei.value)

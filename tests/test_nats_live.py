@@ -92,3 +92,49 @@ def test_golden_projection_limit_live(spark):
         (2, "banana"),
         (3, "orange"),
     ]
+
+
+def test_jetstream_offset_range_live(spark):
+    """JetStream flavor of the golden path: publish the triple through a
+    real JetStream stream, then range-read it with transport=jetstream +
+    executor ingest — durable offsets, no subscribe/publish race. Skips
+    (inside the module-level live gate) when the server has JetStream
+    disabled."""
+    from datafusion_nats_spark.sources.broker import JetStreamBroker
+
+    b = JetStreamBroker(NATS_URL)
+    subject = "test.js.golden"
+    try:
+        b.ensure_stream(subject)
+    except Exception as e:  # JetStream not enabled on this server
+        pytest.skip(f"JetStream unavailable: {e}")
+    b.clear(subject)
+    for p in GOLDEN:
+        b.publish(subject, p)
+    df = (
+        spark.read.format("nats")
+        .schema("id INT, name STRING")
+        .option("url", NATS_URL)
+        .option("subject", subject)
+        .option("transport", "jetstream")
+        .option("ingest", "executor")
+        .option("numPartitions", "2")
+        .load()
+    )
+    assert sorted((r.id, r.name) for r in df.collect()) == [
+        (1, "apple"),
+        (2, "banana"),
+        (3, "orange"),
+    ]
+    # bounded historical re-read: offsets [1, 3) = banana, orange
+    df2 = (
+        spark.read.format("nats")
+        .schema("id INT, name STRING")
+        .option("url", NATS_URL)
+        .option("subject", subject)
+        .option("transport", "jetstream")
+        .option("startingOffset", "1")
+        .option("endingOffset", "3")
+        .load()
+    )
+    assert sorted(r.name for r in df2.collect()) == ["banana", "orange"]
