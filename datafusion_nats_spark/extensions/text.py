@@ -525,3 +525,80 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_frac, 6).alias("dup_bigram_frac"),
         ((top_share > 0.1) | (dup_frac > 0.3)).alias("is_repetitive"),
     )
+
+
+# Cross-document span dedup: non-overlapping windows this size dedupe at
+# the chunk level (the C4/RefinedWeb "remove duplicated spans" pass —
+# finer-grained than whole-doc near-dup, catches shared boilerplate
+# paragraphs inside otherwise-unique documents).
+SPAN_TOKENS = 20
+
+
+@query(
+    "text_span_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[s+1:s+{SPAN_TOKENS}], ' ')) AS h
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, len(toks), {SPAN_TOKENS})) AS s
+            FROM t)
+    ), df AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY h
+    )
+    SELECT c.doc_id,
+           count(*)                                        AS n_spans,
+           CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS n_shared_spans,
+           round(CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6)                            AS shared_frac
+    FROM chunks c JOIN df d USING (h)
+    GROUP BY c.doc_id
+    """,
+    doc=f"Cross-document span dedup (C4/RefinedWeb-style): documents are "
+    f"cut into NON-overlapping {SPAN_TOKENS}-token spans, each hashed; a "
+    "span appearing in >1 document is shared boilerplate. Emits per-doc "
+    "span counts and the shared fraction — the signal both for dropping "
+    "duplicated paragraphs and for flagging template-heavy documents "
+    "that whole-doc near-dup misses. Plan: map-side chunk+hash Generate, "
+    "ONE shuffle for the span document-frequency aggregate, one "
+    "hash-equi-join back (no broadcast of the unbounded span "
+    "vocabulary — same scale rule as the MinHash df cap), then the "
+    "per-doc rollup reuses the doc_id partitioning.",
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("toks")) - 1, F.lit(0)),
+        F.lit(SPAN_TOKENS),
+    )
+    chunks = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice(F.col("toks"), F.col("s") + 1, SPAN_TOKENS), " ")).alias("h"),
+        )
+        .persist()
+    )
+    df_tbl = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    shared = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        chunks.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(shared).cast("bigint").alias("n_shared_spans"),
+            F.round(F.sum(shared).cast("double") / F.count(F.lit(1)), 6).alias(
+                "shared_frac"
+            ),
+        )
+    )

@@ -141,11 +141,13 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "EXACT regime (reference analogue: DataFusion approx_distinct). At "
     "rsd=0.005 the register array has m=2^16 cells and the estimator "
     "takes the linear-counting branch; for n distinct << sqrt(m) the "
-    "rounded estimate equals the exact count (empirically exact for the "
-    "<=100-supplier keys at every test SF), so the exact count(DISTINCT) "
-    "is a valid oracle. At 100 TB cardinalities the same query returns "
-    "~0.5%-error estimates — the scale/accuracy trade the operator "
-    "exists for.",
+    "rounded estimate equals the exact count (empirically exact at the "
+    "correctness SFs 0.001/0.01, whose supplier key space is <=100; at "
+    "sf0.1's 1000 suppliers the estimate drifts by a few counts — the "
+    "documented approximate behavior), so the exact count(DISTINCT) is "
+    "a valid oracle at the driver's correctness SF. At 100 TB "
+    "cardinalities the same query returns ~0.5%-error estimates — the "
+    "scale/accuracy trade the operator exists for.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -837,7 +839,7 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Re-aggregatable quantiles via Datasketches KLL: per (event_type, "
     "month) partial sketches built map-side (kll_sketch_agg_double, "
-    "k=8192), then merged per event_type with a higher-order reduce over "
+    "k=65535), then merged per event_type with a higher-order reduce over "
     "the collected partials (kll_sketch_merge_double is a binary scalar) "
     "— the same partial/final pattern as the HLL rollup, for quantiles: "
     "a 100 TB daily pipeline keeps small sketches per bucket and answers "
@@ -851,7 +853,7 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     partial = ev.groupBy(
         "event_type", F.date_trunc("month", "ts").alias("month")
-    ).agg(F.kll_sketch_agg_double("value", F.lit(8192)).alias("sk"))
+    ).agg(F.kll_sketch_agg_double("value", F.lit(65535)).alias("sk"))
     merged = partial.groupBy("event_type").agg(F.collect_list("sk").alias("sks"))
     sk = F.reduce(
         F.slice("sks", 2, 1_000_000),
