@@ -122,11 +122,21 @@ class JetStreamBroker:
 
     def __init__(self, url: str) -> None:
         self.url = url
+        self._ensured: set[str] = set()  # streams known to exist (per handle)
 
-    @staticmethod
-    def stream_name(subject: str) -> str:
-        """One stream per subject; JetStream stream names forbid dots."""
-        return "sg_" + re.sub(r"[^A-Za-z0-9_-]", "_", subject)
+    _STREAM_PREFIX = "sg_"
+
+    @classmethod
+    def stream_name(cls, subject: str) -> str:
+        """One stream per subject. JetStream stream names forbid dots, so
+        the subject is sanitized — and because sanitizing collapses
+        distinct subjects ('a.b' vs 'a_b'), an md5 suffix keeps the
+        mapping injective."""
+        import hashlib
+
+        sanitized = re.sub(r"[^A-Za-z0-9_-]", "_", subject)
+        digest = hashlib.md5(subject.encode("utf-8")).hexdigest()[:8]
+        return f"{cls._STREAM_PREFIX}{sanitized}_{digest}"
 
     def _run(self, fn):
         import asyncio
@@ -144,16 +154,20 @@ class JetStreamBroker:
 
     def ensure_stream(self, subject: str):
         from nats.js.api import StreamConfig
+        from nats.js.errors import NotFoundError
+
+        name = self.stream_name(subject)
+        if name in self._ensured:
+            return
 
         async def _ensure(js):
             try:
-                await js.stream_info(self.stream_name(subject))
-            except Exception:
-                await js.add_stream(
-                    StreamConfig(name=self.stream_name(subject), subjects=[subject])
-                )
+                await js.stream_info(name)
+            except NotFoundError:  # only "missing" — auth/conn errors surface
+                await js.add_stream(StreamConfig(name=name, subjects=[subject]))
 
-        return self._run(_ensure)
+        self._run(_ensure)
+        self._ensured.add(name)
 
     def publish(self, subject: str, payload: bytes | str) -> None:
         if isinstance(payload, str):
@@ -166,43 +180,59 @@ class JetStreamBroker:
         self._run(_pub)
 
     def size(self, subject: str) -> int:
+        from nats.js.errors import NotFoundError
+
         async def _size(js):
             try:
                 info = await js.stream_info(self.stream_name(subject))
-            except Exception:
+            except NotFoundError:
                 return 0
             return info.state.messages
 
         return self._run(_size)
 
     def fetch(self, subject: str, start: int, end: int | None = None) -> list[bytes]:
-        """Messages [start, end) by stream sequence (seq = offset + 1)."""
+        """Messages [start, end) as 0-based positions over the stream's
+        CURRENT contents: position i ↦ sequence first_seq + i. Anchoring
+        at first_seq (not 1) keeps the contract correct after purges or
+        retention-limit trims, which advance first_seq."""
+        from nats.js.errors import NotFoundError
 
         async def _fetch(js):
             name = self.stream_name(subject)
             try:
                 info = await js.stream_info(name)
-            except Exception:
+            except NotFoundError:
                 return []
-            last = info.state.messages
-            stop = last if end is None else min(end, last)
+            n = info.state.messages
+            first = info.state.first_seq
+            stop = n if end is None else min(end, n)
             out: list[bytes] = []
-            for seq in range(start + 1, stop + 1):
-                msg = await js.get_msg(name, seq)
+            for pos in range(start, stop):
+                msg = await js.get_msg(name, first + pos)
                 out.append(msg.data)
             return out
 
         return self._run(_fetch)
 
     def clear(self, subject: str | None = None) -> None:
+        """Purge one subject's stream, or (subject=None) every stream this
+        broker convention owns — mirroring LocalLogBroker.clear()."""
+        from nats.js.errors import NotFoundError
+
         async def _clear(js):
             if subject is not None:
                 try:
                     await js.purge_stream(self.stream_name(subject))
-                except Exception:
+                except NotFoundError:
                     pass
+                return
+            for info in await js.streams_info():
+                if info.config.name.startswith(self._STREAM_PREFIX):
+                    await js.purge_stream(info.config.name)
 
         self._run(_clear)
+        self._ensured.clear()
 
 
 def get_broker(url: str = "memory://default"):

@@ -158,14 +158,21 @@ class _OptionsMixin:
         subs = self.subjects
         if not any("*" in s or ">" in s for s in subs):
             return subs
-        if self.transport != "memory":
+        if not self.replayable:
             raise CodecError(
-                "wildcard subjects require the replayable transport (a live "
+                "wildcard subjects require a replayable transport (a live "
                 "core-NATS drain subscribes to the pattern directly)"
             )
         from datafusion_nats_spark.sources.broker import get_broker, subject_matches
 
-        known = get_broker(self.url).list_subjects()
+        broker = get_broker(self.url)
+        if not hasattr(broker, "list_subjects"):
+            raise CodecError(
+                "wildcard expansion needs a subject-enumerable backend (the "
+                "local log); against JetStream, bind one literal subject per "
+                "read — a server-side pattern consumer is the upgrade path"
+            )
+        known = broker.list_subjects()
         out: list[str] = []
         for s in subs:
             if "*" in s or ">" in s:

@@ -45,10 +45,30 @@ def test_jetstream_broker_is_import_gated():
     with ImportError at call time — construction stays cheap so planning
     code can hold handles without the dependency."""
     b = JetStreamBroker("nats://localhost:4222")
-    assert b.stream_name("test.data.live") == "sg_test_data_live"
+    assert b.stream_name("test.data.live").startswith("sg_test_data_live_")
+    # sanitization alone would collapse distinct subjects — the md5
+    # suffix keeps the subject->stream mapping injective
+    assert b.stream_name("test.data.live") != b.stream_name("test_data_live")
     if not nats_available():
         with pytest.raises(ImportError):
             b.size("test.data.live")
+
+
+def test_wildcards_rejected_for_jetstream_backend(spark):
+    """Wildcard expansion needs a subject-enumerable backend; against a
+    nats:// URL the planner must raise a clear CodecError (never an
+    AttributeError from the missing list_subjects)."""
+    df = (
+        spark.read.format("nats")
+        .schema(KV)
+        .option("url", "nats://localhost:4222")
+        .option("subject", "orders.*")
+        .option("transport", "jetstream")
+        .load()
+    )
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "subject-enumerable" in str(ei.value)
 
 
 def test_jetstream_transport_reads_replayable_log(spark, broker):

@@ -489,3 +489,40 @@ def test_min_label_propagation_bounded_plan_depth(spark):
     assert rows == {i: 0 for i in range(15)}  # one component, min label 0
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 8
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime bloom-filter join (Spark 3.3+ runtime filters): a
+    selective creation side must inject bloom_filter_might_contain into
+    the probe-side scan so the big fact table drops non-joining rows
+    BEFORE the shuffle — at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the matching slice.
+    Local thresholds are lowered because the application-side default
+    (10 GB scanned) is cluster-scale."""
+    from datafusion_nats_spark.tables import load
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    old = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        from pyspark.sql import functions as F
+
+        o = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") > 500000)
+            .select("o_orderkey")
+        )
+        li = load(spark, sf_dir, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
