@@ -662,13 +662,26 @@ class NatsBatchWriter(DataSourceWriter, _OptionsMixin):
     """Publish rows as CSV lines (the sink the reference lacks — its results
     are only collect()/show(), SURVEY §2B "Sinks").
 
-    Executor tasks encode; the driver-side commit publishes, so the
-    in-memory broker (a driver-process object) stays consistent. A real
-    NATS transport would publish directly from executors.
+    Two publish placements:
+
+    - ``publishFrom=driver`` (default): executor tasks encode, the
+      driver-side ``commit`` publishes after every task succeeded —
+      all-or-nothing at the job boundary, but the driver NIC serializes
+      all sink traffic.
+    - ``publishFrom=executor``: each task publishes its own partition
+      directly (both replayable backends accept writes from any
+      process: the file log via O_APPEND, JetStream via its own
+      client). At 100 TB this removes the driver bottleneck — the
+      cluster-scale placement — at the cost of at-least-once semantics:
+      a retried task republishes its rows (document-idempotent readers
+      or JetStream dedup windows absorb this).
     """
 
     def __init__(self, schema: T.StructType, options: dict) -> None:
         self.options = {k.lower(): v for k, v in options.items()}
+        self._publish_from = self._opt("publishfrom", "driver")
+        if self._publish_from not in ("driver", "executor"):
+            raise CodecError(f"unknown publishFrom: {self._publish_from}")
         # subjectColumn: route each row to the subject named in that column
         # (excluded from the wire payload) — the Kafka topic-column
         # analogue, and the natural NATS shape: subjects are cheap,
@@ -685,12 +698,11 @@ class NatsBatchWriter(DataSourceWriter, _OptionsMixin):
             )
         CsvCodec(schema)  # validate the (payload) schema against wire rules
 
-    def write(self, rows) -> NatsCommitMessage:
+    def _encode_partition(self, rows) -> list:
         if self._route_idx is None:
-            lines = [
+            return [
                 ",".join(_encode_value(v) for v in row).encode("utf-8") for row in rows
             ]
-            return NatsCommitMessage(lines=lines)
         i = self._route_idx
         routed = []
         for row in rows:
@@ -698,7 +710,26 @@ class NatsBatchWriter(DataSourceWriter, _OptionsMixin):
                 _encode_value(v) for j, v in enumerate(row) if j != i
             ).encode("utf-8")
             routed.append((str(row[i]), payload))
-        return NatsCommitMessage(lines=routed)
+        return routed
+
+    def _publish(self, broker, item) -> None:
+        if self._route_idx is not None:
+            subject, line = item
+            broker.publish(subject, line)
+        else:
+            broker.publish(self.subject, item)
+
+    def write(self, rows) -> NatsCommitMessage:
+        items = self._encode_partition(rows)
+        if self._publish_from == "executor":
+            # direct per-task publish (at-least-once on task retry)
+            from datafusion_nats_spark.sources.broker import get_broker
+
+            broker = get_broker(self.url)
+            for item in items:
+                self._publish(broker, item)
+            return NatsCommitMessage(lines=[])
+        return NatsCommitMessage(lines=items)
 
     def commit(self, messages) -> None:
         from datafusion_nats_spark.sources.broker import get_broker
@@ -706,11 +737,7 @@ class NatsBatchWriter(DataSourceWriter, _OptionsMixin):
         broker = get_broker(self.url)
         for message in messages:
             for item in message.lines:
-                if self._route_idx is not None:
-                    subject, line = item
-                    broker.publish(subject, line)
-                else:
-                    broker.publish(self.subject, item)
+                self._publish(broker, item)
 
     def abort(self, messages) -> None:
         pass

@@ -203,6 +203,29 @@ def test_write_then_read_roundtrip(spark, broker):
     assert sorted((r.id, r.name) for r in rows) == [(10, "alpha"), (11, "beta")]
 
 
+def test_write_executor_publish_roundtrip(spark, broker):
+    """publishFrom=executor: tasks publish their partitions directly —
+    the cluster-scale sink placement (no driver NIC bottleneck). Both
+    rows arrive; driver-side commit has nothing left to publish."""
+    df = spark.createDataFrame(
+        [(20, "gamma"), (21, "delta"), (22, "epsilon")], KV_SCHEMA
+    ).repartition(3)
+    (
+        df.write.format("nats")
+        .option("url", "memory://test")
+        .option("subject", "sink_exec")
+        .option("publishFrom", "executor")
+        .mode("append")
+        .save()
+    )
+    rows = _read(spark, "sink_exec").collect()
+    assert sorted((r.id, r.name) for r in rows) == [
+        (20, "gamma"),
+        (21, "delta"),
+        (22, "epsilon"),
+    ]
+
+
 def test_schema_required(spark, broker):
     with pytest.raises(Exception):
         spark.read.format("nats").option("subject", "x").load().collect()
