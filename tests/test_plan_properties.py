@@ -526,3 +526,12 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """Per-group top-k must compile to WindowGroupLimit (Partial before
+    the shuffle + Final after): each map task forwards only its local
+    top-k per group instead of every row — at 100 TB the shuffle input
+    drops from |rows| to ~k x |groups| x |tasks|."""
+    plan = _plan(spark, sf_dir, "topk_per_group_orders")
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
