@@ -144,10 +144,12 @@ _DOT_DUCK = (
 _NORM_DUCK = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
 
 
-def _kmeans_ann_oracle() -> str:
-    """DuckDB twin of the deterministic Lloyd IVF: seeds and the
-    LLOYD_ITERS assign/recompute rounds unrolled as chained CTEs, then
-    the same probe + exact-rerank tail as sim_ivf_ann's oracle."""
+def lloyd_cte_prefix(k: int = K_CELLS, iters: int = LLOYD_ITERS) -> str:
+    """WITH-chain for the deterministic Lloyd codebook, shared by the
+    kmeans-IVF and SemDeDup oracles: defines ``e`` (vec_id, emb as
+    doubles), ``cent0`` (md5-order seeds) .. ``cent{iters}``, and
+    ``assign1`` .. ``assign{iters + 1}`` — the last being the final
+    (vec_id, emb, cell) assignment under the converged codebook."""
     parts = [
         f"""
         WITH e AS (
@@ -157,11 +159,11 @@ def _kmeans_ann_oracle() -> str:
           SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
                  emb AS centroid
           FROM (SELECT vec_id, emb FROM e
-                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {K_CELLS})
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
         )
         """
     ]
-    for i in range(1, LLOYD_ITERS + 2):  # final round = assignment only
+    for i in range(1, iters + 2):  # final round = assignment only
         parts.append(
             f"""
             , assign{i} AS (
@@ -177,7 +179,7 @@ def _kmeans_ann_oracle() -> str:
             )
             """
         )
-        if i <= LLOYD_ITERS:
+        if i <= iters:
             parts.append(
                 f"""
                 , cent{i} AS (
@@ -191,8 +193,15 @@ def _kmeans_ann_oracle() -> str:
                 )
                 """
             )
+    return "".join(parts)
+
+
+def _kmeans_ann_oracle() -> str:
+    """DuckDB twin of the deterministic Lloyd IVF: the shared Lloyd
+    codebook prefix, then the same probe + exact-rerank tail as
+    sim_ivf_ann's oracle."""
     final = LLOYD_ITERS + 1
-    parts.append(
+    return lloyd_cte_prefix() + (
         f"""
         , q AS (
           SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}
@@ -224,7 +233,6 @@ def _kmeans_ann_oracle() -> str:
         ) WHERE rn <= {TOP_K}
         """
     )
-    return "".join(parts)
 
 
 def _mean_centroids(assigned: DataFrame) -> DataFrame:
@@ -256,6 +264,35 @@ def _assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def lloyd_assignments(
+    spark: SparkSession, sf_dir: str, k: int = K_CELLS, iters: int = LLOYD_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of ``lloyd_cte_prefix``: md5-order seeding, ``iters``
+    assign/recompute rounds, then the final assignment under the
+    converged codebook. Returns ``(assigned, cent)`` where ``assigned``
+    is the persisted (vec_id, emb, cell) frame and ``cent`` the K-row
+    codebook (localCheckpointed — K rows, lineage truncated)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    # md5-order seeding: top-K by hash is a TakeOrderedAndProject (scale-
+    # safe); the row_number window then runs over K rows only.
+    seeds = (
+        e.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "emb")
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    cent = seeds.withColumn(
+        "cell", (F.row_number().over(W.orderBy("h", "vec_id")) - 1)
+    ).select("cell", F.col("emb").alias("centroid"))
+    for _ in range(iters):
+        assigned = _assign_cells(e, cent)
+        cent = _mean_centroids(assigned).localCheckpoint()  # K rows; truncates lineage
+    assigned = _assign_cells(e, cent).persist()  # final cells feed downstream joins
+    return assigned, cent
+
+
 @query(
     "sim_kmeans_ann",
     oracle=_kmeans_ann_oracle(),
@@ -270,24 +307,7 @@ def _assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
     "sim_kmeans_ann_mllib cross-check.",
 )
 def sim_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
-    )
-    # md5-order seeding: top-K by hash is a TakeOrderedAndProject (scale-
-    # safe); the row_number window then runs over K rows only.
-    seeds = (
-        e.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "emb")
-        .orderBy("h", "vec_id")
-        .limit(K_CELLS)
-    )
-    cent = seeds.withColumn(
-        "cell", (F.row_number().over(W.orderBy("h", "vec_id")) - 1)
-    ).select("cell", F.col("emb").alias("centroid"))
-    for _ in range(LLOYD_ITERS):
-        assigned = _assign_cells(e, cent)
-        cent = _mean_centroids(assigned).localCheckpoint()  # K rows; truncates lineage
-    assigned = _assign_cells(e, cent).persist()  # final cells feed the rerank join
+    assigned, cent = lloyd_assignments(spark, sf_dir)
 
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")

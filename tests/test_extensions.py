@@ -170,6 +170,27 @@ def test_kmeans_ann_recall(spark, sf_dir, impl):
     assert recall >= 0.2, f"KMeans-IVF ({impl}) recall collapsed: {recall}"
 
 
+def test_semdedup_drops_planted_exact_duplicate(spark, sf_dir, tmp_path_factory):
+    """An exact copy of vec 0 (cosine 1.0, necessarily the same Lloyd
+    cell) must be dropped with max_dup_cosine == 1.0; its lower-id twin
+    must survive; every vector appears exactly once in the output."""
+    out = str(tmp_path_factory.mktemp("semdup"))
+    from datafusion_nats_spark.extensions.semdedup import dedup_semantic_semdedup
+    from datafusion_nats_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    twin = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(900000).cast("long"))
+    emb.unionByName(twin).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    rows = dedup_semantic_semdedup(spark, out).collect()
+    by_id = {r.vec_id: r for r in rows}
+    assert len(rows) == len(by_id) == emb.count() + 1
+    assert by_id[900000].kept is False
+    assert by_id[900000].max_dup_cosine == 1.0
+    assert by_id[0].kept is True or by_id[0].max_dup_cosine < 1.0  # twin never drops the original
+    assert by_id[900000].cell == by_id[0].cell
+
+
 def test_connected_components_groups_planted_triangle(spark, sf_dir, tmp_path_factory):
     """Three exact copies of one doc + two of another → two components,
     each labeled by its minimum doc_id."""
