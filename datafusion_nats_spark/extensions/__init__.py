@@ -10,6 +10,7 @@ from datafusion_nats_spark.extensions import (  # noqa: F401
     ml_variants,
     multimodal,
     pipeline,
+    pq,
     semdedup,
     similarity,
     text,

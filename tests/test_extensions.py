@@ -170,6 +170,30 @@ def test_kmeans_ann_recall(spark, sf_dir, impl):
     assert recall >= 0.2, f"KMeans-IVF ({impl}) recall collapsed: {recall}"
 
 
+def test_pq_ann_recall(spark, sf_dir):
+    """ADC-over-codes candidate generation + exact rerank must keep
+    useful recall@10 vs brute force, and emit exactly TOP_K valid ranks
+    per query."""
+    from datafusion_nats_spark.extensions.pq import sim_pq_ann
+    from datafusion_nats_spark.extensions.similarity import sim_bruteforce_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    rows = sim_pq_ann(spark, sf_dir).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    # 16-entry sampled codebooks on random 64-d data: this asserts the
+    # ADC machinery ranks usefully, not SOTA recall.
+    assert recall >= 0.2, f"PQ recall collapsed: {recall}"
+    per_q = {}
+    for r in rows:
+        assert 1 <= r.rn <= 10
+        per_q.setdefault(r.query_id, set()).add(r.rn)
+    assert all(ranks == set(range(1, 11)) for ranks in per_q.values())
+
+
 def test_semdedup_drops_planted_exact_duplicate(spark, sf_dir, tmp_path_factory):
     """An exact copy of vec 0 (cosine 1.0, necessarily the same Lloyd
     cell) must be dropped with max_dup_cosine == 1.0; its lower-id twin

@@ -165,6 +165,16 @@ def test_quantization_broadcasts_codebook(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_pq_ann_broadcasts_codebook_and_lut(spark, sf_dir):
+    # PQ encode joins the corpus against the 64-row codebook, and ADC
+    # joins the code table against the query LUT — both must broadcast;
+    # nothing in the compressed-domain path may go all-pairs
+    plan = _plan(spark, sf_dir, "sim_pq_ann")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_train_ready_pipeline_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_train_ready")
     assert "CartesianProduct" not in plan
