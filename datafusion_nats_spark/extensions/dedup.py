@@ -157,7 +157,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction — whereas the allowed set grows with corpus vocabulary
     # (billions of shingles at 100 TB) and would OOM the driver if
     # broadcast.
-    df_counts = shingled.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+    # shingles are array_distinct'ed per doc, so every (doc_id, shingle)
+    # row is unique and count(*) == count(DISTINCT doc_id) — the plain
+    # count skips the expand/two-phase distinct aggregation
+    df_counts = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     banned = df_counts.filter(F.col("df") > MAX_DF).select("shingle")
     capped = shingled.join(F.broadcast(banned), "shingle", "left_anti")
     # ONE md5 per shingle, split into two 60-bit halves; the N_HASHES slots
