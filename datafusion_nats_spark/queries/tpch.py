@@ -811,3 +811,217 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("profit"), 2).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name AS nation,
+           p_partkey, round(supplycost, 6) AS supplycost
+    FROM part
+    JOIN ps ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size <= 10 AND p_type = 'ECONOMY' AND r_name = 'ASIA'
+      AND supplycost = (
+        SELECT min(ps2.supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'ASIA'
+      )
+    ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 (adapted): cheapest regional supplier per part. The "
+    "part-supplier relation is derived from lineitem (supplycost = min "
+    "observed unit price) since the corpus has no partsupp; the "
+    "correlated-min shape is Q2's, decorrelated in Spark to a grouped "
+    "min + equality join. The ORDER BY is a total order so the LIMIT "
+    "is engine-stable.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    regional = (
+        ps.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    min_cost = regional.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        regional.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(min_cost),
+            (F.col("l_partkey") == F.col("mk")) & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            F.round("supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
+    FROM v
+    WHERE CAST(val AS DOUBLE) > 2 * (SELECT avg(CAST(val AS DOUBLE)) FROM v)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 (adapted): parts representing a significant share of "
+    "one region's supplied value. Value = discounted lineitem revenue "
+    "(no partsupp availqty in the corpus; region-scoped so every SF has "
+    "qualifying suppliers); the shape is Q11's — grouped "
+    "value vs a scalar-subquery global threshold (>2x the mean part "
+    "value, scale-free where Q11's fixed fraction is SF-dependent), "
+    "which Spark expresses as a broadcast single-row cross join (no "
+    "driver collect).",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    v = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("l_partkey")
+        # exact decimal money sum: the source prices/discounts are
+        # 2-decimal, so the per-part value is engine-exact — no FP
+        # summation-order half-cent flips at the round(…, 2) boundary
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("val")
+        )
+    )
+    total = v.agg(F.avg(F.col("val").cast("double")).alias("tot"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > 2 * F.col("tot"))
+        .select("l_partkey", F.round("val", 2).cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "q16_parts_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand != 'Brand#1' AND p_type != 'PROMO'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 (adapted): supplier counts per part attribute group. "
+    "The part-supplier relation is the distinct (l_partkey, l_suppkey) "
+    "projection of lineitem; negative-balance suppliers stand in for "
+    "the complaint exclusion (NOT IN -> broadcast anti join).",
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        ps.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal, n_name AS nation
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%red%'
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 300
+      )
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 (adapted): regional suppliers who moved significant "
+    "volume of a part family in a year — the aggregated-subquery semi "
+    "join is Q20's shape (no partsupp availqty in the corpus, so the "
+    "threshold is on shipped quantity).",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01 00:00:00", "1996-12-31 00:00:00")
+    )
+    heavy = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(heavy), "s_suppkey", "left_semi")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"), F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
