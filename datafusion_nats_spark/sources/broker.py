@@ -191,6 +191,27 @@ class JetStreamBroker:
 
         return self._run(_size)
 
+    def list_subjects(self) -> list[str]:
+        """All subjects this broker convention owns, recovered from each
+        ``sg_``-prefixed stream's bound subject list (stream names are
+        md5-sanitized and not reversible; the config carries the real
+        subject). Sorted — the same deterministic wildcard-expansion
+        order as ``LocalLogBroker.list_subjects``. This is what lets
+        ``resolved_subjects()`` expand ``*``/``>`` patterns against a
+        JetStream backend at planning time; a server-side pattern
+        consumer (one filtered consumer over a multi-subject stream)
+        would push the match into the broker and is the throughput
+        upgrade, not a semantics change."""
+
+        async def _list(js):
+            subs: list[str] = []
+            for info in await js.streams_info():
+                if info.config.name.startswith(self._STREAM_PREFIX) and info.config.subjects:
+                    subs.extend(info.config.subjects)
+            return sorted(set(subs))
+
+        return self._run(_list)
+
     def fetch(self, subject: str, start: int, end: int | None = None) -> list[bytes]:
         """Messages [start, end) as 0-based positions over the stream's
         CURRENT contents: position i ↦ sequence first_seq + i. Anchoring

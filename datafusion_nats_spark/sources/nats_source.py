@@ -168,9 +168,9 @@ class _OptionsMixin:
         broker = get_broker(self.url)
         if not hasattr(broker, "list_subjects"):
             raise CodecError(
-                "wildcard expansion needs a subject-enumerable backend (the "
-                "local log); against JetStream, bind one literal subject per "
-                "read — a server-side pattern consumer is the upgrade path"
+                "wildcard expansion needs a subject-enumerable backend "
+                "(the local log and JetStream both are; core-NATS drains "
+                "subscribe to the pattern directly)"
             )
         known = broker.list_subjects()
         out: list[str] = []

@@ -138,3 +138,47 @@ def test_jetstream_offset_range_live(spark):
         .load()
     )
     assert sorted(r.name for r in df2.collect()) == ["banana", "orange"]
+
+
+def test_jetstream_wildcard_expansion_live(spark):
+    """Wildcard subjects over the JetStream backend: list_subjects
+    recovers every sg_ stream's bound subject, so 'test.wc.*' expands at
+    planning time to the matching literal subjects and the read unions
+    their streams. Skips (inside the module-level live gate) when the
+    server has JetStream disabled."""
+    from datafusion_nats_spark.sources.broker import JetStreamBroker
+
+    b = JetStreamBroker(NATS_URL)
+    try:
+        b.ensure_stream("test.wc.a")
+    except Exception as e:  # JetStream not enabled on this server
+        pytest.skip(f"JetStream unavailable: {e}")
+    for subject, payload in [
+        ("test.wc.a", b"1,apple"),
+        ("test.wc.b", b"2,banana"),
+        ("test.wc.deeper.c", b"3,orange"),
+    ]:
+        b.clear(subject)
+        b.publish(subject, payload)
+    subs = b.list_subjects()
+    assert {"test.wc.a", "test.wc.b", "test.wc.deeper.c"} <= set(subs)
+    # '*' matches exactly one token: a and b, never deeper.c
+    df = (
+        spark.read.format("nats")
+        .schema("id INT, name STRING")
+        .option("url", NATS_URL)
+        .option("subject", "test.wc.*")
+        .option("transport", "jetstream")
+        .load()
+    )
+    assert sorted((r.id, r.name) for r in df.collect()) == [(1, "apple"), (2, "banana")]
+    # '>' matches one-or-more trailing tokens: all three
+    df2 = (
+        spark.read.format("nats")
+        .schema("id INT, name STRING")
+        .option("url", NATS_URL)
+        .option("subject", "test.wc.>")
+        .option("transport", "jetstream")
+        .load()
+    )
+    assert sorted(r.name for r in df2.collect()) == ["apple", "banana", "orange"]
