@@ -5,6 +5,7 @@ Importing this package registers their queries() entries."""
 from datafusion_nats_spark.extensions import (  # noqa: F401
     curation,
     dedup,
+    dsir,
     graph,
     layout,
     ml_variants,

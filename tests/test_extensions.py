@@ -304,3 +304,15 @@ def test_kll_quantile_sketch_accuracy(spark, sf_dir):
         for target, estimate in ((0.5, p50), (0.9, p90)):
             rank = vals.filter(F.col("value") <= estimate).count() / total
             assert abs(rank - target) < 0.04, (et, target, estimate, rank)
+
+
+def test_dsir_selects_from_raw_pool_only(spark, sf_dir):
+    """DSIR must emit exactly K non-target documents, weight-sorted with
+    the doc_id tie-break."""
+    from datafusion_nats_spark.extensions.dsir import K, TARGET, curation_dsir_importance
+
+    rows = curation_dsir_importance(spark, sf_dir).collect()
+    assert len(rows) == K
+    assert all(r.source != TARGET for r in rows)
+    ws = [(r.dsir_logw, -r.doc_id) for r in rows]
+    assert ws == sorted(ws, reverse=True)

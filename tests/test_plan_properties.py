@@ -545,3 +545,11 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     drops from |rows| to ~k x |groups| x |tasks|."""
     plan = _plan(spark, sf_dir, "topk_per_group_orders")
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
+def test_dsir_topk_and_broadcast_logratio(spark, sf_dir):
+    # selection must be TakeOrderedAndProject (per-partition heaps), and
+    # the B-row log-ratio model must reach scoring as a broadcast join
+    plan = _plan(spark, sf_dir, "curation_dsir_importance")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
