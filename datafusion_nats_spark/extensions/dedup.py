@@ -249,6 +249,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never all-pairs).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    overlap = _candidate_overlap(spark, sf_dir)
+    jac = F.coalesce(F.col("i"), F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+    )
+    return overlap.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+
+
+def _candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set overlap stats over the LSH candidate pairs:
+    (doc_a, doc_b, i, na, nb) with i = intersection size (null when the
+    banded collision shares no capped shingles), na/nb = capped set
+    sizes. The verify stage shared by the Jaccard and containment
+    scorers — set overlap is only ever computed on candidates, never
+    all-pairs."""
     cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -281,14 +295,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.coalesce(F.col("i"), F.lit(0)).cast("double") / (
-        F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
-    )
     return (
         cand.join(inter, ["doc_a", "doc_b"], "left")
         .join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_shingle_containment",
+    oracle=f"""
+    {_LSH_BANDED_DUCK}
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(DISTINCT shingle) AS n FROM capped GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN capped x ON x.doc_id = c.doc_a
+      JOIN capped y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(coalesce(i, 0) AS DOUBLE) / sa.n, 6) AS contain_a_in_b,
+           round(CAST(coalesce(i, 0) AS DOUBLE) / sb.n, 6) AS contain_b_in_a
+    FROM cand c
+    LEFT JOIN inter USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    """,
+    doc="Asymmetric shingle containment over the LSH candidate pairs: "
+    "contain_a_in_b = |Sa ∩ Sb| / |Sa| (and the mirror) — the "
+    "subset-duplication signal (a short doc quoted inside a long one) "
+    "that symmetric Jaccard dilutes. Same candidates-only verify stage "
+    "as dedup_ngram_jaccard; never all-pairs.",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    overlap = _candidate_overlap(spark, sf_dir)
+    i = F.coalesce(F.col("i"), F.lit(0)).cast("double")
+    return overlap.select(
+        "doc_a",
+        "doc_b",
+        F.round(i / F.col("na"), 6).alias("contain_a_in_b"),
+        F.round(i / F.col("nb"), 6).alias("contain_b_in_a"),
     )
 
 

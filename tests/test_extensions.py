@@ -316,3 +316,19 @@ def test_dsir_selects_from_raw_pool_only(spark, sf_dir):
     assert all(r.source != TARGET for r in rows)
     ws = [(r.dsir_logw, -r.doc_id) for r in rows]
     assert ws == sorted(ws, reverse=True)
+
+
+def test_containment_on_planted_exact_dups(spark, planted_dir):
+    """Exact duplicates have identical capped shingle sets, so both
+    directional containments must be 1.0; every score stays in [0, 1]
+    and dominates the symmetric Jaccard (smaller denominator)."""
+    from datafusion_nats_spark.extensions.dedup import dedup_shingle_containment
+
+    pairs = {
+        (r.doc_a, r.doc_b): (r.contain_a_in_b, r.contain_b_in_a)
+        for r in dedup_shingle_containment(spark, planted_dir).collect()
+    }
+    for (a, b), (cab, cba) in pairs.items():
+        assert a < b and 0.0 <= cab <= 1.0 and 0.0 <= cba <= 1.0
+    for i in range(10):
+        assert pairs.get((i, i + 100000)) == (1.0, 1.0), f"planted dup {i} not contained"
