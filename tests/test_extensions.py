@@ -332,3 +332,24 @@ def test_containment_on_planted_exact_dups(spark, planted_dir):
         assert a < b and 0.0 <= cab <= 1.0 and 0.0 <= cba <= 1.0
     for i in range(10):
         assert pairs.get((i, i + 100000)) == (1.0, 1.0), f"planted dup {i} not contained"
+
+
+def test_bpe_learns_expected_merges_on_worked_example(spark, tmp_path_factory):
+    """The canonical BPE worked example: corpus {low x5, lower x2,
+    newest x6, widest x3}. Hand-computed rounds: (e,s) at 9 beats (s,t)
+    at 9 lexicographically; then (es,t) at 9; then (l,o) at 7 beats
+    (o,w) lexicographically."""
+    from datafusion_nats_spark.extensions.bpe import text_bpe_merges
+
+    out = str(tmp_path_factory.mktemp("bpe"))
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    spark.createDataFrame(
+        [(0, text, "en", "src0", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    rows = sorted(
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in text_bpe_merges(spark, out).collect()
+    )
+    assert rows == [(1, "e", "s", 9), (2, "es", "t", 9), (3, "l", "o", 7)]
