@@ -127,6 +127,21 @@ def _bpe_oracle() -> str:
     "unrolls every round as chained CTEs.",
 )
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _train(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _train_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The histogram with all MERGES rules applied — w{MERGES} in the
+    oracle's CTE chain."""
+    _, words = _train(spark, sf_dir)
+    return words
+
+
+def _train(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame]:
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -180,7 +195,36 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.expr(_SPARK_APPLY).alias("w"), "wc")
             .localCheckpoint()  # bounded plan depth across rounds
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return merges, words
+
+
+def _bpe_segment_oracle() -> str:
+    """Chain the training CTEs, then report the segmentation the learned
+    merges induce on the histogram: w{MERGES} is the vocabulary with all
+    MERGES rules applied in order."""
+    head = _bpe_oracle().rsplit("SELECT CAST(1", 1)[0]  # CTE chain, no final UNION
+    return head + f"""
+    SELECT array_to_string(w, ' ') AS segmented,
+           CAST(len(w) AS INT) AS n_symbols,
+           CAST(wc AS BIGINT) AS wc
+    FROM w{MERGES}
+    """
+
+
+@query(
+    "text_bpe_segment",
+    oracle=_bpe_segment_oracle(),
+    doc=f"BPE vocabulary segmentation: apply the {MERGES} learned merge "
+    f"rules (from text_bpe_merges, same training chain) to the top-{VOCAB} "
+    "word histogram and emit each word's subword segmentation plus its "
+    "symbol count — the compression the tokenizer would achieve. Pure "
+    "array expressions end-to-end; the oracle reuses the unrolled "
+    "training CTEs.",
+)
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _train_words(spark, sf_dir)
+    return words.select(
+        F.array_join("w", " ").alias("segmented"),
+        F.size("w").alias("n_symbols"),
+        F.col("wc"),
+    )

@@ -353,3 +353,13 @@ def test_bpe_learns_expected_merges_on_worked_example(spark, tmp_path_factory):
         for r in text_bpe_merges(spark, out).collect()
     )
     assert rows == [(1, "e", "s", 9), (2, "es", "t", 9), (3, "l", "o", 7)]
+
+    from datafusion_nats_spark.extensions.bpe import text_bpe_segment
+
+    seg = {r.segmented: (r.n_symbols, r.wc) for r in text_bpe_segment(spark, out).collect()}
+    assert seg == {
+        "lo w": (2, 5),
+        "lo w e r": (4, 2),
+        "n e w est": (4, 6),
+        "w i d est": (4, 3),
+    }
