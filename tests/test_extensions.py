@@ -363,3 +363,17 @@ def test_bpe_learns_expected_merges_on_worked_example(spark, tmp_path_factory):
         "n e w est": (4, 6),
         "w i d est": (4, 3),
     }
+
+
+def test_coreset_radii_nonincreasing(spark, sf_dir):
+    """The k-center greedy invariant: each added center's coverage
+    radius (min distance to the prior selection) can only shrink as the
+    selection grows; ranks are 1..K over distinct vectors."""
+    from datafusion_nats_spark.extensions.coreset import K_CENTERS, curation_coreset_kcenter
+
+    rows = sorted(curation_coreset_kcenter(spark, sf_dir).collect(), key=lambda r: r.sel_rank)
+    assert [r.sel_rank for r in rows] == list(range(1, K_CENTERS + 1))
+    assert len({r.vec_id for r in rows}) == K_CENTERS
+    assert rows[0].coverage_radius is None
+    radii = [r.coverage_radius for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
