@@ -11,6 +11,7 @@ from datafusion_nats_spark.extensions import (  # noqa: F401
     graph,
     layout,
     ml_variants,
+    mmr,
     multimodal,
     pipeline,
     pq,

@@ -377,3 +377,21 @@ def test_coreset_radii_nonincreasing(spark, sf_dir):
     assert rows[0].coverage_radius is None
     radii = [r.coverage_radius for r in rows[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+
+
+def test_mmr_greedy_invariants(spark, sf_dir):
+    """Rank 1 is the pure-relevance argmax (score == relevance, no
+    penalty); from rank 2 on the greedy MMR objective is non-increasing
+    and each score equals lambda*rel - (1-lambda)*max_sim."""
+    from datafusion_nats_spark.extensions.mmr import K_SELECT, LAM, sim_mmr_rerank
+
+    rows = sorted(sim_mmr_rerank(spark, sf_dir).collect(), key=lambda r: r.mmr_rank)
+    assert [r.mmr_rank for r in rows] == list(range(1, K_SELECT + 1))
+    assert len({r.vec_id for r in rows}) == K_SELECT
+    assert rows[0].max_sim is None and rows[0].mmr_score == rows[0].relevance
+    for r in rows[1:]:
+        # 1.1e-6 tolerance: python round() is half-even, the engines are
+        # half-up — exact equality can differ by one ulp-of-rounding
+        assert abs(r.mmr_score - (LAM * r.relevance - (1 - LAM) * r.max_sim)) < 1.1e-6
+    scores = [r.mmr_score for r in rows[1:]]
+    assert all(a >= b for a, b in zip(scores, scores[1:])), scores
