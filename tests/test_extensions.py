@@ -395,3 +395,33 @@ def test_mmr_greedy_invariants(spark, sf_dir):
         assert abs(r.mmr_score - (LAM * r.relevance - (1 - LAM) * r.max_sim)) < 1.1e-6
     scores = [r.mmr_score for r in rows[1:]]
     assert all(a >= b for a, b in zip(scores, scores[1:])), scores
+
+
+def test_triangle_count_matches_naive_enumeration(spark, sf_dir):
+    """The degree-oriented count must equal an INDEPENDENT naive
+    id-ordered triple join over the same kNN graph (DuckDB), and each
+    triangle contributes exactly 3 vertex participations."""
+    import duckdb
+
+    from datafusion_nats_spark.extensions.graph import KNN_K, graph_knn_triangles
+
+    rows = graph_knn_triangles(spark, sf_dir).collect()
+    total_participation = sum(r.n_triangles for r in rows)
+    assert total_participation > 0 and total_participation % 3 == 0
+    naive = duckdb.sql(f"""
+        WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+                   FROM '{sf_dir}/embeddings.parquet'),
+        pairs AS (
+          SELECT a.vec_id u, b.vec_id v,
+            round(list_sum(list_transform(list_zip(a.emb,b.emb), p->p[1]*p[2]))
+            / (sqrt(list_sum(list_transform(a.emb, x->x*x)))
+               * sqrt(list_sum(list_transform(b.emb, x->x*x)))),6) AS c
+          FROM e a JOIN e b ON a.label=b.label AND a.vec_id != b.vec_id
+        ),
+        knn AS (SELECT u, v FROM (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY c DESC, v) rn
+                                  FROM pairs) WHERE rn <= {KNN_K}),
+        und AS (SELECT DISTINCT least(u,v) x, greatest(u,v) y FROM knn)
+        SELECT count(*) FROM und a JOIN und b ON a.x = b.x AND a.y < b.y
+        JOIN und c ON c.x = a.y AND c.y = b.y
+    """).fetchone()[0]
+    assert total_participation == 3 * naive
