@@ -594,3 +594,41 @@ def curation_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
     )
+
+
+@query(
+    "curation_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE)
+                / 1152921504606846976.0) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(k, 9) AS sample_key
+    FROM keyed
+    ORDER BY round(k, 12) DESC, doc_id
+    LIMIT 50
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis A-ES, "
+    "2006): per-doc key ln(u)/w with u an md5-derived uniform in (0, 1] "
+    "and w = n_chars; the top-50 by key IS a weight-proportional sample "
+    "— fully deterministic (the md5 hash replaces the RNG, same "
+    "construction as the split/shard operators), one map-side key "
+    "computation + TakeOrderedAndProject, no RNG state and no second "
+    "pass at any corpus size.",
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    # u in (0, 1]: (h + 1) / 2^60 — never 0, so ln(u) is finite
+    u = (h + 1).cast("double") / F.lit(float(1 << 60))
+    k = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy(F.desc(F.round(F.col("k"), 12)), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("k", 9).alias("sample_key"))
+    )

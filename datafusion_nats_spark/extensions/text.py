@@ -602,3 +602,44 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, length(text) AS n,
+             unnest(list_transform(range(1, length(text) + 1),
+                    i -> substr(text, i, 1))) AS ch
+      FROM documents
+    ), freq AS (
+      SELECT doc_id, n, ch, count(*) AS c FROM chars GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_chars_measured,
+           round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+             AS char_entropy
+    FROM freq
+    GROUP BY doc_id, n
+    """,
+    doc="Per-document character-level Shannon entropy (nats): low values "
+    "flag repetitive/gibberish text, high values flag noise — a standard "
+    "cheap quality signal next to the Gopher repetition ratios. One "
+    "explode + two-phase hash aggregate; the per-doc alphabet is tiny so "
+    "the shuffle carries ~|alphabet| rows per doc.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    chars = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")
+        ).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "n", "ch").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c").cast("double") / F.col("n")
+    return freq.groupBy("doc_id", "n").agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy")
+    ).select("doc_id", F.col("n").cast("int").alias("n_chars_measured"), "char_entropy")
