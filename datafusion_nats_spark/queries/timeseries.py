@@ -553,3 +553,65 @@ def funnel_ordered_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t3",
         (F.unix_micros("t3") - F.unix_micros("t1")).alias("funnel_us"),
     )
+
+
+@query(
+    "timeseries_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM first_seen GROUP BY cohort_week
+    ), activity AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS week_n,
+             e.user_id
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT a.cohort_week, a.week_n,
+           count(DISTINCT a.user_id) AS active_users,
+           s.cohort_size,
+           round(CAST(count(DISTINCT a.user_id) AS DOUBLE) / s.cohort_size, 6)
+             AS retention
+    FROM activity a JOIN sizes s ON s.cohort_week = a.cohort_week
+    GROUP BY a.cohort_week, a.week_n, s.cohort_size
+    """,
+    doc="Weekly cohort retention: cohort = week of each user's first "
+    "event, cell (cohort, weeks-since) = distinct active users and their "
+    "share of the cohort — the classic retention triangle. Two shuffles "
+    "(per-user min, then the cohort-cell aggregate); the cohort-size "
+    "table is week-cardinality and broadcasts into the rate join.",
+)
+def timeseries_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    first_seen = (
+        e.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    activity = e.join(first_seen, "user_id").select(
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week"))
+            / 7
+        )
+        .cast("int")
+        .alias("week_n"),
+        "user_id",
+    )
+    return (
+        activity.groupBy("cohort_week", "week_n")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_n",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
