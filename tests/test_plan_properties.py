@@ -553,3 +553,25 @@ def test_dsir_topk_and_broadcast_logratio(spark, sf_dir):
     plan = _plan(spark, sf_dir, "curation_dsir_importance")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_is_topk_not_full_sort(spark, sf_dir):
+    # the A-ES selection must be TakeOrderedAndProject over the map-side
+    # keys — a global sort would shuffle the whole corpus at scale
+    plan = _plan(spark, sf_dir, "curation_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_triangles_never_cartesian(spark, sf_dir):
+    # wedge + closing joins are equi-joins on vertex ids; a cartesian
+    # or nested-loop plan would be the all-triples blowup
+    plan = _plan(spark, sf_dir, "graph_knn_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_retention_broadcasts_sizes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "timeseries_cohort_retention")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
