@@ -19,3 +19,6 @@ from datafusion_nats_spark.extensions import (  # noqa: F401
     similarity,
     text,
 )
+
+# imported LAST: its oracle composes the ANN oracles registered above
+from datafusion_nats_spark.extensions import eval_report  # noqa: E402,F401

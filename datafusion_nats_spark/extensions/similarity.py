@@ -489,3 +489,4 @@ def curation_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFr
         joined.select("vec_id", "label", F.round(cos, 6).alias("centroid_cosine"))
         .filter(F.col("centroid_cosine") < 0.35)
     )
+
