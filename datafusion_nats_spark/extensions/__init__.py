@@ -20,5 +20,8 @@ from datafusion_nats_spark.extensions import (  # noqa: F401
     text,
 )
 
-# imported LAST: its oracle composes the ANN oracles registered above
-from datafusion_nats_spark.extensions import eval_report  # noqa: E402,F401
+# imported LAST: their oracles compose oracles registered above
+from datafusion_nats_spark.extensions import (  # noqa: E402,F401
+    embedding_pipeline,
+    eval_report,
+)
