@@ -573,3 +573,70 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ct_longer"),
     )
+
+
+@query(
+    "mba_item_pair_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+    ), freq AS (
+      SELECT l_partkey, count(*) AS f FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_x, b.l_partkey AS part_y, count(*) AS co_count
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT p.part_x, p.part_y, p.co_count,
+           round(CAST(p.co_count AS DOUBLE) * n.n_orders / (fx.f * fy.f), 6) AS lift,
+           round(CAST(p.co_count AS DOUBLE) / n.n_orders, 8) AS support
+    FROM pairs p
+    JOIN freq fx ON fx.l_partkey = p.part_x
+    JOIN freq fy ON fy.l_partkey = p.part_y
+    CROSS JOIN n
+    """,
+    doc="Market-basket pair lift: parts co-purchased in the same order "
+    "with support >= 2, scored by lift vs independence — the classic "
+    "association-rule building block. The pair expansion is the "
+    "within-order self-join (bounded by basket size, co-partitioned on "
+    "the order key — never a global cross of the catalog); the item "
+    "frequency table is catalog-sized and broadcasts; the order total "
+    "rides along as a 1-row broadcast cross join.",
+)
+def mba_item_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    ).persist()  # feeds the order total, item frequencies, and the pair join
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_x"))
+    b = items.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_y"))
+    pairs = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("part_x") < F.col("part_y")))
+        .groupBy("part_x", "part_y")
+        .agg(F.count(F.lit(1)).alias("co_count"))
+        .filter(F.col("co_count") >= 2)
+    )
+    fx = freq.select(F.col("l_partkey").alias("part_x"), F.col("f").alias("fx"))
+    fy = freq.select(F.col("l_partkey").alias("part_y"), F.col("f").alias("fy"))
+    return (
+        pairs.join(F.broadcast(fx), "part_x")
+        .join(F.broadcast(fy), "part_y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_x",
+            "part_y",
+            "co_count",
+            F.round(
+                F.col("co_count").cast("double") * F.col("n_orders")
+                / (F.col("fx") * F.col("fy")),
+                6,
+            ).alias("lift"),
+            F.round(F.col("co_count").cast("double") / F.col("n_orders"), 8).alias(
+                "support"
+            ),
+        )
+    )
