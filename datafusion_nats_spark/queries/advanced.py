@@ -640,3 +640,142 @@ def mba_item_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "curation_quantile_bins",
+    oracle="""
+    WITH binned AS (
+      SELECT lang, n_chars,
+             CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INT)
+               AS bin
+      FROM documents
+    )
+    SELECT lang, bin, count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM binned GROUP BY lang, bin
+    """,
+    doc="Per-language quartile binning of document length (feature "
+    "discretization): ntile over (n_chars, doc_id) — a total order, so "
+    "bin edges are engine-stable — then per-(lang, bin) stats. The "
+    "window partitions on the language key, never one global sort.",
+)
+def curation_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        d.select("lang", "n_chars", F.ntile(4).over(w).alias("bin"))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "mba_rfm_segments",
+    oracle="""
+    WITH mx AS (
+      SELECT max(o_orderdate) AS max_d FROM orders
+    ), cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT max_d FROM mx)) AS recency,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(16,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, monetary,
+             CAST(ntile(4) OVER (ORDER BY recency, o_custkey) AS INT) AS r_score,
+             CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+             CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score, count(*) AS n_customers,
+           CAST(sum(monetary) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: per-customer recency (days since "
+    "last order vs corpus max date), order frequency, and exact-decimal "
+    "monetary total, quartile-scored with (value, custkey) total orders "
+    "and aggregated to segment counts. The quartile windows run over the "
+    "customer relation (dimension-sized); at true scale the same scores "
+    "come from approx-quantile edges broadcast as a 3-row table.",
+)
+def mba_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(16,2)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("max_d"), F.col("last_d")).alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(W.orderBy("recency", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), "o_custkey")).alias("f_score"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
+    )
+    # the segment total stays in exact decimal until the final cast —
+    # an avg would divide in double and can straddle a round-half
+    # boundary differently per engine (Spark rounds the shortest decimal
+    # repr, DuckDB the binary value)
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("double").alias("total_monetary"),
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ), cnt AS (
+      SELECT cur_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT cur_type, sum(n) AS t FROM cnt GROUP BY cur_type
+    )
+    SELECT c.cur_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) / t.t, 6) AS p
+    FROM cnt c JOIN tot t ON t.cur_type = c.cur_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead() within (user, ts, event_id) — the window "
+    "partitions on the high-cardinality user key — then transition "
+    "counts normalized per source state (the totals table is "
+    "|event_type|-cardinality and broadcasts).",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    cnt = seq.groupBy("cur_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("cur_type").agg(F.sum("n").alias("t"))
+    return cnt.join(F.broadcast(tot), "cur_type").select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
+    )
