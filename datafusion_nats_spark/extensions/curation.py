@@ -19,7 +19,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from datafusion_nats_spark.extensions.dedup import _SHINGLES_DUCK, _shingles_spark
@@ -631,4 +631,50 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.round(F.col("k"), 12)), "doc_id")
         .limit(50)
         .select("doc_id", "n_chars", F.round("k", 9).alias("sample_key"))
+    )
+
+
+DOMAIN_CAP = 30  # max docs kept per source domain
+
+
+@query(
+    "curation_domain_caps",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                                   AS n_docs,
+           CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT)                                            AS n_kept,
+           CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN 0 ELSE 1 END)
+                AS BIGINT)                                            AS n_dropped,
+           CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT)                                            AS kept_chars
+    FROM ranked
+    GROUP BY source
+    """,
+    doc="Per-domain document caps (Common-Crawl-style curation: no single "
+    "domain may dominate the training mix). Keeps at most DOMAIN_CAP docs "
+    "per source, chosen in deterministic md5 order (an unbiased uniform "
+    "sample per domain — no RNG state), and reports the per-domain "
+    "retention funnel. Scale: one hash partition on the domain key before "
+    "a bounded per-domain window rank; mega-domains cost a sort of their "
+    "own partition only, and the rank cutoff bounds what survives, so "
+    "downstream stages see at most |domains| * CAP rows.",
+)
+def curation_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+    kept = F.col("rk") <= DOMAIN_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, 0).otherwise(1)).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
     )

@@ -643,3 +643,78 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.groupBy("doc_id", "n").agg(
         F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy")
     ).select("doc_id", F.col("n").cast("int").alias("n_chars_measured"), "char_entropy")
+
+
+INDEX_MIN_DF = 5  # terms must appear in >= this many docs to be indexed
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+    WITH postings AS (
+      SELECT t.term, d.doc_id, count(*) AS tf
+      FROM documents d,
+           unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS t(term)
+      GROUP BY t.term, d.doc_id
+    ), stats AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT)  AS df,
+             CAST(sum(tf) AS BIGINT)   AS total_tf
+      FROM postings GROUP BY term
+      HAVING count(*) >= {INDEX_MIN_DF}
+    ), ranked AS (
+      SELECT p.term, p.doc_id, p.tf,
+             row_number() OVER (PARTITION BY p.term
+                                ORDER BY p.tf DESC, p.doc_id) AS rk
+      FROM postings p JOIN stats s ON p.term = s.term
+    )
+    SELECT s.term, s.df, s.total_tf,
+           string_agg(CAST(r.doc_id AS VARCHAR), ','
+                      ORDER BY r.rk) AS top_docs_csv
+    FROM stats s JOIN ranked r ON s.term = r.term AND r.rk <= 3
+    GROUP BY s.term, s.df, s.total_tf
+    """,
+    doc="Inverted-index build (the search-engine primitive over a text "
+    "corpus): term -> document frequency, total term frequency, and the "
+    "top-3 posting heads by tf. Scale: tokens aggregate to (term, doc) "
+    "partials map-side before the term shuffle, the df >= MIN_DF filter "
+    "drops the singleton long tail before the ranking window, and each "
+    "term's posting rank is a bounded per-term sort — no global sort and "
+    "no driver-side index assembly. The posting heads are emitted as a "
+    "CSV string so the result stays scalar-typed.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    postings = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf"))
+        .filter(F.col("df") >= INDEX_MIN_DF)
+    )
+    wr = W.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+    ranked = (
+        postings.join(stats.select("term"), "term")
+        .select("term", "doc_id", "tf", F.row_number().over(wr).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+    heads = ranked.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rk"), F.col("doc_id")))
+                ),
+                lambda s: s.getField("doc_id").cast("string"),
+            ),
+            ",",
+        ).alias("top_docs_csv")
+    )
+    return stats.join(heads, "term").select("term", "df", "total_tf", "top_docs_csv")

@@ -91,17 +91,21 @@ def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       n_regionkey,
       string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
-      list_sort(list(n_name))                 AS names_arr
+      len(list(n_name))                       AS names_n,
+      list_sort(list(n_name))[1]              AS first_name
     FROM nation
     GROUP BY n_regionkey
     """,
-    doc="string_agg / array_agg (deterministic via sorted order).",
+    doc="string_agg / array_agg (deterministic via sorted order). The "
+    "array_agg result is projected to scalars (length + first element) so "
+    "the driver's pandas hash harness never sees a list cell.",
 )
 def agg_string_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names_csv"),
-        F.sort_array(F.collect_list("n_name")).alias("names_arr"),
+        F.size(F.collect_list("n_name")).alias("names_n"),
+        F.element_at(F.sort_array(F.collect_list("n_name")), 1).alias("first_name"),
     )
 
 

@@ -298,7 +298,7 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(len(embedding) AS INTEGER)                AS dim,
       round(CAST(embedding[1] AS DOUBLE), 6)         AS first_val,
       round(CAST(embedding[8] AS DOUBLE), 6)         AS eighth_val,
-      list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS head3,
+      round(list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))), 6) AS head3_sum,
       round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4) AS l1_norm,
       round(CAST(list_max(embedding) AS DOUBLE), 6)  AS max_val,
       list_contains([label], 3)                      AS is_label3
@@ -316,7 +316,9 @@ def fn_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(F.element_at(emb_d, 1), 6).alias("first_val"),
         F.round(F.element_at(emb_d, 8), 6).alias("eighth_val"),
-        F.transform(F.slice(emb_d, 1, 3), lambda x: F.round(x, 6)).alias("head3"),
+        F.round(
+            F.aggregate(F.slice(emb_d, 1, 3), F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("head3_sum"),
         F.round(
             F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + F.abs(x)), 4
         ).alias("l1_norm"),
@@ -461,13 +463,14 @@ def fn_datetime_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       doc_id,
-      regexp_extract_all(text, '[a-z]{6,}')      AS long_words,
+      coalesce(array_to_string(regexp_extract_all(text, '[a-z]{6,}'), '|'), '') AS long_words_csv,
       CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INTEGER) AS n_long
     FROM documents
     WHERE doc_id < 40
     """,
-    doc="regexp_extract_all returning the full match array (array-typed "
-    "result column compared across engines).",
+    doc="regexp_extract_all returning the full match array, projected to a "
+    "joined string + count so the driver's pandas hash harness never sees a "
+    "list cell (it cannot hash them).",
 )
 def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
@@ -475,7 +478,7 @@ def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0)
     return d.select(
         "doc_id",
-        matches.alias("long_words"),
+        F.array_join(matches, "|").alias("long_words_csv"),
         F.size(matches).alias("n_long"),
     )
 
@@ -617,28 +620,33 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_setops",
     oracle="""
     SELECT doc_id,
-           list_sort(list_distinct(string_split(text, ' ')))      AS uniq_sorted,
-           flatten([string_split(text, ' ')[1:3],
-                    string_split(text, ' ')[4:6]])                AS first6,
+           array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' ') AS uniq_sorted_csv,
+           array_to_string(
+               flatten([string_split(text, ' ')[1:3],
+                        string_split(text, ' ')[4:6]]), ' ')           AS first6_csv,
            CAST(len(list_distinct(string_split(text, ' ')))
-                AS INTEGER)                                       AS n_uniq
+                AS INTEGER)                                            AS n_uniq
     FROM documents
     """,
     doc="Array set operations: distinct + canonical sort (set-equality "
     "normal form — array_distinct alone is order-dependent between "
     "engines, array_sort makes it comparable), slice windows, and "
     "flatten of nested arrays. All columnar JVM higher-order "
-    "functions, map-only over the scan.",
+    "functions, map-only over the scan. Arrays are projected through "
+    "array_join so the driver's pandas hash harness only sees scalars.",
 )
 def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.array_sort(F.array_distinct(words)).alias("uniq_sorted"),
-        F.flatten(
-            F.array(F.slice(words, 1, 3), F.slice(words, 4, 3))
-        ).alias("first6"),
+        F.array_join(F.array_sort(F.array_distinct(words)), " ").alias(
+            "uniq_sorted_csv"
+        ),
+        F.array_join(
+            F.flatten(F.array(F.slice(words, 1, 3), F.slice(words, 4, 3))), " "
+        ).alias("first6_csv"),
         F.size(F.array_distinct(words)).alias("n_uniq"),
     )
 
@@ -782,7 +790,7 @@ def fn_from_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             AS n_big,
            CAST(n_nationkey * 3 AS BIGINT)  AS nk3,
            CAST(n_nationkey AS BIGINT)      AS a_val,
-           ['NK', 'RK']                     AS keys_up
+           'NK,RK'                          AS keys_up_csv
     FROM nation
     """,
     doc="Higher-order MAP functions (map_from_arrays, transform_values, "
@@ -806,9 +814,10 @@ def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_filter(m, lambda k, v: v > 10)).alias("n_big"),
         F.element_at(zipped, "nk").alias("nk3"),
         F.element_at(s2m, "a").cast("bigint").alias("a_val"),
-        F.array_sort(
-            F.map_keys(F.transform_keys(m, lambda k, v: F.upper(k)))
-        ).alias("keys_up"),
+        F.array_join(
+            F.array_sort(F.map_keys(F.transform_keys(m, lambda k, v: F.upper(k)))),
+            ",",
+        ).alias("keys_up_csv"),
     )
 
 
@@ -938,7 +947,7 @@ def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            round(CAST(list_append(embedding[1:2], 9.5)[3] AS DOUBLE), 6) AS appended,
            round(CAST(list_prepend(0.5, embedding[1:2])[1] AS DOUBLE), 6) AS prepended,
-           ['x', 'x', 'x']                                   AS repeated,
+           'x|x|x'                                           AS repeated_csv,
            coalesce(list_position(
              list_transform(embedding, v -> round(CAST(v AS DOUBLE), 6)),
              round(CAST(embedding[8] AS DOUBLE), 6)), 0)     AS pos8,
@@ -966,7 +975,7 @@ def fn_array_battery3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(F.array_prepend(head2, F.lit(0.5)), 1), 6).alias(
             "prepended"
         ),
-        F.array_repeat(F.lit("x"), 3).alias("repeated"),
+        F.array_join(F.array_repeat(F.lit("x"), 3), "|").alias("repeated_csv"),
         F.array_position(rounded, F.round(F.element_at(emb, 8), 6))
         .cast("bigint")
         .alias("pos8"),

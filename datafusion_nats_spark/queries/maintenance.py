@@ -213,3 +213,59 @@ def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("k").cast("bigint").alias("key_checksum"),
     )
+
+
+_REFRESH_CUTOFF = "1997-01-01"  # orders on/after this date are the "new" load
+
+
+@query(
+    "maintenance_incremental_agg_refresh",
+    oracle=f"""
+    SELECT CAST(o_orderdate AS DATE)          AS order_date,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE)                    AS revenue,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6)               AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Incremental materialized-aggregate refresh: the daily-revenue "
+    "rollup is maintained as re-aggregatable partial state (sum, count "
+    "per day) built from the historical partitions (< cutoff), and a new "
+    "load (>= cutoff) is folded in by merging partials — sum-of-sums / "
+    "sum-of-counts — with derived metrics (avg) computed only at read "
+    "time. The oracle is the full recompute over all of orders, proving "
+    "merge(old_state, delta) == recompute. At 100 TB this is the core "
+    "continuous-aggregate maintenance pattern: a refresh scans ONLY the "
+    "new partition (partition pruning on the date key), never the "
+    "historical fact table, and state stays one row per (day) — "
+    "re-aggregation is algebraic, so it also distributes over any "
+    "partitioning of the delta.",
+)
+def maintenance_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_REFRESH_CUTOFF).cast("timestamp")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(price).alias("rev_sum"),
+        )
+
+    state = partials(o.filter(F.col("o_orderdate") < cutoff))  # historical MV
+    delta = partials(o.filter(F.col("o_orderdate") >= cutoff))  # new load only
+    merged = (
+        state.unionByName(delta)
+        .groupBy("order_date")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("rev_sum").alias("rev_sum"))
+    )
+    return merged.select(
+        "order_date",
+        "n_orders",
+        F.round("rev_sum", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev_sum").cast("double") / F.col("n_orders").cast("double"), 6
+        ).alias("avg_price"),
+    )

@@ -166,3 +166,89 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES"))
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# DIY Bloom prefilter: 2^15 bit positions packed as 1024 x 32-bit words
+# (32-bit so the DuckDB oracle's signed BIGINT << never reaches the sign bit).
+_BLOOM_BITS = 1 << 15
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ), bloom AS (
+      SELECT (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+              % {_BLOOM_BITS}) // 32 AS word_ix,
+             bit_or(1::BIGINT << (
+               (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                % {_BLOOM_BITS}) % 32)) AS mask
+      FROM dim GROUP BY 1
+    ), pre AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      FROM orders o
+      JOIN bloom b
+        ON (('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 15))::BIGINT
+            % {_BLOOM_BITS}) // 32 = b.word_ix
+       AND ((b.mask >> ((('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 15))::BIGINT
+            % {_BLOOM_BITS}) % 32)) & 1) = 1
+    )
+    SELECT d.c_mktsegment,
+           CAST(count(*) AS BIGINT)          AS n_orders,
+           CAST(round(sum(CAST(p.o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE)                   AS revenue
+    FROM pre p JOIN dim d ON p.o_custkey = d.c_custkey
+    GROUP BY d.c_mktsegment
+    """,
+    doc="Bloom-filter semi-join reduction built from relational primitives "
+    "(bloom_filter_agg is not in Spark's public registry): the dim side's "
+    "keys are hashed into a 2^15-bit filter packed as <=1024 (word, bit_or "
+    "mask) rows, broadcast, and the fact table is PREfiltered by a bit "
+    "test before the exact equi-join — false positives are removed by the "
+    "join itself, so the result is exactly the plain join (the oracle). "
+    "At 100 TB this is the classic shuffle reducer: the fact side that "
+    "reaches the join shuffle shrinks to ~|matching| rows while the "
+    "filter itself stays a few KB regardless of fact size. The md5-"
+    "derived hash makes the filter contents engine-portable so DuckDB "
+    "replays the identical prefilter.",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+
+    def bitpos(key):
+        h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+            "bigint"
+        ) % _BLOOM_BITS
+        return (h / 32).cast("bigint").alias("word_ix"), (h % 32).alias("bit_ix")
+
+    d_word, d_bit = bitpos(F.col("c_custkey"))
+    bloom = (
+        c.select(d_word, d_bit)
+        .groupBy("word_ix")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit_ix AS INT)))").alias(
+                "mask"
+            )
+        )
+    )
+    o_word, o_bit = bitpos(F.col("o_custkey"))
+    pre = (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", o_word, o_bit)
+        .join(F.broadcast(bloom), "word_ix")
+        .filter(F.expr("(shiftrightunsigned(mask, CAST(bit_ix AS INT)) & 1) = 1"))
+    )
+    return (
+        pre.join(c.select("c_custkey", "c_mktsegment"), pre.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # exact decimal money sum (same idiom as q11): source prices are
+            # 2-decimal, so the sum is engine-exact — no FP half-cent flips
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -615,3 +615,107 @@ def timeseries_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# EWMA over the most recent 8 observations: weights 0.5^k, k = lag
+# distance. A finite-impulse formulation (8 explicit lags) rather than
+# the infinite recursion keeps the operator a single per-key window sort
+# in BOTH engines — no iterative state, no UDF — and at 100 TB the only
+# shuffle is the hash partition on user_id before the window sort.
+_EWMA_K = 8
+_EWMA_NUM = " + ".join(
+    f"coalesce(lag(value, {k}) OVER w, 0) * {0.5 ** k!r}" for k in range(_EWMA_K)
+)
+_EWMA_DEN = " + ".join(
+    f"CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0 ELSE {0.5 ** k!r} END"
+    for k in range(_EWMA_K)
+)
+
+
+@query(
+    "timeseries_ewma_smooth",
+    oracle=f"""
+    SELECT user_id, event_id,
+           round(value, 6) AS v,
+           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Exponentially-weighted moving average (trend smoothing) per user "
+    "over event time. Finite-impulse EWMA: the 8 most recent samples with "
+    "exactly-representable binary weights 0.5^k, normalized by the weight "
+    "mass actually present (so early rows are unbiased). One window sort "
+    "per user_id partition — the identical closed form runs on both "
+    "engines, so no recursion or stateful UDF is needed.",
+)
+def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(_EWMA_K):
+        lagv = F.lag("value", k).over(w) if k else F.col("value")
+        wt = 0.5**k
+        num = num + F.coalesce(lagv, F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(lagv.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("v"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+@query(
+    "timeseries_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(min(d.med), 6)  AS med,
+           round(min(m.mad), 6)  AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN m.mad > 0 AND 0.6745 * d.adev > 3.5 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier detection via median absolute deviation: per "
+    "event_type, median -> MAD -> count of points with modified z-score "
+    "0.6745*|x-med|/MAD > 3.5 (Iglewicz-Hoaglin). Unlike the rolling "
+    "z-score operator this is mean/stddev-free, so single extreme values "
+    "cannot mask themselves. Two tiny per-group percentile aggregates are "
+    "broadcast back against the big scan — the corpus shuffles only for "
+    "the final per-group count, and the group-stat frames are O(|types|).",
+)
+def timeseries_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (F.lit(0.6745) * F.col("adev") > F.lit(3.5) * F.col("mad")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
