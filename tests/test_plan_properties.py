@@ -575,3 +575,59 @@ def test_cohort_retention_broadcasts_sizes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "timeseries_cohort_retention")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_broadcasts_filter_no_cartesian(spark, sf_dir):
+    """The Bloom bitmap (<=1024 rows) must broadcast to the fact side and
+    the whole reduction must stay equi-join-shaped — a nested loop or
+    cartesian would mean the bit-test join degenerated."""
+    plan = _plan(spark, sf_dir, "join_bloom_prefilter")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_caps_single_exchange(spark, sf_dir):
+    """Per-domain capping shuffles ONCE on the domain key; the window rank
+    and the follow-up per-domain aggregate must reuse that partitioning
+    (a second Exchange would double the corpus shuffle at 100 TB)."""
+    plan = _plan(spark, sf_dir, "curation_domain_caps")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan.split("Window")[0]
+
+
+def test_inverted_index_partial_aggregation(spark, sf_dir):
+    """The (term, doc) tf counts and the per-term df/total_tf stats must
+    both run partial->final (map-side combine before the term shuffle),
+    and posting ranking must stay per-term (no global sort)."""
+    plan = _plan(spark, sf_dir, "text_inverted_index")
+    assert plan.count("HashAggregate") >= 4  # >=2 aggregates, each 2-phase
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_single_partition_sort(spark, sf_dir):
+    """The 8-lag EWMA is ONE window pass: exactly one hash Exchange on
+    user_id and no extra shuffles — all 16 lag/presence expressions must
+    share the same window frame."""
+    plan = _plan(spark, sf_dir, "timeseries_ewma_smooth")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_mad_outliers_broadcasts_group_stats(spark, sf_dir):
+    """Both per-group percentile frames (median, MAD) are O(|event types|)
+    and must broadcast back against the big scan — a sort-merge join here
+    would shuffle the full corpus twice."""
+    plan = _plan(spark, sf_dir, "timeseries_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_refresh_merges_partials(spark, sf_dir):
+    """State + delta partials merge through a re-aggregation (union ->
+    final agg). Each partial build and the merge itself must be 2-phase
+    hash aggregates; no join is needed anywhere in the refresh."""
+    plan = _plan(spark, sf_dir, "maintenance_incremental_agg_refresh")
+    assert "Union" in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "Join" not in plan
