@@ -4,6 +4,7 @@ Importing this package registers their queries() entries."""
 
 from datafusion_nats_spark.extensions import (  # noqa: F401
     bpe,
+    contrastive,
     coreset,
     curation,
     dedup,

@@ -678,3 +678,58 @@ def curation_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, 0).otherwise(1)).alias("n_dropped"),
         F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
     )
+
+
+@query(
+    "report_corpus_datacard",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck
+      FROM documents
+    ), canon AS (
+      SELECT ck, min(doc_id) AS canonical FROM keyed GROUP BY ck
+    )
+    SELECT k.lang, k.source,
+           CAST(count(*) AS BIGINT)                        AS n_docs,
+           CAST(sum(CASE WHEN k.doc_id <> c.canonical
+                         THEN 1 ELSE 0 END) AS BIGINT)     AS n_exact_dups,
+           CAST(sum(k.n_chars) AS BIGINT)                  AS total_chars,
+           CAST(sum(k.ntok) AS BIGINT)                     AS total_tokens,
+           round(CAST(sum(k.ntok) AS DOUBLE) / count(*), 6) AS avg_tokens,
+           round(CAST(sum(CASE WHEN k.doc_id <> c.canonical THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6)            AS dup_rate
+    FROM keyed k JOIN canon c USING (ck)
+    GROUP BY k.lang, k.source
+    """,
+    doc="Corpus data card: the per-(lang, source) summary a dataset release "
+    "ships — doc/char/token totals, exact-duplicate count and rate (docs "
+    "whose normalized content hash matches an earlier doc). One scan "
+    "computes the per-doc facts; the canonical map is a hash aggregate on "
+    "the 128-bit content key joined back on that same key (equi-join, "
+    "partial-agg both sides — nothing is broadcast because the key space "
+    "grows with the corpus); the final rollup groups on the tiny "
+    "(lang, source) space.",
+)
+def report_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ntok"),
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("ck"),
+    )
+    canon = keyed.groupBy("ck").agg(F.min("doc_id").alias("canonical"))
+    joined = keyed.join(canon, "ck")
+    is_dup = F.when(F.col("doc_id") != F.col("canonical"), 1).otherwise(0)
+    return joined.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_dup).alias("n_exact_dups"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("ntok").alias("total_tokens"),
+        F.round(F.sum("ntok").cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.round(F.sum(is_dup).cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
+    )

@@ -123,6 +123,48 @@ _LSH_BANDED_DUCK = f"""
 """
 
 
+def _banded_signatures(capped: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → (doc_id, band_id, band_key) LSH signature rows.
+
+    ONE md5 per shingle, split into two 60-bit halves; the N_HASHES slots
+    are double-hashed combinations (h1 + k*h2) mod M computed inside the
+    partial aggregate — map-side cost is 1 hash + 12 integer ops per
+    shingle, and the rows through the shuffle stay 1× the shingle count
+    (not N_HASHES×)."""
+    m = F.md5(F.col("shingle"))
+    halves = capped.select(
+        "doc_id",
+        (F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint") % MH_MOD).alias("h1"),
+        (F.conv(F.substring(m, 17, 15), 16, 10).cast("bigint") % MH_MOD).alias("h2"),
+    )
+    sig = halves.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + k * F.col("h2")) % MH_MOD).alias(f"mh{k}")
+            for k in range(N_HASHES)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * BAND_SIZE + i}").cast("string")
+                            for i in range(BAND_SIZE)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("x")).select(
+        "doc_id", F.col("x.band_id").alias("band_id"), F.col("x.band_key").alias("band_key")
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -168,38 +210,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the partial aggregate — map-side cost is 1 hash + 12 integer
     # ops per shingle, and the rows through the shuffle stay 1× the
     # shingle count (not N_HASHES×).
-    m = F.md5(F.col("shingle"))
-    halves = capped.select(
-        "doc_id",
-        (F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint") % MH_MOD).alias("h1"),
-        (F.conv(F.substring(m, 17, 15), 16, 10).cast("bigint") % MH_MOD).alias("h2"),
-    )
-    sig = halves.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h1") + k * F.col("h2")) % MH_MOD).alias(f"mh{k}")
-            for k in range(N_HASHES)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{b * BAND_SIZE + i}").cast("string")
-                            for i in range(BAND_SIZE)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("x")).select(
-        "doc_id", F.col("x.band_id").alias("band_id"), F.col("x.band_key").alias("band_key")
-    )
+    banded = _banded_signatures(capped)
     # The signature table feeds both sides of the candidate self-join;
     # persist it so the shingle→hash pipeline isn't executed twice (at
     # cluster scale this is a checkpoint of a table ~n_docs × n_bands —
@@ -631,4 +642,114 @@ def dedup_collapse_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load(spark, sf_dir, "documents")
     return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: new batch vs the existing corpus index
+# ---------------------------------------------------------------------------
+
+NEW_BATCH_MOD = 5  # doc_id % 5 == 0 plays the newly-ingested batch
+
+
+def _incremental_oracle() -> str:
+    return f"""
+    WITH shingled AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+      FROM documents
+    ), banned AS (
+      SELECT shingle FROM shingled
+      WHERE doc_id % {NEW_BATCH_MOD} <> 0
+      GROUP BY shingle HAVING count(DISTINCT doc_id) > {MAX_DF}
+    ), capped AS (
+      SELECT s.doc_id, s.shingle FROM shingled s
+      WHERE s.shingle NOT IN (SELECT shingle FROM banned)
+    ), halves AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MH_MOD} AS h1,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % {MH_MOD} AS h2
+      FROM capped
+    ), hashed AS (
+      SELECT doc_id, k, min((h1 + k * h2) % {MH_MOD}) AS mh
+      FROM halves, range({N_HASHES}) t(k)
+      GROUP BY doc_id, k
+    ), banded AS (
+      SELECT doc_id, k // {BAND_SIZE} AS band_id,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS band_key
+      FROM hashed
+      GROUP BY doc_id, k // {BAND_SIZE}
+    ), coll AS (
+      SELECT n.doc_id AS new_doc,
+             count(DISTINCT o.doc_id) AS n_matches,
+             min(o.doc_id) AS first_match
+      FROM banded n JOIN banded o
+        ON n.band_id = o.band_id AND n.band_key = o.band_key
+       AND n.doc_id % {NEW_BATCH_MOD} = 0 AND o.doc_id % {NEW_BATCH_MOD} <> 0
+      GROUP BY n.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(c.n_matches, 0) > 0             AS is_dup,
+           CAST(coalesce(c.n_matches, 0) AS BIGINT) AS n_matches,
+           c.first_match
+    FROM documents d LEFT JOIN coll c ON d.doc_id = c.new_doc
+    WHERE d.doc_id % {NEW_BATCH_MOD} = 0
+    """
+
+
+@query(
+    "dedup_incremental_new_batch",
+    oracle=_incremental_oracle(),
+    doc="Incremental ingest dedup: screen a NEW batch (doc_id % 5 == 0 "
+    "plays the incoming load) against the EXISTING corpus's persisted LSH "
+    "index instead of re-deduplicating the whole corpus. Only the new "
+    "batch is shingled+signed at ingest time in production — the old "
+    "side's banded signatures and its banned-shingle list are the stored "
+    "index artifacts (both are computed here in-query so the DuckDB "
+    "oracle can replay them; the df-cap comes from the EXISTING corpus "
+    "only, exactly as a shipped index would). The collision probe is an "
+    "equi-join on (band_id, band_key) — per-ingest cost is O(|batch|), "
+    "independent of corpus size, which is the only workable shape when "
+    "the corpus is 100 TB and the daily ingest is a few GB. Emits every "
+    "new doc with its dup verdict, match count, and earliest colliding "
+    "corpus doc (new-vs-new dups are the batch-internal LSH op's job).",
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    shingled = d.select(
+        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+    ).persist()
+    # banned list from the EXISTING corpus only (the index's stored
+    # artifact); broadcast the small boilerplate head, anti-join the rest
+    banned = (
+        shingled.filter(~is_new)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_DF)
+        .select("shingle")
+    )
+    capped = shingled.join(F.broadcast(banned), "shingle", "left_anti")
+    banded = _banded_signatures(capped).persist()
+    new_b = banded.filter(is_new).alias("n")
+    old_b = banded.filter(~is_new).alias("o")
+    coll = (
+        new_b.join(
+            old_b,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .groupBy(F.col("n.doc_id").alias("new_doc"))
+        .agg(
+            F.countDistinct("o.doc_id").alias("n_matches"),
+            F.min("o.doc_id").alias("first_match"),
+        )
+    )
+    new_docs = d.filter(is_new).select("doc_id")
+    return new_docs.join(coll, new_docs.doc_id == coll.new_doc, "left").select(
+        "doc_id",
+        (F.coalesce("n_matches", F.lit(0)) > 0).alias("is_dup"),
+        F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        "first_match",
     )

@@ -631,3 +631,29 @@ def test_incremental_refresh_merges_partials(spark, sf_dir):
     assert "Union" in plan
     assert plan.count("HashAggregate") >= 4
     assert "Join" not in plan
+
+
+def test_incremental_dedup_probe_is_equi_join(spark, sf_dir):
+    """The new-batch probe against the corpus LSH index must stay an
+    equi-join on (band_id, band_key) with the banned-shingle list
+    broadcast — any nested-loop/cartesian means the O(|batch|) ingest
+    contract is broken."""
+    plan = _plan(spark, sf_dir, "dedup_incremental_new_batch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # banned-list anti-join
+
+
+def test_hard_negative_mining_stays_blocked(spark, sf_dir):
+    """Positives block on label, negatives on the k-means cell — both
+    equi-joins. A cartesian would mean a corpus-wide pairwise snuck in."""
+    plan = _plan(spark, sf_dir, "sim_hard_negative_mining")
+    assert "CartesianProduct" not in plan
+
+
+def test_datacard_aggregates_partial_final(spark, sf_dir):
+    """The content-key canonical map and the (lang, source) rollup must
+    both run partial->final; no broadcast of the unbounded key space."""
+    plan = _plan(spark, sf_dir, "report_corpus_datacard")
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
