@@ -437,3 +437,75 @@ def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="None",
     )
     return _run_to_completion(out, "update")
+
+
+def incremental_dedup_apply(index_base: str, results_dir: str):
+    """Build the ``foreachBatch`` function for STREAMING incremental dedup:
+    each micro-batch of documents (doc_id, text) is screened against the
+    accumulated LSH signature index, verdicts land in a per-epoch results
+    directory, and the batch's own signatures are folded into a new index
+    version — so later batches dedup against everything already ingested.
+
+    The streaming twin of ``dedup_incremental_new_batch``: per-batch cost
+    is O(|batch|) regardless of how much history the index holds, because
+    the probe is an equi-join on (band_id, band_key) and the index grows
+    by ~n_bands rows per doc (tiny next to the corpus). Versioned index
+    dirs + per-epoch result dirs make epoch replay idempotent (a replayed
+    epoch rewrites its own outputs instead of double-applying) — the
+    poor-man's atomic commit; Delta/Iceberg MERGE at production scale.
+
+    Reference parity note: the reference streams rows from NATS into a SQL
+    engine (executor.rs:80-132) but has no stateful operators at all; this
+    is the mandated-extension surface composed with the A1 source.
+    """
+    from datafusion_nats_spark.extensions.dedup import (
+        _banded_signatures,
+        _shingles_spark,
+    )
+
+    state = {"ver": 0}
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        shingled = batch_df.select(
+            "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+        )
+        # micro-batches are far below the df-cap scale; in production the
+        # index ships its banned-shingle list and it anti-joins here
+        banded = _banded_signatures(shingled).persist()
+        index = sp.read.parquet(index_base + str(state["ver"]))
+        coll = (
+            banded.alias("n")
+            .join(
+                index.alias("o"),
+                (F.col("n.band_id") == F.col("o.band_id"))
+                & (F.col("n.band_key") == F.col("o.band_key")),
+            )
+            .groupBy(F.col("n.doc_id").alias("probe_doc"))
+            .agg(
+                F.countDistinct("o.doc_id").alias("n_matches"),
+                F.min("o.doc_id").alias("first_match"),
+            )
+        )
+        verdicts = (
+            batch_df.select("doc_id")
+            .distinct()
+            .join(coll, F.col("doc_id") == F.col("probe_doc"), "left")
+            .select(
+                "doc_id",
+                (F.coalesce("n_matches", F.lit(0)) > 0).alias("is_dup"),
+                F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+                "first_match",
+            )
+        )
+        # per-epoch dir: replay overwrites, never double-applies
+        verdicts.write.mode("overwrite").parquet(f"{results_dir}/epoch={epoch_id}")
+        index.unionByName(banded).write.mode("overwrite").parquet(
+            index_base + str(state["ver"] + 1)
+        )
+        state["ver"] += 1
+        banded.unpersist()
+
+    return apply

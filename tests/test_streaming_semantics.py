@@ -666,3 +666,75 @@ def test_stateful_event_time_timeout_closes_sessions(spark, broker):
     assert ("s1", 2, False) in rows   # live update while open
     assert ("s1", 2, True) in rows    # emitted once on timeout eviction
     assert sum(1 for k, _, c in rows if k == "s1" and c) == 1
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+
+def test_streaming_incremental_dedup_accumulates_index(spark, broker, tmp_path):
+    """NATS document stream screened per micro-batch against the versioned
+    LSH signature index (streaming twin of dedup_incremental_new_batch):
+    batch 1 must catch a dup of the PRE-EXISTING corpus; batch 2 must
+    catch a dup of a BATCH-1 doc — proving the index accumulates."""
+    from datafusion_nats_spark.extensions.dedup import (
+        _banded_signatures,
+        _shingles_spark,
+    )
+    from datafusion_nats_spark.streaming.pipelines import incremental_dedup_apply
+
+    corpus_text = "alpha beta gamma delta epsilon zeta"
+    other_text = "one two three four five six"
+    fresh_text = "totally fresh words arriving right now"
+    clean_text = "another clean document with unique content"
+
+    # pre-existing corpus index (v0): signatures of docs 100/101
+    index_base = str(tmp_path / "lsh_index_v")
+    results = str(tmp_path / "verdicts")
+    corpus = spark.createDataFrame(
+        [(100, corpus_text), (101, other_text)], "doc_id int, text string"
+    )
+    _banded_signatures(
+        corpus.select(
+            "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+        )
+    ).write.parquet(index_base + "0")
+
+    batches = [
+        # batch 1: doc 1 duplicates corpus doc 100; doc 2 is clean
+        f"1,{corpus_text}".encode(),
+        f"2,{fresh_text}".encode(),
+        # batch 2: doc 3 duplicates BATCH-1 doc 2; doc 4 is clean
+        f"3,{fresh_text}".encode(),
+        f"4,{clean_text}".encode(),
+    ]
+    for p in batches:
+        broker.publish("docs", p)
+
+    q = (
+        spark.readStream.format("nats")
+        .schema(DOC_SCHEMA)
+        .option("url", "memory://stream_sem")
+        .option("subject", "docs")
+        .option("maxMessagesPerBatch", "2")
+        .load()
+        .writeStream.foreachBatch(incremental_dedup_apply(index_base, results))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.doc_id: (r.is_dup, r.first_match)
+        for r in spark.read.parquet(results).collect()
+    }
+    assert got[1] == (True, 100)   # caught against the pre-existing corpus
+    assert got[2] == (False, None)
+    assert got[3] == (True, 2)     # caught against batch 1 via the accumulated index
+    assert got[4] == (False, None)
