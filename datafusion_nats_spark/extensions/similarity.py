@@ -490,3 +490,94 @@ def curation_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("centroid_cosine") < 0.35)
     )
 
+
+
+PREFIX_DIMS = 8  # matryoshka coarse pass uses the first 8 of 64 dims
+SHORTLIST = 30  # coarse candidates per query before full-dim rerank
+
+
+@query(
+    "sim_matryoshka_prefix_ann",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), coarse AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, q.qe, e.embedding AS ne,
+             round(
+               list_sum(list_transform(list_zip(q.qe[1:{PREFIX_DIMS}], e.embedding[1:{PREFIX_DIMS}]),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe[1:{PREFIX_DIMS}], x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding[1:{PREFIX_DIMS}], x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+               6) AS ccos
+      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    ), short AS (
+      SELECT query_id, neighbor_id, qe, ne FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, neighbor_id) AS r
+        FROM coarse
+      ) WHERE r <= {SHORTLIST}
+    ), rerank AS (
+      SELECT query_id, neighbor_id,
+             round(
+               list_sum(list_transform(list_zip(qe, ne),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+               6) AS cosine
+      FROM short
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM rerank
+    ) WHERE rn <= {TOP_K}
+    """,
+    doc=f"Matryoshka / prefix-dimension ANN (MRL, Kusupati et al. 2022, "
+    f"arXiv:2205.13147): score the corpus on only the first {PREFIX_DIMS} "
+    f"of 64 dims (an 8x cheaper pass whose per-vector state is 8 floats), "
+    f"keep a {SHORTLIST}-candidate shortlist per query, then exact "
+    f"full-dim cosine rerank to top {TOP_K}. The coarse pass reads an 8x "
+    "narrower vector — at 100 TB that is the memory-bandwidth win "
+    "matryoshka embeddings exist for; the rerank touches only "
+    "|queries| x SHORTLIST full vectors. Cosines round to 6 decimals "
+    "before each ranking window with id tiebreaks — engine-stable.",
+)
+def sim_matryoshka_prefix_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = F.broadcast(q).join(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
+        F.col("neighbor_id") != F.col("query_id"),
+    )
+
+    def cos(a, b, ndims=None):
+        ad = F.transform(a, lambda x: x.cast("double"))
+        bd = F.transform(b, lambda x: x.cast("double"))
+        if ndims is not None:
+            ad, bd = F.slice(ad, 1, ndims), F.slice(bd, 1, ndims)
+        return F.round(_dot(ad, bd) / (_norm(ad) * _norm(bd)), 6)
+
+    wshort = W.partitionBy("query_id").orderBy(F.desc("ccos"), "neighbor_id")
+    short = (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            "qe",
+            "ne",
+            cos(F.col("qe"), F.col("ne"), PREFIX_DIMS).alias("ccos"),
+        )
+        .withColumn("r", F.row_number().over(wshort))
+        .filter(F.col("r") <= SHORTLIST)
+    )
+    wfull = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        short.select(
+            "query_id", "neighbor_id", cos(F.col("qe"), F.col("ne")).alias("cosine")
+        )
+        .withColumn("rn", F.row_number().over(wfull).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+    )

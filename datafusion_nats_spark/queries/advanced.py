@@ -779,3 +779,36 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
     )
+
+
+@query(
+    "pipe_syntax_summary",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 10
+    """,
+    doc="SQL pipe syntax (Spark 4.0 |> operators, SIGMOD'24 'SQL Has "
+    "Problems' pipe-syntax proposal): FROM |> WHERE |> AGGREGATE ... "
+    "GROUP BY |> WHERE over the orders table. Same Catalyst plan as the "
+    "classic formulation (the oracle) — this pins the alternative SQL "
+    "surface users of a 2024+ engine expect.",
+)
+def pipe_syntax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        """
+    )

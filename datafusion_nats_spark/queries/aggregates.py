@@ -870,3 +870,28 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double(sk, F.lit(0.5)).alias("p50_est"),
         F.kll_sketch_get_quantile_double(sk, F.lit(0.9)).alias("p90_est"),
     )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="approx_top_k frequent-items sketch (Spark 4 Datasketches "
+    "ItemsSketch) in its documented EXACT regime: maxItemsTracked=10000 "
+    "far exceeds the 5 distinct event types, so every counter is exact "
+    "and k=|distinct| returns the complete frequency table — the oracle "
+    "is the plain GROUP BY count. At 100 TB with high-cardinality keys "
+    "the same one-pass partial/final sketch merge degrades gracefully to "
+    "epsilon-approximate heavy hitters instead of OOMing a hash "
+    "aggregate. Struct-array output is exploded back to scalar "
+    "(item, cnt) rows.",
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 5, 10000)").alias("tk"))
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("bigint").alias("cnt")
+    )

@@ -29,3 +29,19 @@ def test_rows_only_query_runs(name, spark, sf_dir):
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
+    """The driver's hash harness canonicalizes results via pandas sort,
+    which cannot hash list/map/struct cells (round-1 driver crash on
+    map_struct_functions). Guard: every registered query's output schema
+    must be scalar-only — project arrays through array_join/size/digests
+    instead of returning them raw."""
+    bad = []
+    for name, fn in sorted(REGISTRY.items()):
+        df = fn.fn(spark, sf_dir)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t.startswith(("array", "map", "struct", "binary")):
+                bad.append((name, f.name, t))
+    assert not bad, f"complex-typed output columns: {bad}"
