@@ -350,3 +350,67 @@ def test_tablesample_repeatable_seed(spark, sf_dir):
     assert a == b                      # deterministic under a fixed seed
     assert a != c                      # seed actually matters
     assert 0.05 < len(a) / total < 0.5  # near the requested rate
+
+
+def test_pyavro_roundtrip_null_codec(spark, tmp_path):
+    """Avro OCF write → format('pyavro') read: schema inferred from the
+    embedded avro.schema, values intact, NULLs via [null,T] unions."""
+    from datafusion_nats_spark.sources.avro_source import (
+        register_avro,
+        write_avro_file,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+    rows = [
+        (1, "apple", 1.5, True, "crisp"),
+        (2, "banana", -2.25, False, None),
+        (3, "cherry", 0.0, True, "red"),
+    ]
+    p = str(tmp_path / "fruit.avro")
+    write_avro_file(p, schema, rows)
+    register_avro(spark)
+    got = spark.read.format("pyavro").load(p).orderBy("id").collect()
+    assert [tuple(r) for r in got] == rows
+    assert [f.name for f in spark.read.format("pyavro").load(p).schema.fields] == [
+        "id", "name", "score", "flag", "note",
+    ]
+
+
+def test_pyavro_deflate_codec_and_multifile(spark, tmp_path):
+    """deflate-compressed blocks decode, and a directory of files scans
+    as one table with one partition per file."""
+    from datafusion_nats_spark.sources.avro_source import (
+        register_avro,
+        write_avro_file,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "v", "type": "double"},
+        ],
+    }
+    d = tmp_path / "avrodir"
+    d.mkdir()
+    write_avro_file(str(d / "a.avro"), schema, [(i, i * 0.5) for i in range(50)],
+                    codec="deflate")
+    write_avro_file(str(d / "b.avro"), schema, [(i, i * 0.5) for i in range(50, 80)],
+                    codec="deflate")
+    register_avro(spark)
+    df = spark.read.format("pyavro").load(str(d))
+    assert df.count() == 80
+    assert df.rdd.getNumPartitions() == 2
+    total = df.selectExpr("sum(v)").collect()[0][0]
+    assert abs(total - sum(i * 0.5 for i in range(80))) < 1e-9
