@@ -258,3 +258,112 @@ def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(deg), "v")
         .select(F.col("v").alias("vec_id"), F.col("d").alias("degree"), "n_triangles")
     )
+
+
+_BFS_ROUNDS = 3
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        """
+        WITH pairs AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), edges AS MATERIALIZED (
+          SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
+          UNION ALL
+          SELECT 's' || sk AS src, 'c' || ck AS dst FROM pairs
+        ), nodes AS MATERIALIZED (
+          SELECT DISTINCT src AS node FROM edges
+        ), lvl0 AS MATERIALIZED (
+          SELECT node,
+                 CASE WHEN node = 'c' || (SELECT min(ck) FROM pairs)
+                      THEN 0 ELSE 999 END AS lvl
+          FROM nodes
+        )
+        """
+    ]
+    for i in range(1, _BFS_ROUNDS + 1):
+        parts.append(
+            f"""
+            , lvl{i} AS MATERIALIZED (
+              SELECT n.node,
+                     least(n.lvl, coalesce(min(c.lvl + 1), 999)) AS lvl
+              FROM lvl{i - 1} n
+              LEFT JOIN (
+                SELECT e.dst AS node, l.lvl
+                FROM edges e JOIN lvl{i - 1} l ON e.src = l.node
+                WHERE l.lvl < 999
+              ) c ON c.node = n.node
+              GROUP BY n.node, n.lvl
+            )
+            """
+        )
+    parts.append(
+        f"""
+        SELECT lvl AS level, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM lvl{_BFS_ROUNDS} WHERE lvl < 999
+        GROUP BY lvl
+        """
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_bfs_levels",
+    oracle=_bfs_oracle(),
+    doc=f"BFS level sets ({_BFS_ROUNDS} hops) from the lowest-keyed "
+    "customer over the customer-supplier bipartite graph (same edge "
+    "derivation as graph_pagerank_suppliers). Iterative min-level "
+    "propagation — the Pregel/BSP pattern as a driver loop over lazy "
+    "plans: each round is one edges-to-frontier equi-join + per-node min "
+    "aggregate; the cached edge list is the loop constant, level state "
+    "is O(|nodes|) and never collected. Emits nodes-per-level, the "
+    "reachability profile. The oracle unrolls every round as "
+    "MATERIALIZED CTEs (each round references its predecessor twice — "
+    "plain CTE inlining would be exponential).",
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    c_node = F.concat(F.lit("c"), F.col("ck"))
+    s_node = F.concat(F.lit("s"), F.col("sk"))
+    edges = (
+        pairs.select(c_node.alias("src"), s_node.alias("dst"))
+        .unionByName(pairs.select(s_node.alias("src"), c_node.alias("dst")))
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    src = pairs.agg(F.min("ck").alias("mn"))  # 1 row, broadcast
+    cur = nodes.crossJoin(F.broadcast(src)).select(
+        "node",
+        F.when(F.col("node") == F.concat(F.lit("c"), F.col("mn")), 0)
+        .otherwise(999)
+        .alias("lvl"),
+    )
+    for _ in range(_BFS_ROUNDS):
+        frontier = (
+            edges.join(cur.filter(F.col("lvl") < 999), edges.src == F.col("node"))
+            .select(F.col("dst").alias("node"), (F.col("lvl") + 1).alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        nxt = (
+            cur.join(frontier, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lvl"), F.coalesce(F.col("cand"), F.lit(999))).alias("lvl"),
+            )
+            .localCheckpoint()  # truncate per-round plan growth
+        )
+        cur = nxt
+    return (
+        cur.filter(F.col("lvl") < 999)
+        .groupBy(F.col("lvl").alias("level"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

@@ -252,3 +252,76 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "report_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS key, count(*) AS n
+      FROM orders GROUP BY o_custkey
+    ), stats AS (
+      SELECT count(*) AS n_keys,
+             sum(n) AS n_rows,
+             max(n) AS max_n,
+             round(avg(n), 6) AS mean_n,
+             round(quantile_cont(n, 0.5), 6)  AS p50_n,
+             round(quantile_cont(n, 0.99), 6) AS p99_n
+      FROM per_key
+    ), top AS (
+      SELECT key, n,
+             row_number() OVER (ORDER BY n DESC, key) AS rk
+      FROM per_key
+    )
+    SELECT t.rk, t.key, CAST(t.n AS BIGINT) AS n,
+           CAST(s.n_keys AS BIGINT) AS n_keys,
+           round(CAST(t.n AS DOUBLE) / s.n_rows, 6)  AS row_share,
+           round(CAST(s.max_n AS DOUBLE) / s.mean_n, 6) AS imbalance,
+           s.p50_n, s.p99_n
+    FROM top t, stats s
+    WHERE t.rk <= 10
+    """,
+    doc="Shuffle-key skew profiler (operational tooling for the "
+    "1000-executor cluster): per-key row counts for a prospective "
+    "join/groupBy key, the top-10 heaviest keys with their row share, "
+    "and distribution stats (p50/p99, max/mean imbalance ratio — the "
+    "straggler predictor: a reducer owning max_n rows finishes "
+    "imbalance x later than the average). Run this BEFORE choosing a "
+    "partitioning; imbalance >> 1 says salt the key or broadcast the "
+    "other side. One partial/final count per key + a 1-row stats "
+    "aggregate broadcast against the bounded top-10.",
+)
+def report_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.round(F.avg("n"), 6).alias("mean_n"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50_n"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_n"),
+    )
+    # TakeOrderedAndProject bounds the global sort to a top-10 heap per
+    # partition + driver merge; the ranking window then runs over 10 rows
+    # only (a global row_number over the full key set would be a
+    # single-partition sort of n_keys rows — the thing this report exists
+    # to prevent)
+    top10 = per_key.orderBy(F.desc("n"), "key").limit(10)
+    top = top10.select(
+        "key", "n", F.row_number().over(W.orderBy(F.desc("n"), "key")).alias("rk")
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rk",
+        "key",
+        "n",
+        "n_keys",
+        F.round(F.col("n").cast("double") / F.col("n_rows"), 6).alias("row_share"),
+        F.round(F.col("max_n").cast("double") / F.col("mean_n"), 6).alias("imbalance"),
+        "p50_n",
+        "p99_n",
+    )

@@ -657,3 +657,16 @@ def test_datacard_aggregates_partial_final(spark, sf_dir):
     plan = _plan(spark, sf_dir, "report_corpus_datacard")
     assert plan.count("HashAggregate") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_key_skew_report_uses_topk_heap(spark, sf_dir):
+    """The top-10 heaviest keys must come from TakeOrderedAndProject (a
+    bounded heap), never a single-partition global sort of the full key
+    space."""
+    plan = _plan(spark, sf_dir, "report_key_skew")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bfs_frontier_is_equi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_bfs_levels")
+    assert "CartesianProduct" not in plan
