@@ -185,3 +185,59 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(
         sample, schema="doc_id long, frame_idx int, frame_len int, frame_sum double"
     )
+
+
+@query(
+    "mm_resize_downsample",
+    # byte-slice boundaries are pure integer arithmetic (floor(b*n/8)),
+    # and the ASCII corpus makes byte i == ord(char i) — exact twin
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) >= 8
+    ), buckets AS (
+      SELECT doc_id, n, unnest(range(0, 8)) AS b FROM f
+    )
+    SELECT bk.doc_id,
+           CAST(bk.n AS INTEGER) AS orig_len,
+           CAST(bk.b AS INTEGER) AS bucket,
+           CAST(list_sum(list_transform(
+                  range(CAST(bk.b * bk.n // 8 AS BIGINT) + 1,
+                        CAST((bk.b + 1) * bk.n // 8 AS BIGINT) + 1),
+                  j -> ord(substr(f.text, CAST(j AS INTEGER), 1)))) AS DOUBLE)
+             / ((bk.b + 1) * bk.n // 8 - bk.b * bk.n // 8) AS bucket_mean
+    FROM buckets bk JOIN f ON f.doc_id = bk.doc_id
+    """,
+    doc="Resize/downsample shape for media payloads: the byte sequence is "
+    "reduced to a fixed 8-bucket mean profile (the 1-D analogue of "
+    "thumbnail resizing / audio downsampling — each bucket averages its "
+    "slice [floor(b*n/8), floor((b+1)*n/8)) of the original). mapInPandas, "
+    "map-only, payload bytes never shuffle; one row in -> 8 profile rows "
+    "out. Swap the byte-mean kernel for a real resampler (PIL thumbnail / "
+    "scipy.signal.resample) with the identical Spark plumbing. Integer "
+    "slice boundaries + ASCII corpus give the Python path an exact DuckDB "
+    "twin.",
+)
+def mm_resize_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = with_binary_payload(load(spark, sf_dir, "documents")).filter(
+        F.col("meta.n_bytes") >= 8
+    )
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for b in range(8):
+                    lo, hi = b * n // 8, (b + 1) * n // 8
+                    seg = payload[lo:hi]
+                    rows.append((int(doc_id), n, b, sum(seg) / len(seg)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "orig_len", "bucket", "bucket_mean"]
+            )
+
+    return mm.mapInPandas(
+        resize, schema="doc_id long, orig_len int, bucket int, bucket_mean double"
+    )

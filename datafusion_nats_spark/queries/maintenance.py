@@ -269,3 +269,52 @@ def maintenance_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> Dat
             F.col("rev_sum").cast("double") / F.col("n_orders").cast("double"), 6
         ).alias("avg_price"),
     )
+
+
+_ERASE_MOD = 97  # user_id % 97 == 0 plays the erasure-request list
+
+
+@query(
+    "maintenance_user_erasure",
+    oracle=f"""
+    SELECT event_type,
+           CAST(sum(CASE WHEN user_id % {_ERASE_MOD} <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept,
+           CAST(sum(CASE WHEN user_id % {_ERASE_MOD} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+           CAST(count(DISTINCT CASE WHEN user_id % {_ERASE_MOD} = 0
+                                    THEN user_id END) AS BIGINT) AS users_erased
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Right-to-erasure (GDPR Art. 17) apply + audit: every event of the "
+    "requesting users (deterministic stand-in list: user_id % 97 == 0) is "
+    "removed via broadcast anti-join — the erase list is small by nature, "
+    "so the 100 TB fact table never shuffles, each file rewrites map-side "
+    "— and the compliance audit reports kept/erased rows and distinct "
+    "erased users per event type. The oracle recomputes both sides from "
+    "the membership predicate.",
+)
+def maintenance_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    erase = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % _ERASE_MOD == 0)
+    )  # the request list — tiny, broadcast
+    kept = ev.join(F.broadcast(erase), "user_id", "left_anti")
+    erased = ev.join(F.broadcast(erase), "user_id", "left_semi")
+    k = kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("rows_kept"))
+    e = erased.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("rows_erased"),
+        F.countDistinct("user_id").alias("users_erased"),
+    )
+    return (
+        k.join(e, "event_type", "full")
+        .select(
+            "event_type",
+            F.coalesce("rows_kept", F.lit(0)).alias("rows_kept"),
+            F.coalesce("rows_erased", F.lit(0)).alias("rows_erased"),
+            F.coalesce("users_erased", F.lit(0)).alias("users_erased"),
+        )
+    )
