@@ -414,3 +414,70 @@ def test_pyavro_deflate_codec_and_multifile(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 2
     total = df.selectExpr("sum(v)").collect()[0][0]
     assert abs(total - sum(i * 0.5 for i in range(80))) < 1e-9
+
+
+def test_session_context_reference_golden_flow(spark, tmp_path):
+    """The reference's golden e2e (integration_test.rs:31-56 /
+    simple_query.rs:48-82) through the SessionContext facade: publish 3
+    CSV rows to a subject, register it as a table, `SELECT id, name FROM
+    nats_table LIMIT 3`, collect."""
+    from datafusion_nats_spark.context import SessionContext
+    from datafusion_nats_spark.sources import get_broker
+
+    broker = get_broker("memory://ctx_api")
+    broker.clear()
+    for p in [b"1,apple,100", b"2,banana,200", b"3,cherry,300"]:
+        broker.publish("ctx.subject", p)
+
+    ctx = SessionContext(spark)
+    ctx.register_nats_table(
+        "nats_table",
+        "ctx.subject",
+        schema="id int, name string, qty int",
+        url="memory://ctx_api",
+        maxMessages=3,
+    )
+    got = ctx.sql("SELECT id, name FROM nats_table LIMIT 3").collect()
+    assert [(r.id, r.name) for r in got] == [(1, "apple"), (2, "banana"), (3, "cherry")]
+    assert "nats_table" in ctx.tables()
+    ctx.deregister_table("nats_table")
+    broker.clear()
+
+
+def test_session_context_register_formats(spark, tmp_path, sf_dir):
+    """register_parquet / register_csv / register_avro all land in the
+    same catalog and are joinable in one SQL statement."""
+    from datafusion_nats_spark.context import SessionContext
+    from datafusion_nats_spark.sources.avro_source import write_avro_file
+
+    ctx = SessionContext(spark)
+    ctx.register_parquet("nation_pq", f"{sf_dir}/nation.parquet")
+    csv_path = str(tmp_path / "regions.csv")
+    spark.read.parquet(f"{sf_dir}/region.parquet").toPandas().to_csv(
+        csv_path, index=False
+    )
+    ctx.register_csv("region_csv", csv_path)
+    avro_path = str(tmp_path / "tags.avro")
+    write_avro_file(
+        avro_path,
+        {
+            "type": "record",
+            "name": "t",
+            "fields": [
+                {"name": "r_regionkey", "type": "long"},
+                {"name": "tag", "type": "string"},
+            ],
+        },
+        [(0, "zero"), (1, "one"), (2, "two"), (3, "three"), (4, "four")],
+    )
+    ctx.register_avro("region_tags", avro_path)
+    got = ctx.sql(
+        """
+        SELECT r.r_name, t.tag, count(*) AS n_nations
+        FROM nation_pq n
+        JOIN region_csv r ON n.n_regionkey = r.r_regionkey
+        JOIN region_tags t ON t.r_regionkey = r.r_regionkey
+        GROUP BY r.r_name, t.tag
+        """
+    ).collect()
+    assert len(got) == 5 and all(r.n_nations == 5 for r in got)
