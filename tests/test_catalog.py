@@ -481,3 +481,46 @@ def test_session_context_register_formats(spark, tmp_path, sf_dir):
         """
     ).collect()
     assert len(got) == 5 and all(r.n_nations == 5 for r in got)
+
+
+def test_ddl_options_forwarding_canary(spark):
+    """CANARY for the documented PySpark 4.1 limitation (COVERAGE.md §2C):
+    `CREATE TABLE ... USING <python-source> OPTIONS (...)` does NOT
+    forward the OPTIONS map to the Python DataSource — it arrives empty.
+    If this test ever FAILS, Spark has fixed the forwarding: enable the
+    full `CREATE TABLE ... USING nats` DDL path and update COVERAGE.md."""
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    class ProbeReader(DataSourceReader):
+        def __init__(self, options):
+            self.options = options
+
+        def read(self, partition):
+            yield (str(dict(self.options)),)
+
+    class ProbeSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "ddl_probe"
+
+        def schema(self):
+            return T.StructType([T.StructField("opts", T.StringType())])
+
+        def reader(self, schema):
+            return ProbeReader(dict(self.options))
+
+    spark.dataSource.register(ProbeSource)
+    spark.sql("DROP TABLE IF EXISTS ddl_probe_t")
+    try:
+        spark.sql(
+            "CREATE TABLE ddl_probe_t (opts STRING) USING ddl_probe "
+            "OPTIONS (foo 'bar', subject 'x.y')"
+        )
+        got = spark.sql("SELECT * FROM ddl_probe_t").collect()[0].opts
+        assert got == "{}", (
+            "Spark now forwards DDL OPTIONS to Python data sources "
+            f"(got {got}) — enable CREATE TABLE ... USING nats!"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ddl_probe_t")
