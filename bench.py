@@ -39,6 +39,33 @@ HEADLINE = [
 ]
 
 
+def _multifile_copy(spark, sf_dir: str, n_files: int) -> str:
+    """OPT-IN (SPARK_GRAFT_MULTIFILE=<n>): rewrite each table into n
+    parquet files under /tmp so local scans parallelize the way a cluster's
+    many-file tables do. The default single-file sf0.1 tables have ONE row
+    group each, so scan-bound queries decode on one task regardless of
+    maxPartitionBytes — an artifact of the local fixture, not the plans
+    (PERFORMANCE.md). Results are identical; only scan parallelism changes."""
+    import hashlib
+
+    from datafusion_nats_spark.tables import TABLES
+
+    tag = hashlib.md5(f"{sf_dir}:{n_files}".encode()).hexdigest()[:10]
+    out_root = os.path.join("/tmp", f"spark_graft_multifile_{tag}")
+    done = os.path.join(out_root, "_DONE")
+    if not os.path.exists(done):
+        for t in TABLES:
+            (
+                spark.read.parquet(f"{sf_dir}/{t}.parquet")
+                .repartition(n_files)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_root, f"{t}.parquet"))
+            )
+        with open(done, "w") as f:
+            f.write("ok")
+    return out_root
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -49,6 +76,10 @@ def main() -> None:
 
     spark = get_spark("bench")
     queries = all_queries()
+
+    multifile = int(os.environ.get("SPARK_GRAFT_MULTIFILE", "0"))
+    if multifile > 1:
+        sf_dir = _multifile_copy(spark, sf_dir, multifile)
 
     # Warm the JVM + parquet footers with the cheapest query so the first
     # timed run doesn't pay one-time session costs.
