@@ -733,3 +733,60 @@ def report_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("ntok").cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
         F.round(F.sum(is_dup).cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
     )
+
+
+_TEMPORAL_CUTOFF = "1997-06-01"  # train < cutoff <= eval (orders timeline)
+
+
+@query(
+    "curation_temporal_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '{_TEMPORAL_CUTOFF}'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM orders
+    ), leakage AS (
+      SELECT count(DISTINCT t.o_custkey) AS leaked_customers
+      FROM (SELECT DISTINCT o_custkey FROM assigned WHERE split = 'train') t
+      JOIN (SELECT DISTINCT o_custkey FROM assigned WHERE split = 'eval') e
+        ON t.o_custkey = e.o_custkey
+    )
+    SELECT a.split,
+           CAST(count(*) AS BIGINT)                  AS n_rows,
+           CAST(count(DISTINCT a.o_custkey) AS BIGINT) AS n_customers,
+           CAST(l.leaked_customers AS BIGINT)        AS leaked_customers
+    FROM assigned a, leakage l
+    GROUP BY a.split, l.leaked_customers
+    """,
+    doc="Temporal train/eval split (the leakage-safe alternative to hash "
+    "splits when the task is forecasting): rows strictly before the "
+    "cutoff train, the rest evaluate — plus the ENTITY-LEAKAGE audit "
+    "every temporal split needs: how many customers appear on both sides "
+    "(their eval rows share entity state with training; report it, decide "
+    "per-task whether to group-split them out). Map-side split predicate, "
+    "two distinct-aggregates + a 1-row broadcast audit join.",
+)
+def curation_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    assigned = o.select(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit(_TEMPORAL_CUTOFF).cast("timestamp"), "train"
+        )
+        .otherwise("eval")
+        .alias("split"),
+    )
+    train_c = assigned.filter(F.col("split") == "train").select("o_custkey").distinct()
+    eval_c = assigned.filter(F.col("split") == "eval").select("o_custkey").distinct()
+    leakage = train_c.join(eval_c, "o_custkey").agg(
+        F.count(F.lit(1)).alias("leaked_customers")
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .crossJoin(F.broadcast(leakage))
+    )

@@ -753,3 +753,32 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
         "first_match",
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH cc AS ({_connected_components_oracle()})
+    SELECT csize,
+           CAST(count(*) AS BIGINT)         AS n_components,
+           CAST(csize * count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT component, count(*) AS csize FROM cc GROUP BY component
+    )
+    GROUP BY csize
+    """,
+    doc="Duplicate-cluster size histogram — the dedup QUALITY report: how "
+    "many near-dup components exist at each size, and how many documents "
+    "they absorb. A heavy tail here (giant components) is the classic "
+    "sign of an over-aggressive threshold or boilerplate leakage; at "
+    "100 TB this is the one-page artifact reviewed before a collapse is "
+    "applied. Composes the connected-components operator with two tiny "
+    "aggregations (per-component size, then size frequencies).",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = dedup_connected_components(spark, sf_dir)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return sizes.groupBy("csize").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        (F.col("csize") * F.count(F.lit(1))).alias("n_docs"),
+    )

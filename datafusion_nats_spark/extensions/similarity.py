@@ -581,3 +581,50 @@ def sim_matryoshka_prefix_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wfull).cast("bigint"))
         .filter(F.col("rn") <= TOP_K)
     )
+
+
+RADIUS_TAU = 0.35  # cosine threshold for range search
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(list_zip(q.qe, e.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+               6) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM scored WHERE cosine >= {RADIUS_TAU}
+    """,
+    doc=f"Range (radius) similarity search: ALL neighbors with cosine >= "
+    f"{RADIUS_TAU} per query — the other retrieval primitive ANN systems "
+    "expose besides top-k (unbounded result set, threshold semantics; "
+    "what dedup and recall-sweep jobs actually want). Broadcast query "
+    "set, map-side scoring, threshold filter — no ranking window at all, "
+    "so unlike top-k there is no per-query sort; output size is bounded "
+    "by the data, not by k. Cosine rounded to 6 decimals BEFORE the "
+    "threshold compare so the kept set is engine-stable.",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = F.broadcast(q).join(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
+        F.col("neighbor_id") != F.col("query_id"),
+    )
+    qd, nd = _emb_double("qe"), _emb_double("ne")
+    cosine = F.round(_dot(qd, nd) / (_norm(qd) * _norm(nd)), 6)
+    return pairs.select("query_id", "neighbor_id", cosine.alias("cosine")).filter(
+        F.col("cosine") >= RADIUS_TAU
+    )

@@ -719,3 +719,52 @@ def timeseries_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "timeseries_daily_count_spikes",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             round(avg(n), 6) AS mean_n,
+             round(coalesce(stddev_samp(n), 0), 6) AS sd_n
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           s.mean_n, s.sd_n,
+           CAST(sum(CASE WHEN s.sd_n > 0
+                          AND d.n > s.mean_n + 3 * s.sd_n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spike_days
+    FROM daily d JOIN stats s USING (event_type)
+    GROUP BY d.event_type, s.mean_n, s.sd_n
+    """,
+    doc="Volume-anomaly detection on the COUNT dimension (traffic spikes), "
+    "complementing the value-based detectors (rolling z-score, MAD): "
+    "events roll up to per-(type, day) counts, per-type mean/stddev of "
+    "the daily series broadcast back, days above mean+3sd flagged. The "
+    "big table collapses to |types|x|days| rows in the FIRST aggregate, "
+    "so everything after the initial rollup is negligible at any scale.",
+)
+def timeseries_daily_count_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.round(F.avg("n"), 6).alias("mean_n"),
+        F.round(F.coalesce(F.stddev_samp("n"), F.lit(0.0)), 6).alias("sd_n"),
+    )
+    spike = F.when(
+        (F.col("sd_n") > 0) & (F.col("n") > F.col("mean_n") + 3 * F.col("sd_n")), 1
+    ).otherwise(0)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "mean_n", "sd_n")
+        .agg(F.count(F.lit(1)).alias("n_days"), F.sum(spike).alias("n_spike_days"))
+        .select("event_type", "n_days", "mean_n", "sd_n", "n_spike_days")
+    )
