@@ -718,3 +718,117 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_docs_csv")
     )
     return stats.join(heads, "term").select("term", "df", "total_tf", "top_docs_csv")
+
+
+_RAKE_STOPS = ("the", "a", "of", "and", "in", "to", "is")
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+RAKE_TOP = 15
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word,
+             generate_subscripts(
+               regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS pos
+      FROM documents
+    ), seg AS (
+      SELECT doc_id, word, pos,
+             sum(CASE WHEN word IN ({_RAKE_STOPS_SQL}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id,
+             word IN ({_RAKE_STOPS_SQL}) AS is_stop
+      FROM toks
+    ), members AS (
+      SELECT doc_id, phrase_id, word, pos FROM seg WHERE NOT is_stop
+    ), phrases AS (
+      SELECT doc_id, phrase_id,
+             string_agg(word, ' ' ORDER BY pos) AS phrase,
+             count(*) AS plen
+      FROM members GROUP BY doc_id, phrase_id
+    ), word_stats AS (
+      SELECT m.word,
+             count(*) AS freq,
+             sum(p.plen) AS degree
+      FROM members m
+      JOIN phrases p ON p.doc_id = m.doc_id AND p.phrase_id = m.phrase_id
+      GROUP BY m.word
+    ), phrase_scores AS (
+      SELECT p.phrase,
+             round(sum(CAST(w.degree AS DOUBLE) / w.freq), 6) AS score
+      FROM phrases p
+      JOIN members m ON m.doc_id = p.doc_id AND m.phrase_id = p.phrase_id
+      JOIN word_stats w ON w.word = m.word
+      GROUP BY p.doc_id, p.phrase_id, p.phrase
+    )
+    SELECT phrase, round(max(score), 6) AS score,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM phrase_scores
+    GROUP BY phrase
+    ORDER BY score DESC, phrase
+    LIMIT {RAKE_TOP}
+    """,
+    doc="RAKE keyphrase extraction (Rose et al. 2010, Automatic Keyword "
+    "Extraction from Individual Documents): stopwords segment each doc "
+    "into candidate phrases; word score = degree/frequency where degree "
+    "sums the lengths of phrases containing the word; phrase score sums "
+    "its word scores; corpus top-15 by max score. All relational: one "
+    "running-count window per doc for segmentation, two keyed aggregates "
+    "for word stats (the word table is vocabulary-sized, partial-agg "
+    "both phases), a bounded TakeOrderedAndProject for the final top-k.",
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos0", "word"
+        ),
+    ).select("doc_id", "word", (F.col("pos0") + 1).alias("pos"))
+    is_stop = F.col("word").isin(*_RAKE_STOPS)
+    wseg = W.partitionBy("doc_id").orderBy("pos")
+    seg = toks.select(
+        "doc_id",
+        "word",
+        "pos",
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(wseg).alias("phrase_id"),
+        is_stop.alias("is_stop"),
+    )
+    members = seg.filter(~F.col("is_stop")).select("doc_id", "phrase_id", "word", "pos")
+    phrases = members.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s.getField("word"),
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    word_stats = (
+        members.join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree"))
+    )
+    phrase_scores = (
+        phrases.join(members, ["doc_id", "phrase_id"])
+        .join(word_stats, "word")
+        .groupBy("doc_id", "phrase_id", "phrase")
+        .agg(
+            F.round(
+                F.sum(F.col("degree").cast("double") / F.col("freq")), 6
+            ).alias("score")
+        )
+    )
+    return (
+        phrase_scores.groupBy("phrase")
+        .agg(
+            F.round(F.max("score"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(RAKE_TOP)
+    )
