@@ -768,3 +768,149 @@ def timeseries_daily_count_spikes(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_days"), F.sum(spike).alias("n_spike_days"))
         .select("event_type", "n_days", "mean_n", "sd_n", "n_spike_days")
     )
+
+
+@query(
+    "timeseries_concurrency_sweepline",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, sid, min(ts) AS t_start, max(ts) AS t_end
+      FROM (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+      )
+      GROUP BY user_id, sid
+    ), deltas AS (
+      SELECT t_start AS t, 1 AS delta FROM sess
+      UNION ALL
+      SELECT t_end, -1 FROM sess
+    ), curve AS (
+      SELECT t, sum(delta) AS net
+      FROM deltas GROUP BY t
+    )
+    SELECT t,
+           CAST(sum(net) OVER (ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS concurrent_sessions
+    FROM curve
+    """,
+    doc="Concurrent-sessions curve via the SWEEP-LINE pattern: each "
+    "session (30-min-gap sessionization, same recipe as "
+    "window_sessionize) contributes +1 at its start and -1 at its end; "
+    "collapsing deltas per timestamp and running-summing gives exact "
+    "concurrency at every change point. The scale story is WHY this "
+    "pattern exists: the naive form (join every timestamp against every "
+    "overlapping interval) is an interval theta-join that degenerates "
+    "quadratically; the sweep line is two narrow aggregates + one "
+    "ordered prefix sum over |2×sessions| rows. The final global "
+    "running sum is the one intentionally-serial stage — its input is "
+    "the collapsed change-point curve (tiny), and at extreme scale it "
+    "range-partitions with per-partition offsets (documented trade).",
+)
+def timeseries_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (F.col("ts") > F.lag("ts").over(wu) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = (
+        flagged.select(
+            "user_id",
+            "ts",
+            F.sum("new_session")
+            .over(wu.rowsBetween(W.unboundedPreceding, 0))
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    )
+    deltas = sess.select(F.col("t_start").alias("t"), F.lit(1).alias("delta")).unionAll(
+        sess.select(F.col("t_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    curve = deltas.groupBy("t").agg(F.sum("delta").alias("net"))
+    wt = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    return curve.select(
+        "t", F.sum("net").over(wt).cast("bigint").alias("concurrent_sessions")
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH first_view AS (
+      SELECT user_id, min(ts) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), first_purchase AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN first_view v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+      GROUP BY e.user_id
+    ), joined AS (
+      SELECT v.user_id,
+             (epoch_us(p.p_ts) - epoch_us(v.v_ts)) / 60000000.0 AS mins
+      FROM first_view v LEFT JOIN first_purchase p ON p.user_id = v.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_viewers,
+           CAST(count(mins) AS BIGINT)                    AS n_converted,
+           round(CAST(count(mins) AS DOUBLE) / count(*), 6) AS conv_rate,
+           round(quantile_cont(mins, 0.5), 6)             AS med_minutes,
+           round(quantile_cont(mins, 0.9), 6)             AS p90_minutes
+    FROM joined
+    """,
+    doc="Funnel latency: per user, minutes from first 'view' to the first "
+    "'purchase' at-or-after it, rolled up to conversion rate and "
+    "median/p90 time-to-convert. Two per-user min-aggregates (partial/"
+    "final, the corpus collapses to |users| rows immediately) and one "
+    "user-keyed join; the percentile runs over the already-tiny "
+    "converter set. The companion view of funnel_ordered_stages (which "
+    "counts stage reach, not latency).",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    first_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    joined = first_view.join(first_purchase, "user_id", "left").select(
+        "user_id",
+        (
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).cast("double")
+            / 60000000.0
+        ).alias("mins"),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.count("mins").alias("n_converted"),
+        F.round(F.count("mins").cast("double") / F.count(F.lit(1)), 6).alias(
+            "conv_rate"
+        ),
+        F.round(F.expr("percentile(mins, 0.5)"), 6).alias("med_minutes"),
+        F.round(F.expr("percentile(mins, 0.9)"), 6).alias("p90_minutes"),
+    )
