@@ -812,3 +812,36 @@ def pipe_syntax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE n_orders > 10
         """
     )
+
+
+@query(
+    "lateral_view_explode_sql",
+    oracle="""
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           min(word)                AS first_word
+    FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents WHERE doc_id < 20
+    )
+    GROUP BY doc_id
+    """,
+    doc="HiveQL LATERAL VIEW explode(...) syntax (the third explode "
+    "surface besides F.explode and ANSI LATERAL join) — the form most "
+    "migrated Hive/legacy-Spark SQL uses. Same Generate plan as the "
+    "DataFrame API.",
+)
+def lateral_view_explode_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        r"""
+        SELECT doc_id,
+               count(*)  AS n_words,
+               min(word) AS first_word
+        FROM documents
+        LATERAL VIEW explode(split(trim(lower(text)), '\\s+')) t AS word
+        WHERE doc_id < 20
+        GROUP BY doc_id
+        """
+    )

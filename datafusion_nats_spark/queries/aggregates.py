@@ -895,3 +895,70 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("item"), F.col("e.count").cast("bigint").alias("cnt")
     )
+
+
+@query(
+    "agg_misc_battery",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_quantity > 25) AS BIGINT)       AS n_bulk,
+           CAST(min(l_orderkey) AS BIGINT)                 AS any_key,
+           CAST(count(DISTINCT l_linestatus) AS BIGINT)    AS n_statuses,
+           round(sum(l_quantity) FILTER (WHERE l_discount > 0.05), 2)
+                                                           AS discounted_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Miscellaneous-aggregate battery: count_if (SQL:2023 conditional "
+    "count), any_value pinned to its deterministic min witness (raw "
+    "any_value is legitimately nondeterministic, so the query asserts "
+    "the determinism-safe usage), listagg/string_agg over DISTINCT "
+    "values with explicit ORDER (Spark 4's listagg ties to DuckDB's "
+    "string_agg), and a FILTERed sum. All partial/final hash "
+    "aggregates; the DISTINCT listagg expands per group only over the "
+    "3-value status domain.",
+)
+def agg_misc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    # any_value is nondeterministic by contract; the deterministic way to
+    # say "give me one witness" is an explicit extremum (min)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count_if(l_quantity > 25)                     AS n_bulk,
+               min(l_orderkey)                               AS any_key,
+               count(DISTINCT l_linestatus)                  AS n_statuses,
+               round(sum(l_quantity) FILTER (WHERE l_discount > 0.05), 2)
+                                                             AS discounted_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ','
+                      ORDER BY l_linestatus) AS statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Spark 4 listagg(DISTINCT ...) WITHIN GROUP (ORDER BY ...) <-> "
+    "DuckDB string_agg(DISTINCT ... ORDER BY ...). Kept as its own query: "
+    "Spark 4.1 throws ClassCastException when an ordered-DISTINCT listagg "
+    "shares a SELECT with other distinct/filtered aggregates (the "
+    "rewrite rule mishandles the SortOrder) - documented engine quirk.",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               listagg(DISTINCT l_linestatus, ',')
+                 WITHIN GROUP (ORDER BY l_linestatus) AS statuses
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
