@@ -425,3 +425,96 @@ def test_triangle_count_matches_naive_enumeration(spark, sf_dir):
         JOIN und c ON c.x = a.y AND c.y = b.y
     """).fetchone()[0]
     assert total_participation == 3 * naive
+
+
+def test_hard_negative_mining_invariants(spark, sf_dir):
+    """Per anchor: the positive must share the anchor's label, the hard
+    negative must differ in label but share the anchor's k-means cell,
+    and neither may be the anchor itself."""
+    from datafusion_nats_spark.extensions.contrastive import sim_hard_negative_mining
+    from datafusion_nats_spark.extensions.ml_variants import lloyd_assignments
+    from datafusion_nats_spark.tables import load
+
+    rows = sim_hard_negative_mining(spark, sf_dir).collect()
+    assert rows
+    labels = {
+        r.vec_id: r.label
+        for r in load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    assigned, _ = lloyd_assignments(spark, sf_dir)
+    cells = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+    for r in rows:
+        assert r.pos_id != r.anchor_id
+        assert labels[r.pos_id] == r.label
+        if r.neg_id is not None:
+            assert labels[r.neg_id] != r.label
+            assert cells[r.neg_id] == cells[r.anchor_id]
+
+
+def test_domain_caps_never_exceed_cap(spark, sf_dir):
+    from datafusion_nats_spark.extensions.curation import (
+        DOMAIN_CAP,
+        curation_domain_caps,
+    )
+
+    for r in curation_domain_caps(spark, sf_dir).collect():
+        assert r.n_kept <= DOMAIN_CAP
+        assert r.n_kept + r.n_dropped == r.n_docs
+        assert r.n_kept == min(r.n_docs, DOMAIN_CAP)
+
+
+def test_ewma_stays_within_window_envelope(spark, sf_dir):
+    """EWMA is a convex combination of the window's samples, so it must
+    lie within [min, max] of the last 8 values per user (checked on a
+    sample of users)."""
+    from datafusion_nats_spark.queries.timeseries import timeseries_ewma_smooth
+    from datafusion_nats_spark.tables import load
+
+    out = {
+        (r.user_id, r.event_id): r.ewma
+        for r in timeseries_ewma_smooth(spark, sf_dir).collect()
+    }
+    ev = sorted(
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    by_user: dict = {}
+    checked = 0
+    for r in ev:
+        hist = by_user.setdefault(r.user_id, [])
+        hist.append(r)
+        window = [x.value for x in hist[-8:]]
+        ewma = out[(r.user_id, r.event_id)]
+        assert min(window) - 1e-6 <= ewma <= max(window) + 1e-6
+        checked += 1
+    assert checked == len(ev)
+
+
+def test_incremental_dedup_catches_planted_near_dup(spark, sf_dir, tmp_path):
+    """Plant a new-batch doc that is a verbatim copy of an old-corpus doc
+    through the batch operator's own machinery: every exact copy MUST
+    collide on all bands with its source."""
+    from datafusion_nats_spark.extensions.dedup import dedup_incremental_new_batch
+    from datafusion_nats_spark.tables import load
+
+    # the operator splits corpus docs by doc_id % 5; exact duplicates in
+    # the corpus (dedup_exact groups) that straddle the split boundary are
+    # natural planted pairs — verify any new doc whose text equals an old
+    # doc's text is flagged
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    text_by_id = {r.doc_id: " ".join(r.text.lower().split()) for r in docs}
+    old_texts = {
+        t for i, t in text_by_id.items() if i % 5 != 0 and len(t.split()) >= 3
+    }
+    expected_dups = {
+        i
+        for i, t in text_by_id.items()
+        if i % 5 == 0 and t in old_texts and len(t.split()) >= 3
+    }
+    got = {
+        r.doc_id: r.is_dup for r in dedup_incremental_new_batch(spark, sf_dir).collect()
+    }
+    for i in expected_dups:
+        assert got[i], f"exact copy {i} not flagged against the corpus index"
