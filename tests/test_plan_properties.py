@@ -670,3 +670,46 @@ def test_key_skew_report_uses_topk_heap(spark, sf_dir):
 def test_bfs_frontier_is_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_bfs_levels")
     assert "CartesianProduct" not in plan
+
+
+def test_nested_schema_pruning(spark, sf_dir, tmp_path):
+    """Catalyst prunes STRUCT fields at the scan: selecting one nested
+    field from a struct column must put only that subfield in ReadSchema
+    — at 100 TB wide nested schemas, reading whole structs for one leaf
+    is the difference between a column scan and a table scan."""
+    out = str(tmp_path / "nested")
+    spark.sql(
+        "SELECT id, named_struct('a', id * 2, 'b', CAST(id AS STRING), "
+        "'c', id % 7) AS s FROM range(1000)"
+    ).write.parquet(out)
+    df = spark.read.parquet(out).select("s.b")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "b:string" in read_schema
+    assert "a:" not in read_schema and "c:" not in read_schema
+
+
+def test_constant_folding_in_plan(spark, sf_dir):
+    """1 + 2 * 3 never survives to the physical plan — Catalyst folds
+    constants at optimization time."""
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir).selectExpr(
+        "revenue + (1 + 2 * 3) AS shifted"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the folded +7 is absorbed into the final aggregate's result
+    # expression; what must NOT survive is the unfolded arithmetic
+    assert "2 * 3" not in plan and "(1 + " not in plan
+
+
+def test_tautology_filter_eliminated(spark, sf_dir):
+    """`WHERE x > 5 AND true AND 1 = 1` simplifies to the bare predicate
+    — no literal-true conjuncts reach the physical Filter."""
+    from pyspark.sql import functions as F
+
+    from datafusion_nats_spark.tables import load
+
+    df = load(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") > 5) & F.lit(True) & (F.lit(1) == F.lit(1))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "true" not in plan.split("Filter")[1][:120].lower()
