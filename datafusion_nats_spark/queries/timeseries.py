@@ -914,3 +914,49 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(mins, 0.5)"), 6).alias("med_minutes"),
         F.round(F.expr("percentile(mins, 0.9)"), 6).alias("p90_minutes"),
     )
+
+
+@query(
+    "timeseries_seasonality_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(month(o_orderdate) AS INTEGER) AS m,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    ), base AS (
+      SELECT sum(rev) AS tot_rev, sum(n) AS tot_n FROM monthly
+    )
+    SELECT m.m AS month,
+           CAST(m.n AS BIGINT) AS n_orders,
+           CAST(round(m.rev, 2) AS DOUBLE) AS revenue,
+           round((CAST(m.rev AS DOUBLE) / m.n)
+                 / (CAST(b.tot_rev AS DOUBLE) / b.tot_n), 6) AS seasonal_index
+    FROM monthly m, base b
+    """,
+    doc="Multiplicative seasonality index: month-of-year average order "
+    "value relative to the overall average (index > 1 = seasonally "
+    "strong month). The corpus collapses to 12 rows in the first "
+    "aggregate (exact decimal money sums); the global base is a 1-row "
+    "broadcast. The classical ratio-to-moving-average first step of "
+    "seasonal decomposition, kept exactly SQL-twin-able.",
+)
+def timeseries_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.month("o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    base = monthly.agg(
+        F.sum("rev").alias("tot_rev"), F.sum("n_orders").alias("tot_n")
+    )
+    return monthly.crossJoin(F.broadcast(base)).select(
+        "month",
+        "n_orders",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev").cast("double") / F.col("n_orders"))
+            / (F.col("tot_rev").cast("double") / F.col("tot_n")),
+            6,
+        ).alias("seasonal_index"),
+    )
