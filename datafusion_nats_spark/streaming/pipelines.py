@@ -509,3 +509,71 @@ def incremental_dedup_apply(index_base: str, results_dir: str):
         banded.unpersist()
 
     return apply
+
+
+@query(
+    "stream_ewma_stateful",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*)   OVER (PARTITION BY user_id)    AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(sum(value * CASE WHEN rn = 1 THEN pow(0.5, n - 1)
+                                  ELSE pow(0.5, n - rn + 1) END), 6)
+             AS ewma_final
+    FROM seq
+    GROUP BY user_id
+    """,
+    doc="TRUE infinite-impulse EWMA as a custom stateful streaming "
+    "operator (applyInPandasWithState): per-user state carries "
+    "(count, ewma) across micro-batches and folds e_k = a*x_k + "
+    "(1-a)*e_{k-1} with a=0.5 (all weights dyadic). The oracle is the "
+    "closed form — w_1 = 0.5^(n-1), w_k = 0.5^(n-k+1) — over the full "
+    "event-time order, which the operator reproduces because it sorts "
+    "each group's rows by (ts, event_id) before folding (single-batch "
+    "regime here; at scale, in-order delivery per key comes from the "
+    "log's per-partition ordering, the standard Kafka/NATS contract). "
+    "Complements timeseries_ewma_smooth (finite-impulse, batch): this "
+    "one never truncates the history and its state is O(1) per key.",
+)
+def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = _stream_events(spark, sf_dir)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, ewma = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                v = float(v)
+                ewma = v if n == 0 else 0.5 * v + 0.5 * ewma
+                n += 1
+        state.update((n, ewma))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_final": [round(ewma, 6)],
+            }
+        )
+
+    out = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, ewma_final double",
+            stateStructType="n long, ewma double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_completion(out, "update")
