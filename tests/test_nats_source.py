@@ -773,3 +773,96 @@ def test_subject_column_routed_write_then_wildcard_read(spark, broker):
         (2, "b", "route.eu", 0),
         (3, "c", "route.us", 1),
     ]
+
+
+def test_streaming_curation_loop_nats_to_nats(spark, broker, tmp_path):
+    """Flagship end-to-end loop: documents stream in over NATS, each
+    micro-batch is CURATED in-flight (quality gate: >= 4 tokens; exact
+    dedup within and across batches via a seen-keys log), survivors
+    publish to an output subject, and the output subject reads back with
+    exactly the curated corpus. The reference can only SELECT from its
+    stream (SURVEY §3.1); this is the full ingest→transform→re-publish
+    loop with the mandated curation operators in the hot path."""
+    from pyspark.sql import types as T
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), False),
+        ]
+    )
+    seen_dir = str(tmp_path / "seen_keys")
+    spark.createDataFrame([], "ck string").write.parquet(seen_dir + "0")
+    state = {"ver": 0}
+
+    def curate(batch_df, epoch_id):
+        from pyspark.sql import functions as F
+
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        quality = batch_df.filter(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 4
+        )
+        keyed = quality.withColumn(
+            "ck",
+            F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")),
+        )
+        # within-batch dedup (keep min doc_id), then cross-batch anti-join
+        from pyspark.sql import Window as W
+
+        wk = W.partitionBy("ck").orderBy("doc_id")
+        first = keyed.withColumn("rn", F.row_number().over(wk)).filter(
+            F.col("rn") == 1
+        )
+        seen = sp.read.parquet(seen_dir + str(state["ver"]))
+        fresh = first.join(seen, "ck", "left_anti")
+        (
+            fresh.selectExpr("doc_id", "text")
+            .write.format("nats")
+            .mode("append")
+            .option("url", "memory://test")
+            .option("subject", "curated_out")
+            .save()
+        )
+        seen.unionByName(fresh.select("ck")).write.mode("overwrite").parquet(
+            seen_dir + str(state["ver"] + 1)
+        )
+        state["ver"] += 1
+
+    msgs = [
+        b"1,alpha beta gamma delta",      # keeps
+        b"2,too short",                   # quality-dropped (2 tokens)
+        b"3,alpha beta gamma delta",      # dup of 1 (same batch or later)
+        b"4,epsilon zeta eta theta",      # keeps
+        b"5,epsilon zeta eta theta",      # dup of 4 across batches
+        b"6,iota kappa lambda mu nu",     # keeps
+    ]
+    for p in msgs:
+        broker.publish("curate_in", p)
+
+    q = (
+        spark.readStream.format("nats")
+        .schema(doc_schema)
+        .option("url", "memory://test")
+        .option("subject", "curate_in")
+        .option("maxMessagesPerBatch", "2")
+        .load()
+        .writeStream.foreachBatch(curate)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = (
+        spark.read.format("nats")
+        .schema(doc_schema)
+        .option("url", "memory://test")
+        .option("subject", "curated_out")
+        .load()
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [1, 4, 6]
+    broker.clear("curated_out")
