@@ -225,8 +225,8 @@ _REFRESH_CUTOFF = "1997-01-01"  # orders on/after this date are the "new" load
            CAST(count(*) AS BIGINT)           AS n_orders,
            CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
                 AS DOUBLE)                    AS revenue,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(*), 6)               AS avg_price
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                * 10000 // count(*) AS BIGINT) AS avg_price_micros
     FROM orders
     GROUP BY 1
     """,
@@ -265,9 +265,13 @@ def maintenance_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> Dat
         "order_date",
         "n_orders",
         F.round("rev_sum", 2).cast("double").alias("revenue"),
-        F.round(
-            F.col("rev_sum").cast("double") / F.col("n_orders").cast("double"), 6
-        ).alias("avg_price"),
+        # integer micro-units, not a rounded double: at sf0.1 the exact
+        # quotient hit a .xxxxxx5 half-way value and Spark (half-up) and
+        # DuckDB (half-even) rounded it APART — floor integer division of
+        # exact cents*10^4 is engine-exact at every scale
+        F.expr(
+            "CAST(rev_sum * 100 AS BIGINT) * CAST(10000 AS BIGINT) div n_orders"
+        ).alias("avg_price_micros"),
     )
 
 
