@@ -363,7 +363,8 @@ def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
            win_start + INTERVAL 1 HOUR AS win_end,
            event_type,
            count(*)             AS n,
-           round(avg(value), 6) AS avg_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                * 10000 // count(*) AS BIGINT) AS avg_micros
     FROM exploded
     GROUP BY win_start, event_type
     """,
@@ -378,13 +379,22 @@ def window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        # avg as exact integer micro-units (values are exactly 2-decimal):
+        # a rounded-double avg over power-of-two counts lands on .xxxxxx5
+        # half-way values that Spark (half-up) and DuckDB (half-even)
+        # round apart — same fix as maintenance_incremental_agg_refresh
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("vsum"),
+        )
         .select(
             F.col("window.start").alias("win_start"),
             F.col("window.end").alias("win_end"),
             "event_type",
             "n",
-            "avg_value",
+            F.expr(
+                "CAST(vsum * 100 AS BIGINT) * CAST(10000 AS BIGINT) div n"
+            ).alias("avg_micros"),
         )
     )
 
