@@ -970,3 +970,51 @@ def timeseries_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "timeseries_wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT wk,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE)
+                 / nullif(CAST(lag(rev) OVER (ORDER BY wk) AS DOUBLE), 0)
+                 - 1, 6) AS wow_growth
+    FROM weekly
+    """,
+    doc="Week-over-week growth: weekly revenue rollup (exact decimal "
+    "sums) with lag-ratio growth rates. The corpus collapses to "
+    "|weeks| rows in the first aggregate, so the ordered lag window "
+    "runs over a few hundred rows regardless of fact size — the "
+    "single-partition window is bounded by construction, not by data. "
+    "The growth ratio divides as double AFTER the exact sums (a ratio "
+    "of two large decimals is generically irrational — no half-way "
+    "boundary class here, unlike count-divided averages).",
+)
+def timeseries_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("wk")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = W.orderBy("wk")
+    return weekly.select(
+        "wk",
+        "n_orders",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.nullif(F.lag("rev").over(w).cast("double"), F.lit(0))
+            - 1,
+            6,
+        ).alias("wow_growth"),
+    )
