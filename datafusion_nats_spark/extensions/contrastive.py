@@ -35,6 +35,8 @@ from datafusion_nats_spark.extensions.ml_variants import (
     _DOT_DUCK,
     _NORM_DUCK,
     LLOYD_ITERS,
+    _dot,
+    _norm,
     lloyd_assignments,
     lloyd_cte_prefix,
 )
@@ -114,13 +116,9 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def cos(a, b):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-        )
-        nrm = lambda v: F.sqrt(  # noqa: E731
-            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-        )
-        return F.round(dot / (nrm(a) * nrm(b)), 6)
+        # shared fold from ml_variants — one implementation for every
+        # cosine operator keeps the oracle-parity arithmetic in one place
+        return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
 
     # positive: best same-label candidate (label-blocked equi-join)
     wpos = W.partitionBy("anchor_id").orderBy(F.desc("pos_cos"), "pos_id")

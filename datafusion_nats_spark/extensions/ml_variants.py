@@ -264,6 +264,9 @@ def _assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+_LLOYD_CACHE: dict = {}
+
+
 def lloyd_assignments(
     spark: SparkSession, sf_dir: str, k: int = K_CELLS, iters: int = LLOYD_ITERS
 ) -> tuple[DataFrame, DataFrame]:
@@ -271,7 +274,16 @@ def lloyd_assignments(
     assign/recompute rounds, then the final assignment under the
     converged codebook. Returns ``(assigned, cent)`` where ``assigned``
     is the persisted (vec_id, emb, cell) frame and ``cent`` the K-row
-    codebook (localCheckpointed — K rows, lineage truncated)."""
+    codebook (localCheckpointed — K rows, lineage truncated).
+
+    Memoized per (session, sf_dir, k, iters): the shared codebook feeds
+    kmeans-IVF, SemDeDup, the embedding pipeline, and hard-negative
+    mining — without the cache each caller would persist its own copy of
+    the assignment frame (storage-memory growth over a suite run) and
+    redo the seeding/iteration compute."""
+    key = (id(spark), sf_dir, k, iters)
+    if key in _LLOYD_CACHE:
+        return _LLOYD_CACHE[key]
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
@@ -290,6 +302,7 @@ def lloyd_assignments(
         assigned = _assign_cells(e, cent)
         cent = _mean_centroids(assigned).localCheckpoint()  # K rows; truncates lineage
     assigned = _assign_cells(e, cent).persist()  # final cells feed downstream joins
+    _LLOYD_CACHE[key] = (assigned, cent)
     return assigned, cent
 
 

@@ -87,7 +87,10 @@ def _read_value(buf: io.BytesIO, ftype) -> object:
     if ftype == "null":
         return None
     if ftype == "boolean":
-        return buf.read(1) == b"\x01"
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated boolean")
+        return b == b"\x01"
     if ftype in ("int", "long"):
         return _read_varint(buf)
     if ftype == "float":
@@ -151,30 +154,43 @@ def _read_header(buf: io.BytesIO) -> tuple[dict, bytes, dict]:
     return schema, sync, meta
 
 
-def read_avro_file(path: str):
-    """Yield one tuple per record, in record-field order (executor-side)."""
+def read_avro_file(path: str, expect_fields: list[str] | None = None):
+    """Yield one tuple per record, in record-field order (executor-side).
+
+    Streams block-by-block from the open file handle — the OCF format is
+    block-structured precisely so a reader never needs the whole file in
+    memory (only one decompressed block at a time). ``expect_fields``
+    guards multi-file scans: each file's embedded field names must match
+    the scan schema's order exactly, otherwise positionally-decoded
+    values would land in the wrong columns silently.
+    """
     with open(path, "rb") as f:
-        buf = io.BytesIO(f.read())
-    schema, sync, meta = _read_header(buf)
-    codec = meta.get("avro.codec", b"null").decode("utf-8")
-    ftypes = [fld["type"] for fld in schema["fields"]]
-    while True:
-        head = buf.read(1)
-        if not head:
-            break
-        buf.seek(-1, io.SEEK_CUR)
-        n_records = _read_varint(buf)
-        n_bytes = _read_varint(buf)
-        block = buf.read(n_bytes)
-        if codec == "deflate":
-            block = zlib.decompress(block, -15)  # raw deflate per spec
-        elif codec != "null":
-            raise ValueError(f"unsupported avro codec: {codec}")
-        if buf.read(16) != sync:
-            raise ValueError("sync marker mismatch (corrupt block)")
-        bbuf = io.BytesIO(block)
-        for _ in range(n_records):
-            yield tuple(_read_value(bbuf, t) for t in ftypes)
+        schema, sync, meta = _read_header(f)
+        names = [fld["name"] for fld in schema["fields"]]
+        if expect_fields is not None and names != list(expect_fields):
+            raise ValueError(
+                f"avro schema drift in {path}: file fields {names} != "
+                f"scan schema fields {list(expect_fields)}"
+            )
+        codec = meta.get("avro.codec", b"null").decode("utf-8")
+        ftypes = [fld["type"] for fld in schema["fields"]]
+        while True:
+            head = f.read(1)
+            if not head:
+                break
+            f.seek(-1, io.SEEK_CUR)
+            n_records = _read_varint(f)
+            n_bytes = _read_varint(f)
+            block = f.read(n_bytes)
+            if codec == "deflate":
+                block = zlib.decompress(block, -15)  # raw deflate per spec
+            elif codec != "null":
+                raise ValueError(f"unsupported avro codec: {codec}")
+            if f.read(16) != sync:
+                raise ValueError("sync marker mismatch (corrupt block)")
+            bbuf = io.BytesIO(block)
+            for _ in range(n_records):
+                yield tuple(_read_value(bbuf, t) for t in ftypes)
 
 
 def write_avro_file(
@@ -238,11 +254,21 @@ class _AvroFilePartition(InputPartition):
 
 
 def _list_files(path: str) -> list[str]:
+    if "://" in path:
+        raise ValueError(
+            "the pyavro source reads local filesystem paths only "
+            f"(got {path!r}); copy remote objects down or mount them — "
+            "the decoder itself is location-agnostic"
+        )
     if os.path.isdir(path):
-        return sorted(_glob.glob(os.path.join(path, "*.avro")))
-    if any(c in path for c in "*?["):
-        return sorted(_glob.glob(path))
-    return [path]
+        files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    elif any(c in path for c in "*?["):
+        files = sorted(_glob.glob(path))
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"no avro files at {path}")
+    return files
 
 
 class AvroReader(DataSourceReader):
@@ -251,9 +277,8 @@ class AvroReader(DataSourceReader):
         if not path:
             raise ValueError("pyavro source requires a path: .load('/data/x.avro')")
         self.files = _list_files(path)
-        if not self.files:
-            raise ValueError(f"no avro files at {path}")
         self.schema = schema
+        self.field_names = [f.name for f in schema.fields]
 
     def partitions(self):
         # one partition per file: an OCF split cannot cross a sync marker
@@ -261,7 +286,7 @@ class AvroReader(DataSourceReader):
         return [_AvroFilePartition(p) for p in self.files]
 
     def read(self, partition: _AvroFilePartition):
-        yield from read_avro_file(partition.path)
+        yield from read_avro_file(partition.path, expect_fields=self.field_names)
 
 
 class AvroDataSource(DataSource):
@@ -279,9 +304,10 @@ class AvroDataSource(DataSource):
             raise ValueError("pyavro source requires a path")
         first = _list_files(path)[0]
         with open(first, "rb") as f:
-            # header is tiny; 64 KiB covers any sane schema
-            buf = io.BytesIO(f.read(65536))
-        schema, _, _ = _read_header(buf)
+            # _read_header consumes only the header bytes; handing it the
+            # open handle avoids both slurping the file and truncating
+            # oversized schema metadata
+            schema, _, _ = _read_header(f)
         return avro_to_spark_schema(schema)
 
     def reader(self, schema: T.StructType) -> AvroReader:

@@ -524,3 +524,29 @@ def test_ddl_options_forwarding_canary(spark):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS ddl_probe_t")
+
+
+def test_pyavro_schema_drift_across_files_fails_loudly(spark, tmp_path):
+    """Two files whose field ORDER differs must raise a schema-drift
+    error, never silently map values into the wrong columns."""
+    import pytest
+
+    from datafusion_nats_spark.sources.avro_source import (
+        register_avro,
+        write_avro_file,
+    )
+
+    d = tmp_path / "drift"
+    d.mkdir()
+
+    def schema(fields):
+        return {"type": "record", "name": "r",
+                "fields": [{"name": n, "type": "long"} for n in fields]}
+
+    write_avro_file(str(d / "a.avro"), schema(["id", "total", "qty"]),
+                    [(1, 10, 2)])
+    write_avro_file(str(d / "b.avro"), schema(["id", "qty", "total"]),
+                    [(2, 3, 20)])
+    register_avro(spark)
+    with pytest.raises(Exception, match="schema drift"):
+        spark.read.format("pyavro").load(str(d)).collect()
