@@ -1018,3 +1018,60 @@ def timeseries_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wow_growth"),
     )
+
+
+@query(
+    "events_pareto_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), thresh AS (
+      SELECT quantile_cont(n, 0.9) AS p90 FROM per_user
+    )
+    SELECT CAST(count(*) AS BIGINT)                          AS n_users,
+           CAST(sum(u.n) AS BIGINT)                          AS n_events,
+           round(t.p90, 6)                                   AS p90_events,
+           CAST(sum(CASE WHEN u.n > t.p90 THEN 1 ELSE 0 END)
+                AS BIGINT)                                   AS n_heavy_users,
+           round(CAST(sum(CASE WHEN u.n > t.p90 THEN u.n ELSE 0 END)
+                      AS DOUBLE) / sum(u.n), 6)              AS heavy_share
+    FROM per_user u, thresh t
+    GROUP BY t.p90
+    """,
+    doc="Pareto concentration (the 80/20 engagement report): how much of "
+    "total event volume the above-p90 heavy users generate. "
+    "Deliberately computed WITHOUT a global rank/cumulative window — a "
+    "percentile threshold from a tiny aggregate replaces the "
+    "single-partition sort over |users| rows that the naive cumulative-"
+    "share formulation needs, so the shape survives any user count. "
+    "Strict > on the threshold keeps the boundary group out of the "
+    "heavy set deterministically in both engines.",
+)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    thresh = per_user.agg(F.expr("percentile(n, 0.9)").alias("p90"))
+    heavy = F.when(F.col("n") > F.col("p90"), 1).otherwise(0)
+    return (
+        per_user.crossJoin(F.broadcast(thresh))
+        .groupBy("p90")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("n_events"),
+            F.sum(heavy).alias("n_heavy_users"),
+            F.round(
+                F.sum(F.when(F.col("n") > F.col("p90"), F.col("n")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("n"),
+                6,
+            ).alias("heavy_share"),
+        )
+        .select(
+            "n_users",
+            "n_events",
+            F.round("p90", 6).alias("p90_events"),
+            "n_heavy_users",
+            "heavy_share",
+        )
+    )
