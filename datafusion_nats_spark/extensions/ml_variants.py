@@ -280,10 +280,17 @@ def lloyd_assignments(
     kmeans-IVF, SemDeDup, the embedding pipeline, and hard-negative
     mining — without the cache each caller would persist its own copy of
     the assignment frame (storage-memory growth over a suite run) and
-    redo the seeding/iteration compute."""
-    key = (id(spark), sf_dir, k, iters)
+    redo the seeding/iteration compute. Keyed on applicationId (unique
+    per SparkContext, unlike ``id(spark)`` which CPython can reuse after
+    GC); entries from any other application are evicted on miss so a
+    session restart never resurrects DataFrames bound to a stopped
+    context."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, k, iters)
     if key in _LLOYD_CACHE:
         return _LLOYD_CACHE[key]
+    for stale in [k2 for k2 in _LLOYD_CACHE if k2[0] != app_id]:
+        del _LLOYD_CACHE[stale]
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from datafusion_nats_spark.queries.scale_patterns import segmented_ntile
 from datafusion_nats_spark.registry import query
 from datafusion_nats_spark.tables import load, register_views
 
@@ -700,9 +701,13 @@ def curation_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="RFM customer segmentation: per-customer recency (days since "
     "last order vs corpus max date), order frequency, and exact-decimal "
     "monetary total, quartile-scored with (value, custkey) total orders "
-    "and aggregated to segment counts. The quartile windows run over the "
-    "customer relation (dimension-sized); at true scale the same scores "
-    "come from approx-quantile edges broadcast as a 3-row table.",
+    "and aggregated to segment counts. Each quartile score is an EXACT "
+    "ntile(4) computed via segmented_ntile (scale_patterns.py): rows "
+    "bucket by a monotone coarsening of the sort key (recency days, "
+    "-frequency, -$1000 monetary band), rank with a PARTITIONED "
+    "row_number per bucket, and add the broadcast per-bucket carry-in "
+    "counts — bit-identical to the oracle's global ntile windows, but "
+    "no single reducer ever sorts the whole customer relation.",
 )
 def mba_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -722,13 +727,18 @@ def mba_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = cust.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(4).over(W.orderBy("recency", "o_custkey")).alias("r_score"),
-        F.ntile(4).over(W.orderBy(F.desc("frequency"), "o_custkey")).alias("f_score"),
-        F.ntile(4).over(W.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
-    )
+    scored = cust
+    for bucket, order, out in [
+        (F.col("recency").cast("bigint"), [F.asc("recency"), F.asc("o_custkey")], "r_score"),
+        (-F.col("frequency"), [F.desc("frequency"), F.asc("o_custkey")], "f_score"),
+        (
+            -F.floor(F.col("monetary") / 1000).cast("bigint"),
+            [F.desc("monetary"), F.asc("o_custkey")],
+            "m_score",
+        ),
+    ]:
+        scored = segmented_ntile(scored, bucket, order, out)
+    scored = scored.select("o_custkey", "monetary", "r_score", "f_score", "m_score")
     # the segment total stays in exact decimal until the final cast —
     # an avg would divide in double and can straddle a round-half
     # boundary differently per engine (Spark rounds the shortest decimal

@@ -136,7 +136,8 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_distinct",
     oracle="""
     SELECT l_returnflag,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT)    AS approx_suppliers,
+           CAST(count(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT)
+                                                        AS approx_ship_months,
            CAST(count(DISTINCT l_linestatus) AS BIGINT) AS approx_statuses
     FROM lineitem
     GROUP BY l_returnflag
@@ -145,18 +146,22 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "EXACT regime (reference analogue: DataFusion approx_distinct). At "
     "rsd=0.005 the register array has m=2^16 cells and the estimator "
     "takes the linear-counting branch; for n distinct << sqrt(m) the "
-    "rounded estimate equals the exact count (empirically exact at the "
-    "correctness SFs 0.001/0.01, whose supplier key space is <=100; at "
-    "sf0.1's 1000 suppliers the estimate drifts by a few counts — the "
-    "documented approximate behavior), so the exact count(DISTINCT) is "
-    "a valid oracle at the driver's correctness SF. At 100 TB "
-    "cardinalities the same query returns ~0.5%-error estimates — the "
-    "scale/accuracy trade the operator exists for.",
+    "rounded estimate equals the exact count. The estimated keys are "
+    "CALENDAR-BOUNDED — distinct ship months (<=84, fixed by the "
+    "TPC-H date range) and line statuses (3) — so the exact regime "
+    "holds at ANY scale factor, not just the driver's correctness SFs "
+    "(verified exact at sf0.001/0.01/0.1; an earlier supplier-key "
+    "variant drifted at sf0.1's 1000 suppliers). The high-cardinality "
+    "~0.5%-error regime — the scale/accuracy trade the operator exists "
+    "for — is exercised by pytest on an unbounded key instead, where "
+    "an exact oracle is the wrong contract.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey", 0.005).alias("approx_suppliers"),
+        F.approx_count_distinct(F.trunc("l_shipdate", "month"), 0.005).alias(
+            "approx_ship_months"
+        ),
         F.approx_count_distinct("l_linestatus", 0.005).alias("approx_statuses"),
     )
 
@@ -912,11 +917,11 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Miscellaneous-aggregate battery: count_if (SQL:2023 conditional "
     "count), any_value pinned to its deterministic min witness (raw "
     "any_value is legitimately nondeterministic, so the query asserts "
-    "the determinism-safe usage), listagg/string_agg over DISTINCT "
-    "values with explicit ORDER (Spark 4's listagg ties to DuckDB's "
-    "string_agg), and a FILTERed sum. All partial/final hash "
-    "aggregates; the DISTINCT listagg expands per group only over the "
-    "3-value status domain.",
+    "the determinism-safe usage), a DISTINCT count, and a FILTERed sum. "
+    "All partial/final hash aggregates. The ordered-DISTINCT listagg "
+    "lives in its own query, agg_listagg_ordered — Spark 4.1 "
+    "ClassCastExceptions when it shares a SELECT with other "
+    "distinct/filtered aggregates.",
 )
 def agg_misc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)

@@ -325,3 +325,63 @@ def report_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_n",
         "p99_n",
     )
+
+
+def segmented_ntile(
+    df: DataFrame,
+    bucket_expr,
+    order_cols: list,
+    out_name: str,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """EXACT ``ntile(n)`` over a total order without a single-partition
+    global sort — the segmented-rank pattern.
+
+    ``bucket_expr`` must be a coarsening of the sort order (bucket(a) <
+    bucket(b) implies a sorts before b); rows then rank with a PARTITIONED
+    ``row_number`` within their bucket, the cumulative count of all prior
+    buckets (a tiny per-bucket aggregate) broadcasts back as the carry-in,
+    and the global rank ``carry + row_number`` feeds the closed-form ntile
+    bucket formula: the first ``N % n`` tiles hold ``N div n + 1`` rows,
+    the rest ``N div n``. Identical output to ``ntile(n) OVER (ORDER BY
+    ...)`` (integer ``div`` arithmetic end-to-end), but NO stage ever
+    funnels the relation through one partition: the carry-in prefix is a
+    broadcast theta-join over the per-bucket counts (O(|buckets|^2)
+    comparisons on a relation that is bounded by construction — choose a
+    bucket granularity with at most a few thousand distinct values).
+    """
+    from pyspark.sql import Window as W
+
+    d = df.withColumn("_bkt", bucket_expr)
+    counts = d.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bn"))
+    carry = (
+        counts.join(
+            F.broadcast(
+                counts.select(
+                    F.col("_bkt").alias("_pb"), F.col("_bn").alias("_pn")
+                )
+            ),
+            F.col("_pb") < F.col("_bkt"),
+            "left",
+        )
+        .groupBy("_bkt")
+        .agg(F.coalesce(F.sum("_pn"), F.lit(0)).alias("_carry"))
+    )
+    total = counts.agg(F.sum("_bn").alias("_N"))
+    rn = F.row_number().over(W.partitionBy("_bkt").orderBy(*order_cols))
+    n = n_tiles
+    return (
+        d.join(F.broadcast(carry), "_bkt")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_r", F.col("_carry") + rn)
+        .withColumn(
+            out_name,
+            F.expr(
+                f"CAST(CASE WHEN _r <= (_N % {n}) * ((_N div {n}) + 1) "
+                f"THEN (_r - 1) div ((_N div {n}) + 1) + 1 "
+                f"ELSE (_N % {n}) + (_r - (_N % {n}) * ((_N div {n}) + 1) - 1) "
+                f"div (_N div {n}) + 1 END AS INT)"
+            ),
+        )
+        .drop("_bkt", "_carry", "_N", "_r")
+    )

@@ -821,11 +821,13 @@ def timeseries_daily_count_spikes(spark: SparkSession, sf_dir: str) -> DataFrame
     "concurrency at every change point. The scale story is WHY this "
     "pattern exists: the naive form (join every timestamp against every "
     "overlapping interval) is an interval theta-join that degenerates "
-    "quadratically; the sweep line is two narrow aggregates + one "
-    "ordered prefix sum over |2×sessions| rows. The final global "
-    "running sum is the one intentionally-serial stage — its input is "
-    "the collapsed change-point curve (tiny), and at extreme scale it "
-    "range-partitions with per-partition offsets (documented trade).",
+    "quadratically; the sweep line is two narrow aggregates + a "
+    "SEGMENTED prefix sum over |2×sessions| rows: per-day partitioned "
+    "running sums, then the per-day carry-in offsets (a |days|-row "
+    "aggregate — calendar-bounded at any corpus size) derived by a "
+    "broadcast theta-join and added back. No stage funnels the "
+    "change-point curve through a single partition and the plan "
+    "contains no unpartitioned window at all.",
 )
 def timeseries_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -856,10 +858,30 @@ def timeseries_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFr
     deltas = sess.select(F.col("t_start").alias("t"), F.lit(1).alias("delta")).unionAll(
         sess.select(F.col("t_end").alias("t"), F.lit(-1).alias("delta"))
     )
-    curve = deltas.groupBy("t").agg(F.sum("delta").alias("net"))
-    wt = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
-    return curve.select(
-        "t", F.sum("net").over(wt).cast("bigint").alias("concurrent_sessions")
+    curve = deltas.groupBy("t").agg(F.sum("delta").alias("net")).withColumn(
+        "bucket", F.to_date("t")
+    )
+    # segmented prefix sum: partitioned running sums within each day...
+    wday = W.partitionBy("bucket").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    within = curve.select("bucket", "t", F.sum("net").over(wday).alias("run_in"))
+    # ...plus the carry-in from all prior days: a broadcast theta-join
+    # over the AGGREGATED per-day totals (|days| rows, calendar-bounded)
+    # — no unpartitioned window anywhere in the plan
+    day = curve.groupBy("bucket").agg(F.sum("net").alias("day_net"))
+    carry = (
+        day.join(
+            F.broadcast(
+                day.select(F.col("bucket").alias("_pb"), F.col("day_net").alias("_pn"))
+            ),
+            F.col("_pb") < F.col("bucket"),
+            "left",
+        )
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("_pn"), F.lit(0)).alias("carry"))
+    )
+    return within.join(F.broadcast(carry), "bucket").select(
+        "t",
+        (F.col("run_in") + F.col("carry")).cast("bigint").alias("concurrent_sessions"),
     )
 
 

@@ -154,15 +154,22 @@ def _read_header(buf: io.BytesIO) -> tuple[dict, bytes, dict]:
     return schema, sync, meta
 
 
-def read_avro_file(path: str, expect_fields: list[str] | None = None):
+def read_avro_file(
+    path: str,
+    expect_fields: list[str] | None = None,
+    expect_schema: T.StructType | None = None,
+):
     """Yield one tuple per record, in record-field order (executor-side).
 
     Streams block-by-block from the open file handle — the OCF format is
     block-structured precisely so a reader never needs the whole file in
-    memory (only one decompressed block at a time). ``expect_fields``
-    guards multi-file scans: each file's embedded field names must match
-    the scan schema's order exactly, otherwise positionally-decoded
-    values would land in the wrong columns silently.
+    memory (only one decompressed block at a time). ``expect_fields`` /
+    ``expect_schema`` guard multi-file scans: each file's embedded field
+    names (and, with ``expect_schema``, their mapped Spark types) must
+    match the scan schema's order exactly, otherwise positionally-decoded
+    values would land in the wrong columns — or the right column with a
+    silently wrong type (long decoded where the scan schema says double)
+    — without any loud failure.
     """
     with open(path, "rb") as f:
         schema, sync, meta = _read_header(f)
@@ -172,6 +179,14 @@ def read_avro_file(path: str, expect_fields: list[str] | None = None):
                 f"avro schema drift in {path}: file fields {names} != "
                 f"scan schema fields {list(expect_fields)}"
             )
+        if expect_schema is not None:
+            got = [(f.name, f.dataType) for f in avro_to_spark_schema(schema).fields]
+            want = [(f.name, f.dataType) for f in expect_schema.fields]
+            if got != want:
+                raise ValueError(
+                    f"avro schema drift in {path}: file schema {got} != "
+                    f"scan schema {want}"
+                )
         codec = meta.get("avro.codec", b"null").decode("utf-8")
         ftypes = [fld["type"] for fld in schema["fields"]]
         while True:
@@ -286,7 +301,11 @@ class AvroReader(DataSourceReader):
         return [_AvroFilePartition(p) for p in self.files]
 
     def read(self, partition: _AvroFilePartition):
-        yield from read_avro_file(partition.path, expect_fields=self.field_names)
+        yield from read_avro_file(
+            partition.path,
+            expect_fields=self.field_names,
+            expect_schema=self.schema,
+        )
 
 
 class AvroDataSource(DataSource):

@@ -21,6 +21,7 @@ admission like the reference's batch_size.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -454,6 +455,13 @@ def incremental_dedup_apply(index_base: str, results_dir: str):
     epoch rewrites its own outputs instead of double-applying) — the
     poor-man's atomic commit; Delta/Iceberg MERGE at production scale.
 
+    The index version is DERIVED FROM ``epoch_id`` (epoch ``e`` reads the
+    highest existing version ``<= e`` and writes version ``e + 1``), not
+    from in-memory state: a same-run epoch retry re-reads the same base
+    and rewrites the same target (no double-fold), and a streaming-query
+    restart resumes from the accumulated index instead of silently
+    probing version 0 again.
+
     Reference parity note: the reference streams rows from NATS into a SQL
     engine (executor.rs:80-132) but has no stateful operators at all; this
     is the mandated-extension surface composed with the A1 source.
@@ -463,7 +471,20 @@ def incremental_dedup_apply(index_base: str, results_dir: str):
         _shingles_spark,
     )
 
-    state = {"ver": 0}
+    def _base_version(at_most: int) -> int:
+        """Highest on-disk index version <= at_most (0 = the seed index,
+        written before the stream starts). Listing is one directory stat
+        of the index root — at production scale this is the storage-layer
+        twin of reading a Delta log's latest committed version."""
+        root = os.path.dirname(index_base) or "."
+        prefix = os.path.basename(index_base)
+        versions = [0]
+        for name in os.listdir(root):
+            if name.startswith(prefix) and name[len(prefix):].isdigit():
+                v = int(name[len(prefix):])
+                if v <= at_most:
+                    versions.append(v)
+        return max(versions)
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -475,7 +496,7 @@ def incremental_dedup_apply(index_base: str, results_dir: str):
         # micro-batches are far below the df-cap scale; in production the
         # index ships its banned-shingle list and it anti-joins here
         banded = _banded_signatures(shingled).persist()
-        index = sp.read.parquet(index_base + str(state["ver"]))
+        index = sp.read.parquet(index_base + str(_base_version(epoch_id)))
         coll = (
             banded.alias("n")
             .join(
@@ -503,9 +524,8 @@ def incremental_dedup_apply(index_base: str, results_dir: str):
         # per-epoch dir: replay overwrites, never double-applies
         verdicts.write.mode("overwrite").parquet(f"{results_dir}/epoch={epoch_id}")
         index.unionByName(banded).write.mode("overwrite").parquet(
-            index_base + str(state["ver"] + 1)
+            index_base + str(epoch_id + 1)
         )
-        state["ver"] += 1
         banded.unpersist()
 
     return apply

@@ -550,3 +550,29 @@ def test_pyavro_schema_drift_across_files_fails_loudly(spark, tmp_path):
     register_avro(spark)
     with pytest.raises(Exception, match="schema drift"):
         spark.read.format("pyavro").load(str(d)).collect()
+
+
+def test_pyavro_type_drift_across_files_fails_loudly(spark, tmp_path):
+    """Two files with IDENTICAL field names but different primitive types
+    (long vs double) must also raise schema drift — name-only matching
+    would decode the second file's doubles as misaligned longs."""
+    import pytest
+
+    from datafusion_nats_spark.sources.avro_source import (
+        register_avro,
+        write_avro_file,
+    )
+
+    d = tmp_path / "tdrift"
+    d.mkdir()
+
+    def schema(id_t, v_t):
+        return {"type": "record", "name": "r",
+                "fields": [{"name": "id", "type": id_t},
+                           {"name": "v", "type": v_t}]}
+
+    write_avro_file(str(d / "a.avro"), schema("long", "long"), [(1, 10)])
+    write_avro_file(str(d / "b.avro"), schema("long", "double"), [(2, 2.5)])
+    register_avro(spark)
+    with pytest.raises(Exception, match="schema drift"):
+        spark.read.format("pyavro").load(str(d)).collect()

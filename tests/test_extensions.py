@@ -518,3 +518,19 @@ def test_incremental_dedup_catches_planted_near_dup(spark, sf_dir, tmp_path):
     }
     for i in expected_dups:
         assert got[i], f"exact copy {i} not flagged against the corpus index"
+
+
+def test_approx_count_distinct_error_regime(spark, sf_dir):
+    """The high-cardinality HLL++ regime that agg_approx_distinct's
+    calendar-bounded keys deliberately avoid: on an unbounded key the
+    estimate lands within a few relative standard deviations of truth
+    but need not be exact — the scale/accuracy trade the operator
+    exists for, pinned here where an exact oracle is the wrong
+    contract."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    truth = li.select("l_orderkey").distinct().count()
+    est = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("e")
+    ).collect()[0]["e"]
+    assert est != 0
+    assert abs(est - truth) <= max(0.06 * truth, 1), (est, truth)

@@ -713,3 +713,111 @@ def test_tautology_filter_eliminated(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "true" not in plan.split("Filter")[1][:120].lower()
+
+
+# ---------------------------------------------------------------------------
+# registry-wide unpartitioned-window guard (VERDICT r2 #4)
+# ---------------------------------------------------------------------------
+
+# Queries allowed to keep an unpartitioned window over a NON-aggregated,
+# NON-limited input. Empty today: every global window in the registry runs
+# over an aggregated or top-k-limited (hence bounded) input. Add a name
+# here only with a written justification of why the input is provably
+# bounded at 100 TB.
+UNPARTITIONED_WINDOW_ALLOWLIST: set[str] = set()
+
+_BOUNDED = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+_PASS_THROUGH = {
+    "Project", "Filter", "Sort", "SubqueryAlias", "Window", "WindowGroupLimit",
+    "RepartitionByExpression", "Repartition", "WithCTE", "CTERelationRef",
+    "Distinct",
+}
+
+
+def _children(node):
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.length())]
+
+
+def _walk_logical(node):
+    yield node
+    for child in _children(node):
+        yield from _walk_logical(child)
+
+
+def _bounded_input(node) -> bool:
+    """A window input is provably bounded when, descending through
+    pass-through unary nodes, every branch terminates in an Aggregate or
+    a Limit — i.e. the rows reaching the single-partition sort are an
+    already-collapsed relation (per-group totals, a top-k head), not the
+    raw corpus."""
+    name = node.getClass().getSimpleName()
+    if name in _BOUNDED:
+        return True
+    if name in _PASS_THROUGH or name == "Join":
+        kids = _children(node)
+        return bool(kids) and all(_bounded_input(k) for k in kids)
+    return False
+
+
+def _unpartitioned_window_offenders(df) -> list[str]:
+    plan = df._jdf.queryExecution().optimizedPlan()
+    out = []
+    for node in _walk_logical(plan):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not _bounded_input(_children(node)[0])
+        ):
+            out.append(node.getClass().getSimpleName())
+    return out
+
+
+def test_walker_flags_global_window_over_raw_scan(spark, sf_dir):
+    """Negative control: the guard must actually catch the bad shape —
+    a global row_number over the raw fact table."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bad = li.withColumn("rn", F.row_number().over(W.orderBy("l_orderkey")))
+    assert _unpartitioned_window_offenders(bad)
+    # and the fixed shape (window over an aggregate) passes
+    good = (
+        li.groupBy("l_returnflag")
+        .count()
+        .withColumn("rn", F.row_number().over(W.orderBy("l_returnflag")))
+    )
+    assert not _unpartitioned_window_offenders(good)
+
+
+def test_registry_has_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+    """Walk every registered query's optimized logical plan: any Window
+    with an empty partition spec must sit over a provably bounded input
+    (aggregated or limited) — the shape that at 100 TB funnels the whole
+    relation through ONE reducer must never reappear (VERDICT r2: the
+    sweepline prefix sum and the RFM ntiles were exactly this, both now
+    segmented)."""
+    failures = {}
+    for name in sorted(QUERIES):
+        if name in UNPARTITIONED_WINDOW_ALLOWLIST:
+            continue
+        df = QUERIES[name](spark, sf_dir)
+        off = _unpartitioned_window_offenders(df)
+        if off:
+            failures[name] = off
+    assert not failures, f"single-partition window shapes: {failures}"
+
+
+def test_iterative_ops_bounded_plan_depth(spark, sf_dir):
+    """Iterative operators (k-center FPS, MMR rerank, BFS) must truncate
+    lineage per round (localCheckpoint) so the FINAL plan is constant-size
+    regardless of iteration count — mirroring
+    test_min_label_propagation_bounded_plan_depth. Without hygiene these
+    plans would nest one join per round and eventually blow the
+    optimizer."""
+    for name in ["curation_coreset_kcenter", "sim_mmr_rerank", "graph_bfs_levels"]:
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Join") <= 2, f"{name} lineage grew: {plan}"
+        assert len(plan.splitlines()) <= 12, f"{name} lineage grew: {plan}"

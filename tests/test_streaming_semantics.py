@@ -738,3 +738,44 @@ def test_streaming_incremental_dedup_accumulates_index(spark, broker, tmp_path):
     assert got[2] == (False, None)
     assert got[3] == (True, 2)     # caught against batch 1 via the accumulated index
     assert got[4] == (False, None)
+
+
+def test_incremental_dedup_epoch_versioning_restart(spark, tmp_path):
+    """Index versions derive from epoch_id, not closure state: a same-epoch
+    retry re-reads the same base version and REWRITES (not double-folds)
+    its target, and a restarted query — a fresh foreachBatch closure —
+    still probes the index accumulated before the restart."""
+    from datafusion_nats_spark.extensions.dedup import (
+        _banded_signatures,
+        _shingles_spark,
+    )
+    from datafusion_nats_spark.streaming.pipelines import incremental_dedup_apply
+
+    index_base = str(tmp_path / "idx_v")
+    results = str(tmp_path / "verdicts")
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id int, text string"
+    )
+    _banded_signatures(
+        corpus.select(
+            "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+        )
+    ).write.parquet(index_base + "0")
+
+    fresh = "totally fresh words arriving right now"
+    b1 = spark.createDataFrame([(1, fresh)], "doc_id int, text string")
+    b2 = spark.createDataFrame([(2, fresh)], "doc_id int, text string")
+
+    apply1 = incremental_dedup_apply(index_base, results)
+    apply1(b1, 0)
+    apply1(b1, 0)  # same-epoch retry: must rewrite v1 from v0, not fold twice
+    v1 = spark.read.parquet(index_base + "1")
+    assert v1.groupBy("doc_id", "band_id").count().filter("count > 1").count() == 0
+
+    apply2 = incremental_dedup_apply(index_base, results)  # restart: new closure
+    apply2(b2, 1)
+    got = {
+        r.doc_id: (r.is_dup, r.first_match)
+        for r in spark.read.parquet(results).collect()
+    }
+    assert got[2] == (True, 1)  # caught against the PRE-restart batch 1
