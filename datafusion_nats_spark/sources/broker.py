@@ -15,7 +15,13 @@ pluggable:
   replayable offsets; it models a JetStream-like durable subject.
 - ``nats-py`` (optional) — a real core-NATS client, import-gated because
   the package may be absent; delivers the reference's exact at-most-once
-  contract.
+  contract, plus the JetStream durable flavor.
+- ``nats_wire.MiniNatsClient`` — a pure-stdlib core-NATS wire client
+  (INFO/CONNECT/PING/PONG/PUB/SUB/MSG framing over a raw socket). The
+  automatic fallback for core-NATS drains when nats-py is absent, so the
+  reference's actual I/O path (src/nats_connection.rs:4-12) is
+  exercisable — and tested, against ``nats_wire.MiniNatsServer`` — in a
+  dependency-free environment.
 
 Messages are stored base64-line-encoded so arbitrary payload bytes are
 safe; O_APPEND single-line writes keep concurrent publishers atomic on
@@ -278,12 +284,12 @@ def nats_available() -> bool:
 def nats_server_reachable(
     url: str = "nats://localhost:4222", timeout_s: float = 0.25
 ) -> bool:
-    """True when nats-py is importable AND a broker accepts TCP connects
-    at ``url`` — the gate for the live-broker e2e test (the twin of the
-    reference's integration test, which requires a running server:
-    reference tests/integration_test.rs:14)."""
-    if not nats_available():
-        return False
+    """True when a broker accepts TCP connects at ``url`` — the gate for
+    the live-broker e2e test (the twin of the reference's integration
+    test, which requires a running server: reference
+    tests/integration_test.rs:14). nats-py is no longer required: the
+    stdlib wire client (nats_wire.py) drains core-NATS subjects on its
+    own."""
     import socket
     from urllib.parse import urlparse
 
@@ -301,11 +307,17 @@ def fetch_from_nats(url: str, subject: str, max_messages: int, timeout_ms: int) 
     """Bounded drain of a live core-NATS subject (at-most-once: messages
     published before this subscribe are lost, reference: executor.rs:94).
 
-    Import-gated: raises ImportError with guidance when nats-py is absent.
+    Uses nats-py when installed; otherwise falls back to the pure-stdlib
+    wire client — same subscribe-then-drain contract either way.
     """
     import asyncio
 
-    import nats  # may raise ImportError — callers surface it
+    try:
+        import nats
+    except ImportError:
+        from datafusion_nats_spark.sources.nats_wire import fetch_from_nats_stdlib
+
+        return fetch_from_nats_stdlib(url, subject, max_messages, timeout_ms)
 
     async def _drain() -> list[bytes]:
         client = await nats.connect(url)

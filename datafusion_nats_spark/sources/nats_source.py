@@ -187,7 +187,13 @@ class _OptionsMixin:
 
     @property
     def transport(self) -> str:
-        t = self._opt("transport", "memory")
+        """Defaults by URL scheme: a ``nats://`` URL is a live core-NATS
+        drain (the reference's one and only transport — at-most-once
+        subscribe, src/executor.rs:94), a ``memory://`` URL the local
+        replayable log. ``transport=jetstream`` opts a nats:// URL into
+        the durable offset-range contract instead."""
+        default = "nats" if self.url.startswith("nats://") else "memory"
+        t = self._opt("transport", default)
         if t not in ("memory", "nats", "jetstream"):
             raise CodecError(f"unknown transport: {t}")
         return t

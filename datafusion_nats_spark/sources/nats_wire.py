@@ -1,0 +1,455 @@
+"""Pure-stdlib core-NATS wire protocol: a minimal client and a loopback
+test server.
+
+The reference's defining I/O is a live core-NATS TCP socket
+(reference: src/nats_connection.rs:4-12 — async_nats ``connect`` +
+``subscribe``; src/executor.rs:94-132 — subscribe-then-drain into the
+engine). The optional ``nats-py`` dependency is absent in many
+environments, so this module speaks the protocol directly with nothing
+but ``socket``/``threading``/``json`` — the wire format is a tiny
+line-based dialect (https://docs.nats.io/reference/reference-protocols/nats-protocol):
+
+- server → client: ``INFO {json}``, ``MSG <subject> <sid> [reply] <#bytes>\\r\\n<payload>``,
+  ``PING``/``PONG``, ``+OK``, ``-ERR 'msg'``
+- client → server: ``CONNECT {json}``, ``PUB <subject> [reply] <#bytes>\\r\\n<payload>``,
+  ``SUB <subject> [queue] <sid>``, ``UNSUB <sid> [max]``, ``PING``/``PONG``
+
+``MiniNatsClient`` implements the subset the source needs (publish,
+subscribe, bounded drain, flush) and works against any real
+``nats-server``. ``MiniNatsServer`` implements the same subset from the
+server side — including ``*``/``>`` wildcard subscriptions and queue
+groups — so the live-broker golden e2e (the twin of reference
+tests/integration_test.rs:14-77) runs in environments with no broker
+installed. Core-NATS delivery semantics are preserved faithfully:
+at-most-once, no replay — a subscriber only sees messages published
+AFTER its SUB reaches the server (the property that breaks the
+reference's own publish-first integration test, SURVEY §4.1).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import threading
+from urllib.parse import urlparse
+
+from datafusion_nats_spark.sources.broker import subject_matches
+
+MAX_PAYLOAD = 1024 * 1024  # the nats-server default
+
+
+def parse_nats_url(url: str) -> tuple[str, int]:
+    p = urlparse(url)
+    if p.scheme not in ("nats", "tcp"):
+        raise ValueError(f"not a nats:// url: {url!r}")
+    return p.hostname or "127.0.0.1", p.port or 4222
+
+
+class NatsWireError(RuntimeError):
+    """Protocol-level failure (handshake, -ERR, truncated frame)."""
+
+
+class MiniNatsClient:
+    """Synchronous core-NATS client over one TCP socket.
+
+    A background reader thread parses server frames: MSG payloads land in
+    per-subscription queues, PONG completes ``flush()``, server PINGs are
+    answered inline (a client that never PONGs gets disconnected as a
+    stale connection). All writes are serialized by a lock so publishes
+    from multiple threads interleave at frame granularity.
+    """
+
+    def __init__(self, url: str, timeout_s: float = 5.0) -> None:
+        self.host, self.port = parse_nats_url(url)
+        self.timeout_s = timeout_s
+        self._sock: socket.socket | None = None
+        self._rfile = None
+        self._wlock = threading.Lock()
+        self._pong = threading.Event()
+        self._closed = threading.Event()
+        self._next_sid = 0
+        self._queues: dict[int, queue.Queue] = {}
+        self._reader: threading.Thread | None = None
+        self.server_info: dict = {}
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def connect(self) -> "MiniNatsClient":
+        self._sock = socket.create_connection(
+            (self.host, self.port), timeout=self.timeout_s
+        )
+        # the reader blocks on recv; a socket timeout would tear down idle
+        # subscriptions, so switch to blocking mode after connect
+        self._sock.settimeout(None)
+        self._rfile = self._sock.makefile("rb")
+        line = self._rfile.readline()
+        if not line.upper().startswith(b"INFO "):
+            raise NatsWireError(f"expected INFO, got {line[:80]!r}")
+        self.server_info = json.loads(line[5:].strip() or b"{}")
+        opts = {
+            "verbose": False,
+            "pedantic": False,
+            "tls_required": False,
+            "name": "datafusion-nats-spark-mini",
+            "lang": "python",
+            "version": "0.1",
+            "protocol": 0,
+        }
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+        self._send(b"CONNECT " + json.dumps(opts).encode() + b"\r\n")
+        self.flush()  # PING/PONG round trip completes the handshake
+        return self
+
+    def close(self) -> None:
+        self._closed.set()
+        try:
+            if self._sock is not None:
+                self._sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self) -> "MiniNatsClient":
+        return self.connect()
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- protocol ops -------------------------------------------------------
+
+    def _send(self, data: bytes) -> None:
+        if self._sock is None:
+            raise NatsWireError("not connected")
+        with self._wlock:
+            self._sock.sendall(data)
+
+    def flush(self, timeout_s: float | None = None) -> None:
+        """PING → PONG round trip: everything written before the PING has
+        been processed by the server when the PONG arrives."""
+        self._pong.clear()
+        self._send(b"PING\r\n")
+        if not self._pong.wait(timeout_s or self.timeout_s):
+            raise NatsWireError("flush timed out waiting for PONG")
+
+    def publish(self, subject: str, payload: bytes | str) -> None:
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
+        if len(payload) > MAX_PAYLOAD:
+            raise NatsWireError(f"payload exceeds max {MAX_PAYLOAD}")
+        self._send(
+            f"PUB {subject} {len(payload)}\r\n".encode() + payload + b"\r\n"
+        )
+
+    def subscribe(self, subject: str, queue_group: str | None = None) -> int:
+        self._next_sid += 1
+        sid = self._next_sid
+        self._queues[sid] = queue.Queue()
+        group = f" {queue_group}" if queue_group else ""
+        self._send(f"SUB {subject}{group} {sid}\r\n".encode())
+        return sid
+
+    def unsubscribe(self, sid: int) -> None:
+        self._send(f"UNSUB {sid}\r\n".encode())
+        self._queues.pop(sid, None)
+
+    def next_msg(self, sid: int, timeout_s: float) -> tuple[str, bytes] | None:
+        """(subject, payload) or None on timeout/close."""
+        q = self._queues.get(sid)
+        if q is None:
+            return None
+        try:
+            return q.get(timeout=timeout_s)
+        except queue.Empty:
+            return None
+
+    def drain(self, subject: str, max_messages: int, timeout_ms: int) -> list[bytes]:
+        """Subscribe and collect up to ``max_messages`` within the window —
+        at-most-once: only messages published after the flushed SUB are
+        seen (reference executor.rs:94 semantics)."""
+        import time
+
+        sid = self.subscribe(subject)
+        self.flush()  # the SUB is live server-side from here on
+        out: list[bytes] = []
+        deadline = time.monotonic() + timeout_ms / 1000.0
+        while len(out) < max_messages:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0 or self._closed.is_set():
+                break
+            got = self.next_msg(sid, remaining)
+            if got is not None:
+                out.append(got[1])
+        self.unsubscribe(sid)
+        return out
+
+    # -- reader -------------------------------------------------------------
+
+    def _read_loop(self) -> None:
+        try:
+            while not self._closed.is_set():
+                line = self._rfile.readline()
+                if not line:
+                    break
+                op = line.strip()
+                upper = op.upper()
+                if upper.startswith(b"MSG "):
+                    parts = op.split()
+                    # MSG <subject> <sid> [reply-to] <#bytes>
+                    subject = parts[1].decode()
+                    sid = int(parts[2])
+                    nbytes = int(parts[-1])
+                    payload = self._rfile.read(nbytes)
+                    self._rfile.read(2)  # trailing CRLF
+                    q = self._queues.get(sid)
+                    if q is not None:
+                        q.put((subject, payload))
+                elif upper == b"PING":
+                    self._send(b"PONG\r\n")
+                elif upper == b"PONG":
+                    self._pong.set()
+                elif upper.startswith(b"-ERR"):
+                    raise NatsWireError(op.decode(errors="replace"))
+                # +OK and async INFO are acknowledged by ignoring them
+        except (OSError, ValueError):
+            pass  # socket torn down underneath us — fall through to close
+        except NatsWireError:
+            pass  # surfaced via closed-state to blocked consumers
+        finally:
+            self._closed.set()
+
+
+class _ServerSub:
+    __slots__ = ("conn", "sid", "subject", "group", "remaining")
+
+    def __init__(self, conn, sid, subject, group):
+        self.conn = conn
+        self.sid = sid
+        self.subject = subject
+        self.group = group
+        self.remaining: int | None = None  # UNSUB <sid> <max> auto-expiry
+
+
+class MiniNatsServer:
+    """Loopback core-NATS server (threaded, stdlib-only) implementing
+    INFO/CONNECT/PING/PONG/PUB/SUB/UNSUB/MSG with NATS subject-pattern
+    matching (``*`` one token, ``>`` trailing tokens) and queue-group
+    round-robin. Enough protocol for nats-py, the reference's async_nats,
+    or MiniNatsClient to connect and run the golden pub/sub path; no
+    JetStream, no TLS, no auth — it exists so the at-most-once wire
+    semantics are exercisable in a hermetic test environment."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+        self.host = host
+        self.port = port
+        self._listener: socket.socket | None = None
+        self._subs: list[_ServerSub] = []
+        self._lock = threading.Lock()  # subs registry + round-robin state
+        self._rr: dict[tuple[str, str], int] = {}  # queue-group cursor
+        self._conns: list[socket.socket] = []
+        self._stopping = threading.Event()
+        self._client_seq = 0
+
+    @property
+    def url(self) -> str:
+        return f"nats://{self.host}:{self.port}"
+
+    def start(self) -> "MiniNatsServer":
+        self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._listener.bind((self.host, self.port))
+        self.port = self._listener.getsockname()[1]
+        self._listener.listen(32)
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        self._stopping.set()
+        try:
+            if self._listener is not None:
+                self._listener.close()
+        except OSError:
+            pass
+        with self._lock:
+            conns = list(self._conns)
+        for c in conns:
+            try:
+                c.close()
+            except OSError:
+                pass
+
+    def __enter__(self) -> "MiniNatsServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- per-connection -----------------------------------------------------
+
+    def _accept_loop(self) -> None:
+        while not self._stopping.is_set():
+            try:
+                conn, _ = self._listener.accept()
+            except OSError:
+                return
+            with self._lock:
+                self._conns.append(conn)
+                self._client_seq += 1
+                cid = self._client_seq
+            threading.Thread(
+                target=self._serve_conn, args=(conn, cid), daemon=True
+            ).start()
+
+    def _info_json(self, cid: int) -> bytes:
+        info = {
+            "server_id": "mini-nats",
+            "server_name": "mini-nats",
+            "version": "2.99.0-mini",
+            "proto": 1,
+            "host": self.host,
+            "port": self.port,
+            "headers": False,
+            "jetstream": False,
+            "max_payload": MAX_PAYLOAD,
+            "client_id": cid,
+        }
+        return b"INFO " + json.dumps(info).encode() + b"\r\n"
+
+    def _serve_conn(self, conn: socket.socket, cid: int) -> None:
+        wlock = threading.Lock()
+
+        def send(data: bytes) -> bool:
+            try:
+                with wlock:
+                    conn.sendall(data)
+                return True
+            except OSError:
+                return False
+
+        verbose = False
+        rfile = conn.makefile("rb")
+        send(self._info_json(cid))
+        try:
+            while not self._stopping.is_set():
+                line = rfile.readline()
+                if not line:
+                    break
+                op = line.strip()
+                if not op:
+                    continue
+                upper = op.upper()
+                if upper.startswith(b"CONNECT"):
+                    try:
+                        verbose = bool(json.loads(op[7:].strip() or b"{}").get("verbose"))
+                    except ValueError:
+                        send(b"-ERR 'Invalid Client Protocol'\r\n")
+                        break
+                    if verbose:
+                        send(b"+OK\r\n")
+                elif upper == b"PING":
+                    send(b"PONG\r\n")
+                elif upper == b"PONG":
+                    pass
+                elif upper.startswith(b"SUB "):
+                    parts = op.split()
+                    if len(parts) == 3:  # SUB <subject> <sid>
+                        subject, group, sid = parts[1].decode(), None, parts[2].decode()
+                    elif len(parts) == 4:  # SUB <subject> <queue> <sid>
+                        subject, group, sid = (
+                            parts[1].decode(),
+                            parts[2].decode(),
+                            parts[3].decode(),
+                        )
+                    else:
+                        send(b"-ERR 'Unknown Protocol Operation'\r\n")
+                        break
+                    with self._lock:
+                        self._subs.append(
+                            _ServerSub((conn, send), sid, subject, group)
+                        )
+                    if verbose:
+                        send(b"+OK\r\n")
+                elif upper.startswith(b"UNSUB "):
+                    parts = op.split()
+                    sid = parts[1].decode()
+                    max_msgs = int(parts[2]) if len(parts) > 2 else None
+                    with self._lock:
+                        for s in self._subs:
+                            if s.conn[0] is conn and s.sid == sid:
+                                if max_msgs is None:
+                                    self._subs.remove(s)
+                                else:
+                                    s.remaining = max_msgs
+                                break
+                    if verbose:
+                        send(b"+OK\r\n")
+                elif upper.startswith(b"PUB "):
+                    parts = op.split()
+                    # PUB <subject> [reply-to] <#bytes>
+                    subject = parts[1].decode()
+                    reply = parts[2].decode() if len(parts) == 4 else None
+                    nbytes = int(parts[-1])
+                    if nbytes > MAX_PAYLOAD:
+                        send(b"-ERR 'Maximum Payload Violation'\r\n")
+                        break
+                    payload = rfile.read(nbytes)
+                    rfile.read(2)  # CRLF
+                    self._route(subject, reply, payload)
+                    if verbose:
+                        send(b"+OK\r\n")
+                else:
+                    send(b"-ERR 'Unknown Protocol Operation'\r\n")
+                    break
+        except (OSError, ValueError):
+            pass
+        finally:
+            with self._lock:
+                self._subs = [s for s in self._subs if s.conn[0] is not conn]
+                if conn in self._conns:
+                    self._conns.remove(conn)
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _route(self, subject: str, reply: str | None, payload: bytes) -> None:
+        """Fan out to every matching plain subscription and ONE member per
+        matching queue group (round-robin cursor — deterministic, unlike
+        the real server's random pick, which only strengthens tests)."""
+        with self._lock:
+            plain = [
+                s
+                for s in self._subs
+                if s.group is None and subject_matches(s.subject, subject)
+            ]
+            groups: dict[tuple[str, str], list[_ServerSub]] = {}
+            for s in self._subs:
+                if s.group is not None and subject_matches(s.subject, subject):
+                    groups.setdefault((s.subject, s.group), []).append(s)
+            chosen = list(plain)
+            for key, members in sorted(groups.items()):
+                cursor = self._rr.get(key, 0)
+                chosen.append(members[cursor % len(members)])
+                self._rr[key] = cursor + 1
+            expired = []
+            for s in chosen:
+                if s.remaining is not None:
+                    s.remaining -= 1
+                    if s.remaining <= 0:
+                        expired.append(s)
+            for s in expired:
+                self._subs.remove(s)
+        rtok = f" {reply}" if reply else ""
+        for s in chosen:
+            head = f"MSG {subject} {s.sid}{rtok} {len(payload)}\r\n".encode()
+            s.conn[1](head + payload + b"\r\n")
+
+
+def fetch_from_nats_stdlib(
+    url: str, subject: str, max_messages: int, timeout_ms: int
+) -> list[bytes]:
+    """Stdlib twin of broker.fetch_from_nats: bounded at-most-once drain
+    over the raw wire protocol. Used automatically when nats-py is not
+    installed."""
+    with MiniNatsClient(url) as client:
+        return client.drain(subject, max_messages, timeout_ms)

@@ -12,10 +12,13 @@ Two deliberate differences from the reference:
 - ``maxMessages`` bounds the drain so the query terminates even though
   the subject stays open (reference A6 limit-bound fix).
 
-The whole module is gated on a reachable broker at
-``nats://localhost:4222`` (plus an importable nats-py) and skips
-cleanly otherwise — the sandbox ships neither, but the test is the
-executable spec for any environment that does.
+The golden core-NATS path now ALWAYS runs: when no external broker is
+reachable at ``nats://localhost:4222``, the module boots the in-repo
+pure-stdlib ``MiniNatsServer`` (sources/nats_wire.py) on an ephemeral
+loopback port and the Spark query drains it over the real wire protocol
+(INFO/CONNECT/SUB/PUB/MSG frames over TCP) via the stdlib client
+fallback in ``broker.fetch_from_nats``. The JetStream tests still need a
+real server with JetStream enabled (plus nats-py) and skip otherwise.
 """
 
 from __future__ import annotations
@@ -27,15 +30,22 @@ import pytest
 
 from datafusion_nats_spark.sources.broker import nats_server_reachable
 from datafusion_nats_spark.sources.nats_source import register
+from datafusion_nats_spark.sources.nats_wire import MiniNatsClient, MiniNatsServer
 
-NATS_URL = "nats://localhost:4222"
-
-pytestmark = pytest.mark.skipif(
-    not nats_server_reachable(NATS_URL),
-    reason=f"no live NATS broker at {NATS_URL} (or nats-py not installed)",
-)
+EXTERNAL_URL = "nats://localhost:4222"
 
 GOLDEN = [b"1,apple", b"2,banana", b"3,orange"]
+
+
+@pytest.fixture(scope="module")
+def nats_url():
+    """A reachable core-NATS endpoint: the conventional local broker when
+    one is running, else an in-process loopback MiniNatsServer."""
+    if nats_server_reachable(EXTERNAL_URL):
+        yield EXTERNAL_URL
+        return
+    with MiniNatsServer() as srv:
+        yield srv.url
 
 
 def _publish_rounds(url: str, subject: str, payloads: list[bytes], stop: threading.Event):
@@ -43,38 +53,29 @@ def _publish_rounds(url: str, subject: str, payloads: list[bytes], stop: threadi
     stopped, so the query's subscription catches a full burst no matter
     when it attaches (core NATS drops anything published earlier). Each
     burst is back-to-back; any 3 consecutive messages therefore form one
-    complete triple (possibly rotated)."""
-    import asyncio
-
-    import nats as nats_py
-
-    async def _pub():
-        nc = await nats_py.connect(url)
-        try:
-            while not stop.is_set():
-                for p in payloads:
-                    await nc.publish(subject, p)
-                await nc.flush()
-                await asyncio.sleep(0.5)
-        finally:
-            await nc.close()
-
-    asyncio.run(_pub())
+    complete triple (possibly rotated). Publishes through the stdlib wire
+    client, which speaks to MiniNatsServer and real nats-server alike."""
+    with MiniNatsClient(url) as nc:
+        while not stop.is_set():
+            for p in payloads:
+                nc.publish(subject, p)
+            nc.flush()
+            time.sleep(0.5)
 
 
-def test_golden_projection_limit_live(spark):
+def test_golden_projection_limit_live(spark, nats_url):
     register(spark)
     subject = "test.data.live"
     stop = threading.Event()
     t = threading.Thread(
-        target=_publish_rounds, args=(NATS_URL, subject, GOLDEN, stop), daemon=True
+        target=_publish_rounds, args=(nats_url, subject, GOLDEN, stop), daemon=True
     )
     t.start()
     try:
         df = (
             spark.read.format("nats")
             .schema("id INT, name STRING")
-            .option("url", NATS_URL)
+            .option("url", nats_url)
             .option("subject", subject)
             .option("maxMessages", "3")
             .option("timeoutMs", "15000")
@@ -94,6 +95,10 @@ def test_golden_projection_limit_live(spark):
     ]
 
 
+@pytest.mark.skipif(
+    not nats_server_reachable(EXTERNAL_URL),
+    reason=f"no live NATS broker at {EXTERNAL_URL} (JetStream needs a real server)",
+)
 def test_jetstream_offset_range_live(spark):
     """JetStream flavor of the golden path: publish the triple through a
     real JetStream stream, then range-read it with transport=jetstream +
@@ -102,7 +107,7 @@ def test_jetstream_offset_range_live(spark):
     disabled."""
     from datafusion_nats_spark.sources.broker import JetStreamBroker
 
-    b = JetStreamBroker(NATS_URL)
+    b = JetStreamBroker(EXTERNAL_URL)
     subject = "test.js.golden"
     try:
         b.ensure_stream(subject)
@@ -114,7 +119,7 @@ def test_jetstream_offset_range_live(spark):
     df = (
         spark.read.format("nats")
         .schema("id INT, name STRING")
-        .option("url", NATS_URL)
+        .option("url", EXTERNAL_URL)
         .option("subject", subject)
         .option("transport", "jetstream")
         .option("ingest", "executor")
@@ -130,7 +135,7 @@ def test_jetstream_offset_range_live(spark):
     df2 = (
         spark.read.format("nats")
         .schema("id INT, name STRING")
-        .option("url", NATS_URL)
+        .option("url", EXTERNAL_URL)
         .option("subject", subject)
         .option("transport", "jetstream")
         .option("startingOffset", "1")
@@ -140,6 +145,10 @@ def test_jetstream_offset_range_live(spark):
     assert sorted(r.name for r in df2.collect()) == ["banana", "orange"]
 
 
+@pytest.mark.skipif(
+    not nats_server_reachable(EXTERNAL_URL),
+    reason=f"no live NATS broker at {EXTERNAL_URL} (JetStream needs a real server)",
+)
 def test_jetstream_wildcard_expansion_live(spark):
     """Wildcard subjects over the JetStream backend: list_subjects
     recovers every sg_ stream's bound subject, so 'test.wc.*' expands at
@@ -148,7 +157,7 @@ def test_jetstream_wildcard_expansion_live(spark):
     server has JetStream disabled."""
     from datafusion_nats_spark.sources.broker import JetStreamBroker
 
-    b = JetStreamBroker(NATS_URL)
+    b = JetStreamBroker(EXTERNAL_URL)
     try:
         b.ensure_stream("test.wc.a")
     except Exception as e:  # JetStream not enabled on this server
@@ -166,7 +175,7 @@ def test_jetstream_wildcard_expansion_live(spark):
     df = (
         spark.read.format("nats")
         .schema("id INT, name STRING")
-        .option("url", NATS_URL)
+        .option("url", EXTERNAL_URL)
         .option("subject", "test.wc.*")
         .option("transport", "jetstream")
         .load()
@@ -176,7 +185,7 @@ def test_jetstream_wildcard_expansion_live(spark):
     df2 = (
         spark.read.format("nats")
         .schema("id INT, name STRING")
-        .option("url", NATS_URL)
+        .option("url", EXTERNAL_URL)
         .option("subject", "test.wc.>")
         .option("transport", "jetstream")
         .load()

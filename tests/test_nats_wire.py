@@ -1,0 +1,232 @@
+"""Wire-protocol tests for the pure-stdlib core-NATS client/server pair
+(sources/nats_wire.py) — framing, at-most-once semantics, wildcard
+routing, queue groups — all hermetic over loopback TCP, no Spark, no
+nats-py. This is the layer the reference delegates to async_nats for
+(reference src/nats_connection.rs:4-12)."""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+import pytest
+
+from datafusion_nats_spark.sources.nats_wire import (
+    MAX_PAYLOAD,
+    MiniNatsClient,
+    MiniNatsServer,
+    NatsWireError,
+    parse_nats_url,
+)
+
+
+@pytest.fixture()
+def server():
+    with MiniNatsServer() as srv:
+        yield srv
+
+
+def test_parse_nats_url():
+    assert parse_nats_url("nats://example.com:5333") == ("example.com", 5333)
+    assert parse_nats_url("nats://host") == ("host", 4222)
+    with pytest.raises(ValueError):
+        parse_nats_url("http://example.com")
+
+
+def test_pubsub_roundtrip_and_at_most_once(server):
+    with MiniNatsClient(server.url) as pub, MiniNatsClient(server.url) as sub:
+        pub.publish("orders.us", b"lost")  # published BEFORE the SUB: dropped
+        pub.flush()
+        sid = sub.subscribe("orders.us")
+        sub.flush()  # SUB is live server-side
+        pub.publish("orders.us", b"1,apple")
+        pub.publish("orders.us", "2,banana")  # str payloads encode utf-8
+        pub.flush()
+        got = [sub.next_msg(sid, 2.0) for _ in range(2)]
+        assert got == [("orders.us", b"1,apple"), ("orders.us", b"2,banana")]
+        # the pre-subscribe message is gone for good — at-most-once
+        assert sub.next_msg(sid, 0.2) is None
+
+
+def test_binary_payload_with_embedded_crlf(server):
+    """Framing is length-prefixed: a payload containing CRLF and protocol
+    keywords must survive byte-exact (the line parser must never split
+    inside a payload)."""
+    evil = b"\r\nPING\r\nMSG x 1 3\r\n\x00\xff"
+    with MiniNatsClient(server.url) as c:
+        sid = c.subscribe("bin")
+        c.flush()
+        c.publish("bin", evil)
+        assert c.next_msg(sid, 2.0) == ("bin", evil)
+
+
+def test_wildcard_subscriptions(server):
+    with MiniNatsClient(server.url) as c:
+        star = c.subscribe("orders.*")
+        full = c.subscribe("orders.>")
+        c.flush()
+        c.publish("orders.us", b"a")
+        c.publish("orders.us.west", b"b")
+        c.publish("orders", b"c")  # matches neither pattern
+        c.flush()
+        # '*' is exactly one token: sees only orders.us
+        assert c.next_msg(star, 2.0) == ("orders.us", b"a")
+        assert c.next_msg(star, 0.2) is None
+        # '>' is one-or-more trailing tokens: both, in publish order
+        assert c.next_msg(full, 2.0) == ("orders.us", b"a")
+        assert c.next_msg(full, 2.0) == ("orders.us.west", b"b")
+        assert c.next_msg(full, 0.2) is None
+
+
+def test_queue_group_round_robin(server):
+    """One delivery per publish across a queue group, round-robin."""
+    with MiniNatsClient(server.url) as a, MiniNatsClient(server.url) as b:
+        sa = a.subscribe("work", queue_group="workers")
+        sb = b.subscribe("work", queue_group="workers")
+        a.flush()
+        b.flush()
+        with MiniNatsClient(server.url) as pub:
+            for i in range(4):
+                pub.publish("work", str(i).encode())
+            pub.flush()
+        got_a = []
+        got_b = []
+        deadline = time.monotonic() + 3.0
+        while len(got_a) + len(got_b) < 4 and time.monotonic() < deadline:
+            m = a.next_msg(sa, 0.05)
+            if m:
+                got_a.append(m[1])
+            m = b.next_msg(sb, 0.05)
+            if m:
+                got_b.append(m[1])
+        assert sorted(got_a + got_b) == [b"0", b"1", b"2", b"3"]
+        assert len(got_a) == 2 and len(got_b) == 2  # round-robin split
+
+
+def test_unsub_max_auto_expiry(server):
+    """UNSUB <sid> <max>: the subscription expires after max deliveries."""
+    with MiniNatsClient(server.url) as c:
+        sid = c.subscribe("feed")
+        c._send(f"UNSUB {sid} 2\r\n".encode())
+        c.flush()
+        for i in range(5):
+            c.publish("feed", str(i).encode())
+        c.flush()
+        assert c.next_msg(sid, 2.0) == ("feed", b"0")
+        assert c.next_msg(sid, 2.0) == ("feed", b"1")
+        assert c.next_msg(sid, 0.3) is None
+
+
+def test_drain_bounded_by_count_and_timeout(server):
+    stop = threading.Event()
+
+    def feeder():
+        with MiniNatsClient(server.url) as pub:
+            while not stop.is_set():
+                pub.publish("stream", b"x")
+                time.sleep(0.01)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    try:
+        with MiniNatsClient(server.url) as c:
+            got = c.drain("stream", max_messages=5, timeout_ms=5000)
+            assert got == [b"x"] * 5
+            got = c.drain("quiet.subject", max_messages=5, timeout_ms=300)
+            assert got == []  # timeout path: nobody publishes there
+    finally:
+        stop.set()
+        t.join(timeout=2)
+
+
+def test_fetch_from_nats_falls_back_to_stdlib(server):
+    """broker.fetch_from_nats must work with or without nats-py — in this
+    sandbox (no nats-py) it exercises the stdlib wire client end-to-end."""
+    from datafusion_nats_spark.sources.broker import fetch_from_nats
+
+    stop = threading.Event()
+
+    def feeder():
+        with MiniNatsClient(server.url) as pub:
+            while not stop.is_set():
+                for p in (b"1,apple", b"2,banana", b"3,orange"):
+                    pub.publish("golden", p)
+                pub.flush()
+                time.sleep(0.05)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    try:
+        got = fetch_from_nats(server.url, "golden", 3, 5000)
+        assert len(got) == 3
+        assert set(got) <= {b"1,apple", b"2,banana", b"3,orange"}
+    finally:
+        stop.set()
+        t.join(timeout=2)
+
+
+def test_server_rejects_unknown_op_and_oversized_payload(server):
+    with socket.create_connection(("127.0.0.1", server.port), timeout=2) as s:
+        f = s.makefile("rb")
+        assert f.readline().startswith(b"INFO ")
+        s.sendall(b"BOGUS op\r\n")
+        assert f.readline().startswith(b"-ERR")
+    with socket.create_connection(("127.0.0.1", server.port), timeout=2) as s:
+        f = s.makefile("rb")
+        assert f.readline().startswith(b"INFO ")
+        s.sendall(f"PUB big {MAX_PAYLOAD + 1}\r\n".encode())
+        assert f.readline().startswith(b"-ERR 'Maximum Payload")
+
+
+def test_raw_socket_sees_exact_msg_framing(server):
+    """Byte-level golden frame: a raw-socket subscriber receives exactly
+    ``MSG <subject> <sid> <#bytes>\\r\\n<payload>\\r\\n``."""
+    with socket.create_connection(("127.0.0.1", server.port), timeout=2) as s:
+        f = s.makefile("rb")
+        assert f.readline().startswith(b"INFO ")
+        s.sendall(b'CONNECT {"verbose":false}\r\nSUB golden.one 7\r\nPING\r\n')
+        assert f.readline() == b"PONG\r\n"
+        with MiniNatsClient(server.url) as pub:
+            pub.publish("golden.one", b"hello")
+            pub.flush()
+        assert f.readline() == b"MSG golden.one 7 5\r\n"
+        assert f.read(7) == b"hello\r\n"
+
+
+def test_client_answers_server_ping(server):
+    """Keepalive: a client that ignores server PINGs would be dropped as
+    stale. Simulate by injecting a PING through a raw server-side path —
+    here we just assert flush round-trips repeatedly (each PING must get
+    its own PONG, so a swallowed PONG would hang the second flush)."""
+    with MiniNatsClient(server.url) as c:
+        for _ in range(3):
+            c.flush(timeout_s=2)
+
+
+def test_connect_against_closed_port_raises():
+    with pytest.raises(OSError):
+        MiniNatsClient("nats://127.0.0.1:1").connect()
+
+
+def test_client_surfaces_handshake_garbage():
+    """A server that does not speak NATS (no INFO line) must fail loudly."""
+    lst = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    lst.bind(("127.0.0.1", 0))
+    lst.listen(1)
+    port = lst.getsockname()[1]
+
+    def bogus():
+        conn, _ = lst.accept()
+        conn.sendall(b"HTTP/1.1 200 OK\r\n")
+        time.sleep(0.2)
+        conn.close()
+
+    t = threading.Thread(target=bogus, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(NatsWireError, match="expected INFO"):
+            MiniNatsClient(f"nats://127.0.0.1:{port}").connect()
+    finally:
+        lst.close()
+        t.join(timeout=2)
