@@ -18,14 +18,20 @@ Reproduces the reference's `CsvCodec` (reference: src/codec/csv.rs):
   (epoch 1970-01-01), shifting every date by +719,163 days; we implement
   the *correct* date semantics.
 
-Two decode paths:
+Three decode paths:
 
 - :func:`parse_line` — row-at-a-time Python parse, used by the NATS source
   reader (the analogue of csv.rs:93-198 without the per-value 1-row-array
   allocation anti-pattern, SURVEY §8.9);
 - :func:`decode_lines` — vectorized, JVM-side expression decode of a raw
   line column (split + strict casts), the 100 TB path: whole-stage codegen,
-  no Python in the loop.
+  no Python in the loop;
+- :func:`decode_payloads_arrow` — vectorized TYPED decode at the source:
+  pyarrow.csv parses the whole partition's payloads in C++ and the reader
+  yields Arrow RecordBatches directly (``decode=arrow``), so neither
+  per-row Python tuples nor a downstream JVM decode projection exist.
+  failfast-only: a parse error in a batch aborts the batch (the row path
+  keeps the permissive-skip/dlq modes).
 """
 
 from __future__ import annotations
@@ -212,6 +218,92 @@ def decode_lines(
     if mode == "permissive-skip":
         return out.filter(~F.col("_corrupt")).select(*[f.name for f in schema.fields])
     return out.select(*[f.name for f in schema.fields], "_corrupt")
+
+
+def decode_payloads_arrow(payloads: list[bytes], schema: T.StructType):
+    """Vectorized typed decode: payload lines → Arrow RecordBatches.
+
+    Semantics mirror :meth:`CsvCodec.parse_line` exactly (bare comma
+    split, no quoting, exact arity, empty value = error-not-NULL,
+    ``true|1|false|0`` booleans, ``%Y-%m-%d %H:%M:%S`` timestamps,
+    ``%Y-%m-%d`` dates) but the hot loop is pyarrow's C++ CSV reader plus
+    pyarrow.compute kernels — no Python per row. Pinned against the row
+    codec by a hypothesis differential test. Returns a list of
+    RecordBatches (empty for no payloads); raises :class:`ParseError` on
+    the first malformed message (failfast contract).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.csv as pacsv
+
+    validate_schema(schema)
+    if not payloads:
+        return []
+    names = [f.name for f in schema.fields]
+    # int/double convert natively in the CSV reader (a failed convert is a
+    # loud ArrowInvalid); everything else arrives as string and converts
+    # with the exact reference rules below
+    col_types = {
+        f.name: pa.int32()
+        if isinstance(f.dataType, T.IntegerType)
+        else pa.float64()
+        if isinstance(f.dataType, T.DoubleType)
+        else pa.string()
+        for f in schema.fields
+    }
+    try:
+        table = pacsv.read_csv(
+            pa.BufferReader(b"\n".join(payloads)),
+            read_options=pacsv.ReadOptions(column_names=names),
+            parse_options=pacsv.ParseOptions(
+                delimiter=",",
+                quote_char=False,
+                escape_char=False,
+                ignore_empty_lines=False,
+            ),
+            convert_options=pacsv.ConvertOptions(
+                column_types=col_types,
+                null_values=[],  # "" is never NULL on this wire
+                strings_can_be_null=False,
+            ),
+        ).combine_chunks()
+    except pa.ArrowInvalid as e:
+        raise ParseError(f"arrow decode failed: {e}") from e
+    if table.num_rows != len(payloads):
+        raise ParseError(
+            f"{len(payloads)} payloads decoded to {table.num_rows} rows — "
+            "a payload embeds a newline, which the line-based wire forbids"
+        )
+    cols = []
+    for f in schema.fields:
+        col = table.column(f.name)
+        if isinstance(f.dataType, (T.IntegerType, T.DoubleType)):
+            cols.append(col)
+            continue
+        if table.num_rows and pc.any(pc.equal(col, "")).as_py():
+            raise ParseError(f"empty value for field {f.name!r}")
+        if isinstance(f.dataType, T.BooleanType):
+            low = pc.utf8_lower(col)
+            is_true = pc.is_in(low, value_set=pa.array(["true", "1"]))
+            is_false = pc.is_in(low, value_set=pa.array(["false", "0"]))
+            if table.num_rows and not pc.all(pc.or_(is_true, is_false)).as_py():
+                raise ParseError(f"invalid boolean for field {f.name!r}")
+            cols.append(is_true)
+        elif isinstance(f.dataType, T.TimestampType):
+            try:
+                cols.append(pc.strptime(col, format="%Y-%m-%d %H:%M:%S", unit="us"))
+            except pa.ArrowInvalid as e:
+                raise ParseError(f"invalid timestamp for field {f.name!r}") from e
+        elif isinstance(f.dataType, T.DateType):
+            try:
+                cols.append(
+                    pc.strptime(col, format="%Y-%m-%d", unit="s").cast(pa.date32())
+                )
+            except pa.ArrowInvalid as e:
+                raise ParseError(f"invalid date for field {f.name!r}") from e
+        else:  # StringType
+            cols.append(col)
+    return pa.table(cols, names=names).to_batches()
 
 
 def _infer_value_type(value: str) -> T.DataType:

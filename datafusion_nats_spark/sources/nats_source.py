@@ -238,6 +238,19 @@ class _OptionsMixin:
     def num_partitions(self) -> int:
         return int(self._opt("numpartitions", "1"))
 
+    def _decode_arrow(self, payloads: list[bytes]):
+        """Shared decode=arrow guardrails + dispatch (batch and streaming
+        readers): failfast-only — the error modes need per-row verdicts,
+        which the batched C++ parse deliberately does not produce."""
+        if self.mode != "failfast":
+            raise CodecError(
+                "decode=arrow is failfast-only; use the typed row path for "
+                "mode=permissive-skip/dlq (per-row error routing)"
+            )
+        from datafusion_nats_spark.codec import decode_payloads_arrow
+
+        yield from decode_payloads_arrow(payloads, self.codec.schema)
+
     @property
     def ingest(self) -> str:
         ingest = self._opt("ingest", "driver")
@@ -270,10 +283,11 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
         self.options = {k.lower(): v for k, v in options.items()}
         data_schema = schema
         if self.include_metadata:
-            if self._opt("decode") == "raw":
+            if self._opt("decode") in ("raw", "arrow"):
                 raise CodecError(
-                    "includeMetadata composes with the typed decode path; "
-                    "the raw/vectorized path carries only the line column"
+                    "includeMetadata composes with the typed ROW decode "
+                    "path; the raw/arrow vectorized paths carry no "
+                    "per-message provenance pairing"
                 )
             names = [f.name for f in schema.fields]
             want = [n for n, _ in self.META_FIELDS]
@@ -468,6 +482,12 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
             yield from self._read_with_metadata(partition)
             return
         payloads = self._payloads_of(partition)
+        if self._opt("decode") == "arrow":
+            # Vectorized TYPED path: pyarrow.csv parses the partition in
+            # C++ and this task hands Spark ready-typed Arrow batches — no
+            # per-row Python tuple, no downstream decode projection.
+            yield from self._decode_arrow(payloads)
+            return
         if self._opt("decode") == "raw":
             # Vectorized path (SURVEY §7.4-5): hand Spark Arrow batches of
             # raw lines; typed decode happens JVM-side via codec.decode_lines
@@ -510,6 +530,12 @@ class NatsPushdownBatchReader(NatsBatchReader):
             StringEndsWith,
             StringStartsWith,
         )
+
+        if self._opt("decode") == "arrow":
+            # the vectorized Arrow path yields whole RecordBatches, not
+            # per-row tuples — decline every filter; Spark evaluates them
+            yield from filters
+            return
 
         supported = (
             EqualTo,
@@ -627,6 +653,13 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
             )
         else:
             payloads = partition.payloads
+        if self._opt("decode") == "arrow":
+            # Vectorized TYPED micro-batch ingest: the partition's payloads
+            # parse in one pyarrow.csv call and Spark receives ready-typed
+            # Arrow batches — streaming gets the same no-Python-per-row
+            # decode as the batch reader's vectorized paths.
+            yield from self._decode_arrow(payloads)
+            return
         if self._opt("decode") == "raw":
             # Arrow raw-line batches; typed decode happens downstream as
             # JVM expressions (codec.decode_lines) — the vectorized

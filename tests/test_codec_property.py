@@ -180,3 +180,69 @@ def test_avro_ocf_roundtrip_property(tmp_path_factory, rows, codec):
     p = str(tmp_path_factory.mktemp("avro_prop") / "t.avro")
     write_avro_file(p, _AVRO_SCHEMA, rows, codec=codec)
     assert list(read_avro_file(p)) == [tuple(r) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# decode=arrow differential (vectorized pyarrow.csv path vs row codec)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(ROW, min_size=0, max_size=20))
+def test_arrow_decode_matches_row_codec(rows):
+    """The vectorized Arrow decode must produce value-identical typed rows
+    to CsvCodec.parse_line over the full six-type wire surface."""
+    from datafusion_nats_spark.codec import decode_payloads_arrow
+
+    codec = CsvCodec(SCHEMA)
+    payloads = [",".join(_encode_value(v) for v in row).encode() for row in rows]
+    batches = decode_payloads_arrow(payloads, SCHEMA)
+    got = [
+        tuple(rec[f.name] for f in SCHEMA.fields)
+        for b in batches
+        for rec in b.to_pylist()
+    ]
+    want = [codec.parse_line(p.decode()) for p in payloads]
+    assert got == want
+
+
+def test_arrow_decode_error_parity():
+    """Malformed wire lines must raise ParseError from the Arrow path in
+    every case the row codec raises: empty value (incl. string columns),
+    arity mismatch, bad boolean, bad timestamp — plus the arrow-specific
+    embedded-newline guard."""
+    import pytest
+
+    from datafusion_nats_spark.codec import decode_payloads_arrow
+
+    two = T.StructType(
+        [T.StructField("a", T.IntegerType(), False), T.StructField("s", T.StringType(), False)]
+    )
+    ok = decode_payloads_arrow([b"1,x", b"2,y"], two)
+    assert [r for b in ok for r in b.to_pylist()] == [
+        {"a": 1, "s": "x"},
+        {"a": 2, "s": "y"},
+    ]
+    for bad in [b"1", b"1,x,z", b",x", b"1,", b"zz,x"]:
+        with pytest.raises(ParseError):
+            decode_payloads_arrow([b"1,x", bad], two)
+    with pytest.raises(ParseError):  # embedded newline: 1 payload, 2 CSV rows
+        decode_payloads_arrow([b"1,x\n2,y"], two)
+    boo = T.StructType([T.StructField("b", T.BooleanType(), False)])
+    assert [r["b"] for b in decode_payloads_arrow([b"TRUE", b"0"], boo) for r in b.to_pylist()] == [True, False]
+    with pytest.raises(ParseError):
+        decode_payloads_arrow([b"maybe"], boo)
+    ts = T.StructType([T.StructField("t", T.TimestampType(), False)])
+    with pytest.raises(ParseError):
+        decode_payloads_arrow([b"2024-13-99 99:00:00"], ts)
+    assert decode_payloads_arrow([], two) == []
+
+
+def test_arrow_decode_preserves_whitespace_in_strings():
+    """No silent trimming: the wire has no quoting, so spaces are data."""
+    from datafusion_nats_spark.codec import decode_payloads_arrow
+
+    s = T.StructType([T.StructField("s", T.StringType(), False)])
+    got = [r["s"] for b in decode_payloads_arrow([b" a b "], s) for r in b.to_pylist()]
+    assert got == [" a b "]
+    assert CsvCodec(s).parse_line(" a b ") == (" a b ",)

@@ -866,3 +866,121 @@ def test_streaming_curation_loop_nats_to_nats(spark, broker, tmp_path):
     got = sorted(r.doc_id for r in out.collect())
     assert got == [1, 4, 6]
     broker.clear("curated_out")
+
+
+# ---------------------------------------------------------------------------
+# decode=arrow: vectorized TYPED source decode (batch + streaming)
+# ---------------------------------------------------------------------------
+
+TYPED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("price", T.DoubleType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("d", T.DateType(), False),
+    ]
+)
+
+TYPED_ROWS = [
+    b"1,1.5,true,apple,2024-01-01 10:00:00,2024-01-01",
+    b"2,2.25,0,banana,2024-01-02 11:30:00,2024-01-02",
+    b"3,-0.5,TRUE,orange,2024-01-03 23:59:59,2024-01-03",
+]
+
+
+def test_batch_decode_arrow_matches_row_path(spark, broker):
+    """decode=arrow yields Arrow RecordBatches with the TYPED schema at
+    the source — same rows as the per-row codec over all six types."""
+    for p in TYPED_ROWS:
+        broker.publish("arrow.batch", p)
+    base = dict(url="memory://test", subject="arrow.batch")
+
+    def rd(**opts):
+        r = spark.read.format("nats").schema(TYPED_SCHEMA)
+        for k, v in {**base, **opts}.items():
+            r = r.option(k, v)
+        return sorted(r.load().collect())
+
+    assert rd(decode="arrow") == rd()
+    assert rd(decode="arrow", numPartitions="2") == rd()
+
+
+def test_decode_arrow_is_failfast_only(spark, broker):
+    broker.publish("arrow.ff", b"1,1.5,true,apple,2024-01-01 10:00:00,2024-01-01")
+    df = (
+        spark.read.format("nats")
+        .schema(TYPED_SCHEMA)
+        .option("url", "memory://test")
+        .option("subject", "arrow.ff")
+        .option("decode", "arrow")
+        .option("mode", "permissive-skip")
+        .load()
+    )
+    with pytest.raises(Exception, match="failfast-only"):
+        df.collect()
+
+
+def test_decode_arrow_failfast_surfaces_parse_error(spark, broker):
+    broker.publish("arrow.bad", b"1,1.5,true,apple,2024-01-01 10:00:00,2024-01-01")
+    broker.publish("arrow.bad", b"not,a,valid,row")
+    df = (
+        spark.read.format("nats")
+        .schema(TYPED_SCHEMA)
+        .option("url", "memory://test")
+        .option("subject", "arrow.bad")
+        .option("decode", "arrow")
+        .load()
+    )
+    with pytest.raises(Exception):
+        df.collect()
+
+
+def test_decode_arrow_with_filters_declines_pushdown(spark, broker):
+    """pushdown=true + decode=arrow: every filter is declined back to
+    Spark (the Arrow path has no per-row hook), so results stay correct
+    and the filter is evaluated engine-side."""
+    for p in TYPED_ROWS:
+        broker.publish("arrow.pd", p)
+    df = (
+        spark.read.format("nats")
+        .schema(TYPED_SCHEMA)
+        .option("url", "memory://test")
+        .option("subject", "arrow.pd")
+        .option("decode", "arrow")
+        .option("pushdown", "true")
+        .load()
+        .filter("id >= 2")
+    )
+    assert sorted(r.name for r in df.collect()) == ["banana", "orange"]
+
+
+def test_streaming_decode_arrow_matches_row_streaming(spark, broker, tmp_path):
+    """The streaming reader's decode=arrow path: same micro-batch rows as
+    the typed row path, but ingested as ready-typed Arrow batches."""
+    for p in TYPED_ROWS:
+        broker.publish("arrow.stream", p)
+
+    def drain(decode):
+        reader = (
+            spark.readStream.format("nats")
+            .schema(TYPED_SCHEMA)
+            .option("url", "memory://test")
+            .option("subject", "arrow.stream")
+            .option("maxMessagesPerBatch", "2")
+        )
+        if decode:
+            reader = reader.option("decode", decode)
+        name = f"arrow_stream_{decode or 'row'}"
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return sorted(spark.sql(f"SELECT * FROM {name}").collect())
+
+    assert drain("arrow") == drain(None)
