@@ -30,13 +30,15 @@ Three decode paths:
   pyarrow.csv parses the whole partition's payloads in C++ and the reader
   yields Arrow RecordBatches directly (``decode=arrow``), so neither
   per-row Python tuples nor a downstream JVM decode projection exist.
-  failfast-only: a parse error in a batch aborts the batch (the row path
-  keeps the permissive-skip/dlq modes).
+  Supports all three error modes: per-row verdicts come from vectorized
+  validity masks (failfast raises on the first malformed message;
+  permissive-skip drops it; dlq routes it via the ``on_invalid`` hook).
 """
 
 from __future__ import annotations
 
 import datetime
+import re
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -85,17 +87,28 @@ def validate_schema(schema: T.StructType) -> None:
             )
 
 
+# Strict wire grammars — the same regexes decode_lines uses JVM-side, so
+# all three decode paths agree on exotic inputs: Python's int()/float()
+# accept underscores ('1_0' -> 10) and strptime accepts non-zero-padded
+# fields ('2024-1-2'), none of which are valid on this wire.
+_INT_RE = re.compile(r"^[+-]?\d+$")
+_FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$")
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
 def _parse_value(value: str, dtype: T.DataType, name: str) -> Any:
     if isinstance(dtype, T.IntegerType):
-        try:
-            return int(value)
-        except ValueError as e:
-            raise ParseError(f"invalid integer for field {name!r}: {value!r}") from e
+        if not _INT_RE.match(value):
+            raise ParseError(f"invalid integer for field {name!r}: {value!r}")
+        n = int(value)
+        if not -(2**31) <= n < 2**31:  # Int32 wire type (csv.rs:75-85)
+            raise ParseError(f"integer out of Int32 range for field {name!r}: {value!r}")
+        return n
     if isinstance(dtype, T.DoubleType):
-        try:
-            return float(value)
-        except ValueError as e:
-            raise ParseError(f"invalid float for field {name!r}: {value!r}") from e
+        if not _FLOAT_RE.match(value):
+            raise ParseError(f"invalid float for field {name!r}: {value!r}")
+        return float(value)
     if isinstance(dtype, T.BooleanType):
         low = value.lower()
         if low in _TRUE:
@@ -104,11 +117,15 @@ def _parse_value(value: str, dtype: T.DataType, name: str) -> Any:
             return False
         raise ParseError(f"invalid boolean for field {name!r}: {value!r}")
     if isinstance(dtype, T.TimestampType):
+        if not _TS_RE.match(value):
+            raise ParseError(f"invalid timestamp for field {name!r}: {value!r}")
         try:
             return datetime.datetime.strptime(value, "%Y-%m-%d %H:%M:%S")
         except ValueError as e:
             raise ParseError(f"invalid timestamp for field {name!r}: {value!r}") from e
     if isinstance(dtype, T.DateType):
+        if not _DATE_RE.match(value):
+            raise ParseError(f"invalid date for field {name!r}: {value!r}")
         try:
             return datetime.datetime.strptime(value, "%Y-%m-%d").date()
         except ValueError as e:
@@ -128,8 +145,14 @@ class CsvCodec:
         """One wire line → one typed row tuple.
 
         Bare comma split, exact arity, empty value = error (not NULL) —
-        reference: csv.rs:94, :102-108, :116-121.
+        reference: csv.rs:94, :102-108, :116-121. Embedded line endings
+        are out of contract for the line-based wire (one message = one
+        line), rejected identically by every decode path.
         """
+        if "\n" in line or "\r" in line:
+            raise ParseError(
+                "payload embeds a line ending (\\n/\\r), which the line-based wire forbids"
+            )
         values = line.split(",")
         if len(values) != len(self.schema.fields):
             raise ParseError(
@@ -220,90 +243,221 @@ def decode_lines(
     return out.select(*[f.name for f in schema.fields], "_corrupt")
 
 
-def decode_payloads_arrow(payloads: list[bytes], schema: T.StructType):
-    """Vectorized typed decode: payload lines → Arrow RecordBatches.
+def _arrow_type(dtype: T.DataType):
+    import pyarrow as pa
+
+    if isinstance(dtype, T.IntegerType):
+        return pa.int32()
+    if isinstance(dtype, T.DoubleType):
+        return pa.float64()
+    if isinstance(dtype, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dtype, T.TimestampType):
+        return pa.timestamp("us")
+    if isinstance(dtype, T.DateType):
+        return pa.date32()
+    return pa.string()
+
+
+def decode_payloads_arrow_indexed(
+    payloads: list[bytes],
+    schema: T.StructType,
+    mode: str = "failfast",
+    on_invalid=None,
+):
+    """Vectorized typed decode with per-payload verdicts: payload lines →
+    (pyarrow.Table of the VALID rows, list of valid payload indices).
 
     Semantics mirror :meth:`CsvCodec.parse_line` exactly (bare comma
-    split, no quoting, exact arity, empty value = error-not-NULL,
-    ``true|1|false|0`` booleans, ``%Y-%m-%d %H:%M:%S`` timestamps,
-    ``%Y-%m-%d`` dates) but the hot loop is pyarrow's C++ CSV reader plus
-    pyarrow.compute kernels — no Python per row. Pinned against the row
-    codec by a hypothesis differential test. Returns a list of
-    RecordBatches (empty for no payloads); raises :class:`ParseError` on
-    the first malformed message (failfast contract).
+    split, no quoting, exact arity, empty value = error-not-NULL, strict
+    numeric/temporal grammars — the same regexes as ``_parse_value`` /
+    ``decode_lines``, ``true|1|false|0`` booleans) but the hot loop is
+    pyarrow's C++ CSV reader plus pyarrow.compute kernels — no Python per
+    row. A payload containing ``\\n`` or ``\\r`` is rejected up front:
+    the line-based wire forbids embedded line endings, and arrow's CSV
+    reader would otherwise silently split/strip them (a trailing ``\\n``
+    must be a loud error, not a silent trim).
+
+    Error modes (the same three as the row path, reference A10):
+
+    - ``failfast`` — raise :class:`ParseError` on the first malformed
+      message;
+    - ``permissive-skip`` — malformed payloads are dropped (their indices
+      are simply absent from the returned index list);
+    - ``dlq`` — like permissive-skip, but ``on_invalid(payload)`` is
+      called for every malformed payload so the caller can re-publish it
+      to a dead-letter subject.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.csv as pacsv
 
     validate_schema(schema)
-    if not payloads:
-        return []
+    if mode not in ("failfast", "permissive-skip", "dlq"):
+        raise CodecError(f"unknown mode: {mode}")
     names = [f.name for f in schema.fields]
-    # int/double convert natively in the CSV reader (a failed convert is a
-    # loud ArrowInvalid); everything else arrives as string and converts
-    # with the exact reference rules below
-    col_types = {
-        f.name: pa.int32()
-        if isinstance(f.dataType, T.IntegerType)
-        else pa.float64()
-        if isinstance(f.dataType, T.DoubleType)
-        else pa.string()
-        for f in schema.fields
-    }
+    empty = pa.table(
+        {f.name: pa.array([], type=_arrow_type(f.dataType)) for f in schema.fields}
+    )
+    if not payloads:
+        return empty, []
+
+    def _invalid(i: int, msg: str):
+        if mode == "failfast":
+            raise ParseError(msg)
+        if on_invalid is not None:
+            on_invalid(payloads[i])
+
+    # 1. line-structure gate: one message = one line, so \n/\r inside a
+    # payload is out of contract (not merely "decodes to extra rows")
+    kept: list[int] = []
+    for i, p in enumerate(payloads):
+        if b"\n" in p or b"\r" in p:
+            _invalid(i, "payload embeds a line ending (\\n/\\r), which the line-based wire forbids")
+        else:
+            kept.append(i)
+    if not kept:
+        return empty, []
+
+    # 2. arity gate: parse everything as strings; rows with the wrong
+    # field count are diverted to the invalid-row handler
+    n_skipped = 0
+
+    def _skip_row(row):
+        nonlocal n_skipped
+        n_skipped += 1
+        return "skip"
+
     try:
         table = pacsv.read_csv(
-            pa.BufferReader(b"\n".join(payloads)),
+            pa.BufferReader(b"\n".join(payloads[i] for i in kept)),
             read_options=pacsv.ReadOptions(column_names=names),
             parse_options=pacsv.ParseOptions(
                 delimiter=",",
                 quote_char=False,
                 escape_char=False,
                 ignore_empty_lines=False,
+                invalid_row_handler=_skip_row,
             ),
             convert_options=pacsv.ConvertOptions(
-                column_types=col_types,
+                column_types={n: pa.string() for n in names},
                 null_values=[],  # "" is never NULL on this wire
                 strings_can_be_null=False,
             ),
         ).combine_chunks()
     except pa.ArrowInvalid as e:
         raise ParseError(f"arrow decode failed: {e}") from e
-    if table.num_rows != len(payloads):
-        raise ParseError(
-            f"{len(payloads)} payloads decoded to {table.num_rows} rows — "
-            "a payload embeds a newline, which the line-based wire forbids"
-        )
+    if n_skipped:
+        # map surviving rows back to payload indices: with no quoting the
+        # comma count alone determines arity (C-level bytes.count — only
+        # paid on the rare wrong-arity path)
+        want = len(names) - 1
+        good, bad = [], []
+        for i in kept:
+            (good if payloads[i].count(b",") == want else bad).append(i)
+        for i in bad:
+            _invalid(
+                i,
+                f"field count {payloads[i].count(b',') + 1} does not match "
+                f"schema arity {len(names)}",
+            )
+        kept = good
+        if table.num_rows != len(kept):  # pragma: no cover - paranoia guard
+            raise ParseError(
+                f"{len(kept)} arity-valid payloads decoded to {table.num_rows} rows"
+            )
+    if not kept:
+        return empty, []
+
+    # 3. per-field typed conversion with validity masks (all compute
+    # kernels; the strict grammars are the row codec's regexes)
+    row_ok = None
     cols = []
     for f in schema.fields:
         col = table.column(f.name)
-        if isinstance(f.dataType, (T.IntegerType, T.DoubleType)):
-            cols.append(col)
-            continue
-        if table.num_rows and pc.any(pc.equal(col, "")).as_py():
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nonempty = pc.not_equal(col, "")
+        if mode == "failfast" and not pc.all(nonempty).as_py():
             raise ParseError(f"empty value for field {f.name!r}")
-        if isinstance(f.dataType, T.BooleanType):
+        valid = nonempty
+        if isinstance(f.dataType, T.IntegerType):
+            shaped = pc.match_substring_regex(col, _INT_RE.pattern)
+            # bound digits first so the int64 cast below can't overflow-abort
+            shaped = pc.and_(shaped, pc.less_equal(pc.utf8_length(col), 11))
+            as64 = pc.if_else(shaped, col, pa.scalar(None, pa.string())).cast(pa.int64())
+            in_range = pc.and_(
+                pc.greater_equal(as64, pa.scalar(-(2**31), pa.int64())),
+                pc.less(as64, pa.scalar(2**31, pa.int64())),
+            )
+            shaped = pc.and_(shaped, pc.fill_null(in_range, False))
+            if mode == "failfast" and not pc.all(shaped).as_py():
+                raise ParseError(f"invalid integer for field {f.name!r}")
+            valid = pc.and_(valid, shaped)
+            out = pc.if_else(pc.fill_null(in_range, False), as64, pa.scalar(None, pa.int64())).cast(pa.int32())
+        elif isinstance(f.dataType, T.DoubleType):
+            shaped = pc.match_substring_regex(col, _FLOAT_RE.pattern)
+            if mode == "failfast" and not pc.all(shaped).as_py():
+                raise ParseError(f"invalid float for field {f.name!r}")
+            valid = pc.and_(valid, shaped)
+            out = pc.if_else(shaped, col, pa.scalar(None, pa.string())).cast(pa.float64())
+        elif isinstance(f.dataType, T.BooleanType):
             low = pc.utf8_lower(col)
             is_true = pc.is_in(low, value_set=pa.array(["true", "1"]))
             is_false = pc.is_in(low, value_set=pa.array(["false", "0"]))
-            if table.num_rows and not pc.all(pc.or_(is_true, is_false)).as_py():
+            shaped = pc.or_(is_true, is_false)
+            if mode == "failfast" and not pc.all(shaped).as_py():
                 raise ParseError(f"invalid boolean for field {f.name!r}")
-            cols.append(is_true)
+            valid = pc.and_(valid, shaped)
+            out = is_true
         elif isinstance(f.dataType, T.TimestampType):
-            try:
-                cols.append(pc.strptime(col, format="%Y-%m-%d %H:%M:%S", unit="us"))
-            except pa.ArrowInvalid as e:
-                raise ParseError(f"invalid timestamp for field {f.name!r}") from e
+            shaped = pc.match_substring_regex(col, _TS_RE.pattern)
+            clean = pc.if_else(shaped, col, pa.scalar(None, pa.string()))
+            out = pc.strptime(clean, format="%Y-%m-%d %H:%M:%S", unit="us", error_is_null=True)
+            # regex-shaped but non-calendar values (month 13) null out here
+            shaped = pc.and_(shaped, out.is_valid())
+            if mode == "failfast" and not pc.all(shaped).as_py():
+                raise ParseError(f"invalid timestamp for field {f.name!r}")
+            valid = pc.and_(valid, shaped)
         elif isinstance(f.dataType, T.DateType):
-            try:
-                cols.append(
-                    pc.strptime(col, format="%Y-%m-%d", unit="s").cast(pa.date32())
-                )
-            except pa.ArrowInvalid as e:
-                raise ParseError(f"invalid date for field {f.name!r}") from e
+            shaped = pc.match_substring_regex(col, _DATE_RE.pattern)
+            clean = pc.if_else(shaped, col, pa.scalar(None, pa.string()))
+            out = pc.strptime(clean, format="%Y-%m-%d", unit="s", error_is_null=True)
+            shaped = pc.and_(shaped, out.is_valid())
+            if mode == "failfast" and not pc.all(shaped).as_py():
+                raise ParseError(f"invalid date for field {f.name!r}")
+            valid = pc.and_(valid, shaped)
+            out = out.cast(pa.date32())
         else:  # StringType
-            cols.append(col)
-    return pa.table(cols, names=names).to_batches()
+            out = col
+        cols.append(out)
+        row_ok = valid if row_ok is None else pc.and_(row_ok, valid)
+
+    typed = pa.table(cols, names=names)
+    if pc.all(row_ok).as_py():
+        return typed, kept
+    # permissive-skip / dlq: keep valid rows, route the rest
+    mask = row_ok.to_pylist()
+    for j, ok in enumerate(mask):
+        if not ok:
+            _invalid(kept[j], "malformed message")
+    return typed.filter(row_ok), [i for j, i in enumerate(kept) if mask[j]]
+
+
+def decode_payloads_arrow(
+    payloads: list[bytes],
+    schema: T.StructType,
+    mode: str = "failfast",
+    on_invalid=None,
+):
+    """Vectorized typed decode: payload lines → Arrow RecordBatches (the
+    batch-iterator facade over :func:`decode_payloads_arrow_indexed`;
+    empty list for no payloads / no valid rows). Pinned against the row
+    codec by a hypothesis differential test."""
+    table, _ = decode_payloads_arrow_indexed(payloads, schema, mode, on_invalid)
+    if table.num_rows == 0:
+        return []
+    return table.to_batches()
 
 
 def _infer_value_type(value: str) -> T.DataType:

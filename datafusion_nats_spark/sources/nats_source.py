@@ -239,17 +239,15 @@ class _OptionsMixin:
         return int(self._opt("numpartitions", "1"))
 
     def _decode_arrow(self, payloads: list[bytes]):
-        """Shared decode=arrow guardrails + dispatch (batch and streaming
-        readers): failfast-only — the error modes need per-row verdicts,
-        which the batched C++ parse deliberately does not produce."""
-        if self.mode != "failfast":
-            raise CodecError(
-                "decode=arrow is failfast-only; use the typed row path for "
-                "mode=permissive-skip/dlq (per-row error routing)"
-            )
+        """Shared decode=arrow dispatch (batch and streaming readers).
+        All three error modes compose with the vectorized path: per-row
+        verdicts come from the codec's validity masks, and mode=dlq routes
+        malformed payloads through the same publisher as the row path."""
         from datafusion_nats_spark.codec import decode_payloads_arrow
 
-        yield from decode_payloads_arrow(payloads, self.codec.schema)
+        yield from decode_payloads_arrow(
+            payloads, self.codec.schema, self.mode, self._dlq_publisher()
+        )
 
     @property
     def ingest(self) -> str:
@@ -283,11 +281,11 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
         self.options = {k.lower(): v for k, v in options.items()}
         data_schema = schema
         if self.include_metadata:
-            if self._opt("decode") in ("raw", "arrow"):
+            if self._opt("decode") == "raw":
                 raise CodecError(
-                    "includeMetadata composes with the typed ROW decode "
-                    "path; the raw/arrow vectorized paths carry no "
-                    "per-message provenance pairing"
+                    "includeMetadata composes with the typed decode paths "
+                    "(row or arrow); the raw path defers ALL decoding to "
+                    "JVM expressions and carries no per-message pairing"
                 )
             names = [f.name for f in schema.fields]
             want = [n for n, _ in self.META_FIELDS]
@@ -477,8 +475,39 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
             if self._row_passes(full):
                 yield full
 
+    def _read_arrow_with_metadata(self, partition):
+        """Vectorized typed decode + provenance: the partition's payloads
+        parse in one pyarrow.csv call and the (subject, offset) pairs zip
+        on as two extra Arrow columns, filtered by the codec's per-row
+        validity indices so offsets stay correct when malformed messages
+        are dropped/routed (same pairing contract as the row path)."""
+        import pyarrow as pa
+
+        from datafusion_nats_spark.codec import decode_payloads_arrow_indexed
+
+        if isinstance(partition, NatsOffsetRangePartition):
+            payloads = self._payloads_of(partition)
+            records = [
+                (partition.subject, partition.start + i, p)
+                for i, p in enumerate(payloads)
+            ]
+        else:
+            records = partition.records
+        table, idx = decode_payloads_arrow_indexed(
+            [r[2] for r in records], self.codec.schema, self.mode, self._dlq_publisher()
+        )
+        if table.num_rows == 0:
+            return
+        full = table.append_column(
+            "_subject", pa.array([records[i][0] for i in idx], pa.string())
+        ).append_column("_offset", pa.array([records[i][1] for i in idx], pa.int64()))
+        yield from full.to_batches()
+
     def read(self, partition):  # executor-side (ingest and/or decode)
         if self.include_metadata:
+            if self._opt("decode") == "arrow":
+                yield from self._read_arrow_with_metadata(partition)
+                return
             yield from self._read_with_metadata(partition)
             return
         payloads = self._payloads_of(partition)
@@ -692,7 +721,7 @@ def _encode_value(v) -> str:
     if isinstance(v, datetime.date):
         return v.isoformat()
     s = str(v)
-    if "," in s or s == "":
+    if "," in s or s == "" or "\n" in s or "\r" in s:
         raise CodecError(f"value not representable in the no-quoting wire format: {s!r}")
     return s
 

@@ -79,11 +79,14 @@ class MiniNatsClient:
         self._sock = socket.create_connection(
             (self.host, self.port), timeout=self.timeout_s
         )
-        # the reader blocks on recv; a socket timeout would tear down idle
-        # subscriptions, so switch to blocking mode after connect
-        self._sock.settimeout(None)
         self._rfile = self._sock.makefile("rb")
-        line = self._rfile.readline()
+        # The whole handshake runs under timeout_s: a TCP service that
+        # accepts but never writes (which a connect-only reachability probe
+        # cannot exclude) must fail loudly here, never hang a Spark task.
+        try:
+            line = self._rfile.readline()
+        except TimeoutError as e:
+            raise NatsWireError("timed out waiting for server INFO") from e
         if not line.upper().startswith(b"INFO "):
             raise NatsWireError(f"expected INFO, got {line[:80]!r}")
         self.server_info = json.loads(line[5:].strip() or b"{}")
@@ -96,10 +99,28 @@ class MiniNatsClient:
             "version": "0.1",
             "protocol": 0,
         }
+        self._send(b"CONNECT " + json.dumps(opts).encode() + b"\r\nPING\r\n")
+        try:
+            while True:  # inline PONG wait — bounded by the socket timeout
+                line = self._rfile.readline()
+                if not line:
+                    raise NatsWireError("connection closed during handshake")
+                upper = line.strip().upper()
+                if upper == b"PONG":
+                    break
+                if upper == b"PING":
+                    self._send(b"PONG\r\n")
+                elif upper.startswith(b"-ERR"):
+                    raise NatsWireError(line.strip().decode(errors="replace"))
+                # +OK / async INFO: ignore
+        except TimeoutError as e:
+            raise NatsWireError("handshake timed out waiting for PONG") from e
+        # handshake done — the reader thread blocks on recv; a socket
+        # timeout would tear down idle subscriptions, so only NOW switch
+        # to blocking mode
+        self._sock.settimeout(None)
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
-        self._send(b"CONNECT " + json.dumps(opts).encode() + b"\r\n")
-        self.flush()  # PING/PONG round trip completes the handshake
         return self
 
     def close(self) -> None:
@@ -220,7 +241,7 @@ class MiniNatsClient:
 
 
 class _ServerSub:
-    __slots__ = ("conn", "sid", "subject", "group", "remaining")
+    __slots__ = ("conn", "sid", "subject", "group", "remaining", "delivered")
 
     def __init__(self, conn, sid, subject, group):
         self.conn = conn
@@ -228,6 +249,7 @@ class _ServerSub:
         self.subject = subject
         self.group = group
         self.remaining: int | None = None  # UNSUB <sid> <max> auto-expiry
+        self.delivered = 0  # total MSGs sent on this sid (auto-unsub counts these)
 
 
 class MiniNatsServer:
@@ -379,7 +401,12 @@ class MiniNatsServer:
                                 if max_msgs is None:
                                     self._subs.remove(s)
                                 else:
-                                    s.remaining = max_msgs
+                                    # real nats-server counts TOTAL deliveries
+                                    # on the sid toward <max>, including those
+                                    # before the UNSUB arrived
+                                    s.remaining = max_msgs - s.delivered
+                                    if s.remaining <= 0:
+                                        self._subs.remove(s)
                                 break
                     if verbose:
                         send(b"+OK\r\n")
@@ -433,6 +460,7 @@ class MiniNatsServer:
                 self._rr[key] = cursor + 1
             expired = []
             for s in chosen:
+                s.delivered += 1
                 if s.remaining is not None:
                     s.remaining -= 1
                     if s.remaining <= 0:

@@ -246,3 +246,114 @@ def test_arrow_decode_preserves_whitespace_in_strings():
     got = [r["s"] for b in decode_payloads_arrow([b" a b "], s) for r in b.to_pylist()]
     assert got == [" a b "]
     assert CsvCodec(s).parse_line(" a b ") == (" a b ",)
+
+
+def test_arrow_decode_rejects_line_endings_up_front():
+    """A trailing \\n on the LAST payload and a lone \\r must be loud
+    ParseErrors, never silently stripped by arrow's CSV line handling
+    (the post-hoc row-count check misses both)."""
+    import pytest
+
+    from datafusion_nats_spark.codec import decode_payloads_arrow
+
+    two = T.StructType(
+        [T.StructField("a", T.IntegerType(), False), T.StructField("s", T.StringType(), False)]
+    )
+    for bad in [b"1,x\n", b"1,x\r", b"1,x\r\n", b"1,x\ry", b"\n", b"1,x\n2,y"]:
+        with pytest.raises(ParseError, match="line ending|forbids"):
+            decode_payloads_arrow([bad], two)
+        with pytest.raises(ParseError):
+            decode_payloads_arrow([b"2,ok", bad], two)
+
+
+def test_strict_wire_grammar_parity_all_paths():
+    """Exotic encodings Python's int()/float()/strptime would accept but
+    the wire grammar forbids must be rejected by BOTH decode paths:
+    underscores in numbers, whitespace padding, non-zero-padded temporal
+    fields, out-of-Int32-range integers."""
+    import pytest
+
+    from datafusion_nats_spark.codec import decode_payloads_arrow
+
+    cases = [
+        (T.IntegerType(), ["1_0", " 5", "5 ", "+ 1", "0x10", "2147483648", "-2147483649", "99999999999999999999"]),
+        (T.DoubleType(), ["1_0.5", " 1.5", "1,5", "nan", "inf", "1.5d"]),
+        (T.TimestampType(), ["2024-1-2 03:04:05", "2024-01-02T03:04:05", "2024-01-02 3:04:05"]),
+        (T.DateType(), ["2024-1-2", "2024/01/02", "20240102"]),
+    ]
+    for dtype, values in cases:
+        schema = T.StructType([T.StructField("x", dtype, False)])
+        codec = CsvCodec(schema)
+        for v in values:
+            with pytest.raises(ParseError):
+                codec.parse_line(v)
+            with pytest.raises(ParseError):
+                decode_payloads_arrow([v.encode()], schema)
+    # Int32 boundary values themselves are valid on both paths
+    edge = T.StructType([T.StructField("x", T.IntegerType(), False)])
+    assert CsvCodec(edge).parse_line("2147483647") == (2147483647,)
+    assert CsvCodec(edge).parse_line("-2147483648") == (-2147483648,)
+    got = [r["x"] for b in decode_payloads_arrow([b"2147483647", b"-2147483648"], edge) for r in b.to_pylist()]
+    assert got == [2147483647, -2147483648]
+
+
+def test_arrow_decode_indexed_permissive_and_dlq():
+    """The indexed variant returns exactly the surviving payload indices;
+    dlq mode hands every malformed payload (structural, arity, value) to
+    the on_invalid hook."""
+    from datafusion_nats_spark.codec import decode_payloads_arrow_indexed
+
+    two = T.StructType(
+        [T.StructField("a", T.IntegerType(), False), T.StructField("s", T.StringType(), False)]
+    )
+    payloads = [b"1,x", b"bad", b"2,y", b"z,zz", b"3,w\n", b"4,ok", b"5,"]
+    table, idx = decode_payloads_arrow_indexed(payloads, two, mode="permissive-skip")
+    assert idx == [0, 2, 5]
+    assert table.to_pylist() == [
+        {"a": 1, "s": "x"},
+        {"a": 2, "s": "y"},
+        {"a": 4, "s": "ok"},
+    ]
+    dead: list[bytes] = []
+    table, idx = decode_payloads_arrow_indexed(payloads, two, mode="dlq", on_invalid=dead.append)
+    assert idx == [0, 2, 5]
+    assert sorted(dead) == sorted([b"bad", b"z,zz", b"3,w\n", b"5,"])
+    # all-invalid and empty inputs return a typed empty table
+    table, idx = decode_payloads_arrow_indexed([b"bad"], two, mode="permissive-skip")
+    assert table.num_rows == 0 and idx == []
+    table, idx = decode_payloads_arrow_indexed([], two, mode="permissive-skip")
+    assert table.num_rows == 0 and idx == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(ROW, st.sampled_from(["ARITY", "BADINT", "NEWLINE"])), max_size=15))
+def test_arrow_permissive_matches_row_permissive(rows):
+    """Differential: for a mixed stream of valid rows and malformed
+    payloads, decode=arrow permissive-skip must keep EXACTLY the rows the
+    row codec keeps, in order."""
+    from datafusion_nats_spark.codec import decode_payloads_arrow
+
+    payloads = []
+    for r in rows:
+        if r == "ARITY":
+            payloads.append(b"only-one-field")
+        elif r == "BADINT":
+            payloads.append(b"x_y,1.0,true,s,2024-01-01 00:00:00,2024-01-01")
+        elif r == "NEWLINE":
+            payloads.append(b"1,1.0,true,s\nt,2024-01-01 00:00:00,2024-01-01")
+        else:
+            payloads.append(",".join(_encode_value(v) for v in r).encode())
+    codec = CsvCodec(SCHEMA)
+    want = []
+    for p in payloads:
+        try:
+            want.append(codec.parse_line(p.decode()))
+        except ParseError:
+            continue
+    batches = decode_payloads_arrow(payloads, SCHEMA, mode="permissive-skip")
+    got = [
+        tuple(rec[f.name] for f in SCHEMA.fields)
+        for b in batches
+        for rec in b.to_pylist()
+    ]
+    assert got == want

@@ -95,12 +95,14 @@ def test_failfast_mode_raises(spark, broker):
         _read(spark, "bad").collect()
 
 
-def test_permissive_skip_mode(spark, broker):
+@pytest.mark.parametrize("decode", [None, "arrow"])
+def test_permissive_skip_mode(spark, broker, decode):
     broker.publish("mixed", b"1,ok")
     broker.publish("mixed", b"nope")  # bad arity — skipped
     broker.publish("mixed", b"x,bad-int")  # bad int — skipped
     broker.publish("mixed", b"2,fine")
-    rows = _read(spark, "mixed", mode="permissive-skip").collect()
+    opts = {"decode": decode} if decode else {}
+    rows = _read(spark, "mixed", mode="permissive-skip", **opts).collect()
     assert [(r.id, r.name) for r in rows] == [(1, "ok"), (2, "fine")]
 
 
@@ -419,16 +421,19 @@ def test_multi_subject_rejected_for_streaming(spark, broker):
             q.stop()
 
 
-def test_dlq_mode_routes_bad_messages(spark, broker):
+@pytest.mark.parametrize("decode", [None, "arrow"])
+def test_dlq_mode_routes_bad_messages(spark, broker, decode):
     """mode=dlq: malformed messages land on a dead-letter subject instead
     of being dropped (permissive-skip) or failing the query (failfast) —
     the production-grade form of the reference's log-and-continue error
-    path (executor.rs:140-145)."""
+    path (executor.rs:140-145). Both the row path and the vectorized
+    decode=arrow path route identically."""
     broker.publish("dlqsrc", b"1,ok")
     broker.publish("dlqsrc", b"oops")          # bad arity
     broker.publish("dlqsrc", b"x,bad-int")     # bad int
     broker.publish("dlqsrc", b"2,fine")
-    df = _read(spark, "dlqsrc", mode="dlq")
+    opts = {"decode": decode} if decode else {}
+    df = _read(spark, "dlqsrc", mode="dlq", **opts)
     assert sorted((r.id, r.name) for r in df.collect()) == [(1, "ok"), (2, "fine")]
     dead = broker.fetch("dlqsrc.dlq", 0)
     assert sorted(dead) == [b"oops", b"x,bad-int"]
@@ -661,7 +666,8 @@ def test_wildcard_subject_executor_ingest(spark, broker):
     assert sorted(r.id for r in rows) == [1, 2, 3, 4]
 
 
-def test_metadata_columns_batch(spark, broker):
+@pytest.mark.parametrize("decode", [None, "arrow"])
+def test_metadata_columns_batch(spark, broker, decode):
     import pyspark.sql.types as T
 
     broker.publish("meta.a", b"1,x")
@@ -674,20 +680,22 @@ def test_metadata_columns_batch(spark, broker):
             T.StructField("_offset", T.LongType()),
         ]
     )
-    rows = (
+    reader = (
         spark.read.format("nats")
         .schema(schema)
         .option("url", "memory://test")
         .option("subject", "meta.a,meta.b")
         .option("includeMetadata", "true")
-        .load()
-        .collect()
     )
+    if decode:
+        reader = reader.option("decode", decode)
+    rows = reader.load().collect()
     got = sorted((r.id, r._subject, r._offset) for r in rows)
     assert got == [(1, "meta.a", 0), (2, "meta.a", 1), (3, "meta.b", 0)]
 
 
-def test_metadata_columns_executor_ingest_offsets(spark, broker):
+@pytest.mark.parametrize("decode", [None, "arrow"])
+def test_metadata_columns_executor_ingest_offsets(spark, broker, decode):
     import pyspark.sql.types as T
 
     for i in range(6):
@@ -699,7 +707,7 @@ def test_metadata_columns_executor_ingest_offsets(spark, broker):
             T.StructField("_offset", T.LongType()),
         ]
     )
-    rows = (
+    reader = (
         spark.read.format("nats")
         .schema(schema)
         .option("url", "memory://test")
@@ -707,11 +715,45 @@ def test_metadata_columns_executor_ingest_offsets(spark, broker):
         .option("includeMetadata", "true")
         .option("ingest", "executor")
         .option("numPartitions", "3")
-        .load()
-        .collect()
     )
+    if decode:
+        reader = reader.option("decode", decode)
+    rows = reader.load().collect()
     assert sorted((r.id, r._offset) for r in rows) == [(i, i) for i in range(6)]
     assert {r._subject for r in rows} == {"meta.ex"}
+
+
+@pytest.mark.parametrize("decode", [None, "arrow"])
+def test_metadata_offsets_stay_correct_under_error_skips(spark, broker, decode):
+    """When malformed messages are dropped (permissive-skip), the
+    surviving rows keep their ORIGINAL log offsets — the pairing happens
+    before the skip on both the row and the vectorized arrow path."""
+    import pyspark.sql.types as T
+
+    broker.publish("meta.skip", b"0,a")
+    broker.publish("meta.skip", b"broken")       # offset 1 — dropped
+    broker.publish("meta.skip", b"2,c")
+    broker.publish("meta.skip", b"x,bad-int")    # offset 3 — dropped
+    broker.publish("meta.skip", b"4,e")
+    schema = T.StructType(
+        KV_SCHEMA.fields
+        + [
+            T.StructField("_subject", T.StringType()),
+            T.StructField("_offset", T.LongType()),
+        ]
+    )
+    reader = (
+        spark.read.format("nats")
+        .schema(schema)
+        .option("url", "memory://test")
+        .option("subject", "meta.skip")
+        .option("includeMetadata", "true")
+        .option("mode", "permissive-skip")
+    )
+    if decode:
+        reader = reader.option("decode", decode)
+    rows = reader.load().collect()
+    assert sorted((r.id, r._offset) for r in rows) == [(0, 0), (2, 2), (4, 4)]
 
 
 def test_metadata_requires_trailing_meta_fields(spark, broker):
@@ -907,19 +949,26 @@ def test_batch_decode_arrow_matches_row_path(spark, broker):
     assert rd(decode="arrow", numPartitions="2") == rd()
 
 
-def test_decode_arrow_is_failfast_only(spark, broker):
-    broker.publish("arrow.ff", b"1,1.5,true,apple,2024-01-01 10:00:00,2024-01-01")
+def test_decode_arrow_permissive_skip_all_types(spark, broker):
+    """decode=arrow + mode=permissive-skip: per-row validity masks drop
+    exactly the malformed messages across every field type, keeping the
+    rest of the batch."""
+    broker.publish("arrow.ps", TYPED_ROWS[0])
+    broker.publish("arrow.ps", b"1,1.5,maybe,apple,2024-01-01 10:00:00,2024-01-01")  # bool
+    broker.publish("arrow.ps", TYPED_ROWS[1])
+    broker.publish("arrow.ps", b"1,1.5,true,apple,2024-13-01 10:00:00,2024-01-01")  # month 13
+    broker.publish("arrow.ps", b"1,1.5,true,apple,2024-01-01 10:00:00\n")  # embedded newline
+    broker.publish("arrow.ps", TYPED_ROWS[2])
     df = (
         spark.read.format("nats")
         .schema(TYPED_SCHEMA)
         .option("url", "memory://test")
-        .option("subject", "arrow.ff")
+        .option("subject", "arrow.ps")
         .option("decode", "arrow")
         .option("mode", "permissive-skip")
         .load()
     )
-    with pytest.raises(Exception, match="failfast-only"):
-        df.collect()
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
 
 
 def test_decode_arrow_failfast_surfaces_parse_error(spark, broker):
