@@ -31,6 +31,19 @@ BAND_SIZE = 3  # rows per LSH band → 4 bands
 N_BANDS = N_HASHES // BAND_SIZE
 SHINGLE_W = 3  # words per shingle
 MAX_DF = 50  # shingle document-frequency cap
+# Max docs per (band_id, band_key) bucket entering any pair join: a bucket
+# of N docs yields N²/2 candidate pairs, the classic web-corpus blowup on
+# near-dup mega-clusters. For the FULL-corpus ops the df-cap already
+# implies buckets ≤ MAX_DF (same band_key ⟹ same argmin shingles ⟹ those
+# shingles live in every bucket member, so their df ≥ bucket size — and
+# df > MAX_DF is banned), making the cap a no-op there; it is LOAD-BEARING
+# on the incremental paths, where the banned list predates the batch and a
+# batch-internal boilerplate shingle (huge batch-df, tiny corpus-df) is
+# not banned. Recall trade: docs ranked past the cap in an over-sized
+# bucket lose that bucket's candidates — over-cap buckets are
+# overwhelmingly exact-duplicate clusters, so run exact dedup
+# (dedup_exact) first, as the pipeline operators do.
+BUCKET_CAP = 64
 
 
 def _norm_text():
@@ -114,13 +127,35 @@ _LSH_BANDED_DUCK = f"""
       SELECT doc_id, k, min((h1 + k * h2) % {MH_MOD}) AS mh
       FROM halves, range({N_HASHES}) t(k)
       GROUP BY doc_id, k
-    ), banded AS (
+    ), banded_all AS (
       SELECT doc_id, k // {BAND_SIZE} AS band_id,
              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS band_key
       FROM hashed
       GROUP BY doc_id, k // {BAND_SIZE}
+    ), banded AS (
+      SELECT doc_id, band_id, band_key FROM (
+        SELECT *, row_number() OVER (PARTITION BY band_id, band_key
+                                     ORDER BY doc_id) AS _rk
+        FROM banded_all
+      ) WHERE _rk <= {BUCKET_CAP}
     )
 """
+
+
+def _cap_buckets(banded: DataFrame) -> DataFrame:
+    """Bound every (band_id, band_key) bucket to its BUCKET_CAP lowest
+    doc_ids before the pair join (see the BUCKET_CAP comment): a
+    partitioned row_number — partitioned by the bucket key, so no global
+    sort — and a filter. The degenerate-bucket guard that keeps candidate
+    generation O(cap²·buckets) instead of O(cluster²) at 100 TB."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("band_id", "band_key").orderBy("doc_id")
+    return (
+        banded.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= BUCKET_CAP)
+        .drop("_rk")
+    )
 
 
 def _banded_signatures(capped: DataFrame) -> DataFrame:
@@ -210,7 +245,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the partial aggregate — map-side cost is 1 hash + 12 integer
     # ops per shingle, and the rows through the shuffle stay 1× the
     # shingle count (not N_HASHES×).
-    banded = _banded_signatures(capped)
+    banded = _cap_buckets(_banded_signatures(capped))
     # The signature table feeds both sides of the candidate self-join;
     # persist it so the shingle→hash pipeline isn't executed twice (at
     # cluster scale this is a checkpoint of a table ~n_docs × n_bands —
@@ -673,11 +708,17 @@ def _incremental_oracle() -> str:
       SELECT doc_id, k, min((h1 + k * h2) % {MH_MOD}) AS mh
       FROM halves, range({N_HASHES}) t(k)
       GROUP BY doc_id, k
-    ), banded AS (
+    ), banded_all AS (
       SELECT doc_id, k // {BAND_SIZE} AS band_id,
              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS band_key
       FROM hashed
       GROUP BY doc_id, k // {BAND_SIZE}
+    ), banded AS (
+      SELECT doc_id, band_id, band_key FROM (
+        SELECT *, row_number() OVER (PARTITION BY band_id, band_key
+                                     ORDER BY doc_id) AS _rk
+        FROM banded_all
+      ) WHERE _rk <= {BUCKET_CAP}
     ), coll AS (
       SELECT n.doc_id AS new_doc,
              count(DISTINCT o.doc_id) AS n_matches,
@@ -731,7 +772,11 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     capped = shingled.join(F.broadcast(banned), "shingle", "left_anti")
-    banded = _banded_signatures(capped).persist()
+    # The cap binds HERE: the banned list predates the batch, so a
+    # batch-internal mega-cluster sails past the df guard — without the
+    # bucket cap, 500 near-identical new docs × up-to-MAX_DF old docs in
+    # one bucket is the N×M candidate blowup.
+    banded = _cap_buckets(_banded_signatures(capped)).persist()
     new_b = banded.filter(is_new).alias("n")
     old_b = banded.filter(~is_new).alias("o")
     coll = (

@@ -468,6 +468,7 @@ def incremental_dedup_apply(index_base: str, results_dir: str):
     """
     from datafusion_nats_spark.extensions.dedup import (
         _banded_signatures,
+        _cap_buckets,
         _shingles_spark,
     )
 
@@ -494,8 +495,10 @@ def incremental_dedup_apply(index_base: str, results_dir: str):
             "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
         )
         # micro-batches are far below the df-cap scale; in production the
-        # index ships its banned-shingle list and it anti-joins here
-        banded = _banded_signatures(shingled).persist()
+        # index ships its banned-shingle list and it anti-joins here. The
+        # bucket cap still applies: a burst of near-identical messages in
+        # one micro-batch must not explode the index probe join.
+        banded = _cap_buckets(_banded_signatures(shingled)).persist()
         index = sp.read.parquet(index_base + str(_base_version(epoch_id)))
         coll = (
             banded.alias("n")

@@ -534,3 +534,80 @@ def test_approx_count_distinct_error_regime(spark, sf_dir):
     ).collect()[0]["e"]
     assert est != 0
     assert abs(est - truth) <= max(0.06 * truth, 1), (est, truth)
+
+
+def test_lsh_bucket_cap_bounds_mega_cluster(spark, tmp_path_factory):
+    """Plant a 500-doc near-dup mega-cluster in the NEW batch against 40
+    old-corpus copies of the same text: the batch-internal cluster evades
+    the df>MAX_DF ban (the banned list is computed from the OLD corpus
+    only, where df=40), so without the bucket cap one (band_id, band_key)
+    bucket holds all 540 docs and the probe join goes quadratic. The cap
+    must bound every bucket to BUCKET_CAP and the capped semantics must
+    still hash-match the DuckDB oracle (the one regime the shipped
+    testdata never reaches)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_nats_spark.extensions.dedup import (
+        BUCKET_CAP,
+        _banded_signatures,
+        _cap_buckets,
+        _shingles_spark,
+        dedup_incremental_new_batch,
+    )
+    from datafusion_nats_spark.registry import REGISTRY
+    from tests.parity import compare
+
+    cluster_text = (
+        "the quick brown fox jumps over the lazy dog near the riverbank today"
+    )
+    rows = []
+    old_ids = [i for i in range(1, 200) if i % 5 != 0][:40]
+    new_ids = [5 * k for k in range(1, 501)]  # 500 new docs, doc_id % 5 == 0
+    for i in old_ids + new_ids:
+        rows.append((i, cluster_text, "en", "planted", len(cluster_text)))
+    # filler: unique texts so the corpus isn't degenerate
+    for j, i in enumerate([i for i in range(200, 320) if i % 5 != 0][:20]):
+        t = f"completely unrelated filler document number {j} with its own distinct words {j * 7} and {j * 13}"
+        rows.append((i, t, "en", "planted", len(t)))
+    out = str(tmp_path_factory.mktemp("megacluster"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(4).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    shingled = docs.select(
+        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+    )
+    uncapped = _banded_signatures(shingled)
+    max_uncapped = (
+        uncapped.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    # negative control: the planted cluster really does create the bad shape
+    assert max_uncapped == 540 > BUCKET_CAP
+    max_capped = (
+        _cap_buckets(uncapped)
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert max_capped <= BUCKET_CAP
+
+    # the operator stays bounded: no new doc can report more matches than
+    # one bucket can hold
+    result = dedup_incremental_new_batch(spark, out)
+    assert result.agg(F.max("n_matches")).collect()[0][0] <= BUCKET_CAP
+    # and the capped semantics still hash-match the oracle IN the binding
+    # regime (testdata buckets never exceed ~12, so only this planted
+    # corpus exercises the cap's oracle twin)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{out}/documents.parquet/*.parquet'"  # Spark wrote a directory
+    )
+    compare(result, con, REGISTRY["dedup_incremental_new_batch"].oracle)
