@@ -327,6 +327,50 @@ def report_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_skew_salted_shuffle",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE)          AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Skew-resilient SHUFFLE join on the key report_key_skew profiles "
+    "(orders.o_custkey): the fact side salts with pmod(o_orderkey, 16), "
+    "the dim side replicates 16x over the salt ids, and a shuffle_hash "
+    "hint pins the shuffled strategy so the demonstrated partitioning is "
+    "visible in the plan — both shuffles hash on (custkey, salt), so a "
+    "hot customer's rows spread over 16 reducers instead of one straggler "
+    "partition. Identical answer to the plain join (the oracle); the "
+    "100-TB recipe for a skewed fact key when the dim is too large to "
+    "broadcast (replication cost = 16x the dim, spread evenly). "
+    "Plan-pinned by test_salted_join_partitions_on_salt.",
+)
+def join_skew_salted_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.pmod(F.col("o_orderkey"), F.lit(N_SALTS)).cast("int").alias("fact_salt"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted_dim = c.crossJoin(
+        spark.range(N_SALTS).select(F.col("id").cast("int").alias("dim_salt"))
+    ).hint("shuffle_hash")
+    joined = o.join(
+        salted_dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("fact_salt") == F.col("dim_salt")),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def segmented_ntile(
     df: DataFrame,
     bucket_expr,

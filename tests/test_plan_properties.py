@@ -821,3 +821,20 @@ def test_iterative_ops_bounded_plan_depth(spark, sf_dir):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("Join") <= 2, f"{name} lineage grew: {plan}"
         assert len(plan.splitlines()) <= 12, f"{name} lineage grew: {plan}"
+
+
+def test_salted_join_partitions_on_salt(spark, sf_dir):
+    """join_skew_salted_shuffle's demonstrated property: a SHUFFLED join
+    whose two exchanges both hash on (key, salt) — a hot custkey's fact
+    rows spread over N_SALTS reducers instead of one straggler partition.
+    The only broadcast is the 16-row salt range replicating the dim
+    (tiny by construction); the dim itself is never broadcast."""
+    import re
+
+    plan = _plan(spark, sf_dir, "join_skew_salted_shuffle")
+    assert "ShuffledHashJoin" in plan  # the hint pinned the shuffled strategy
+    assert re.search(r"hashpartitioning\(o_custkey#\d+L?, fact_salt", plan), plan
+    assert re.search(r"hashpartitioning\(c_custkey#\d+L?, dim_salt", plan), plan
+    # replication source is the literal 16-row salt range, not the dim
+    assert "Range (0, 16" in plan
+    assert "BroadcastExchange IdentityBroadcastMode" in plan
