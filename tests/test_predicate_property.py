@@ -1,7 +1,15 @@
-"""Property-based relational agreement (SURVEY §5.4 item 5, second half):
-randomly generated predicates must select the same rows in Spark and
-DuckDB — a fuzz over the filter/expression surface beyond the
-hand-written oracle queries."""
+"""Differential SQL fuzzing vs DuckDB (SURVEY §5.4 item 5, second half):
+three hypothesis suites generate random SQL — WHERE predicates, join
+conditions across every join type (equi + non-equi), and aggregate
+expressions (incl. DISTINCT and FILTER) — and run the IDENTICAL SQL text
+through Spark and DuckDB. Any semantics drift the 250 hand-written
+oracle queries can't reach (operator interactions, null handling in
+outer joins, distinct-in-aggregate edge cases) must surface here.
+
+Determinism rules: every compared aggregate is engine-exact — counts,
+BIGINT-cast integer sums, DECIMAL-cast money sums, min/max — never a
+bare double sum/avg whose floating-point summation order differs
+between engines."""
 
 from __future__ import annotations
 
@@ -60,23 +68,183 @@ def where_clause(draw) -> str:
 
 
 @pytest.fixture(scope="module")
-def li_view(spark, sf_dir):
-    from datafusion_nats_spark.tables import load
-
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_prop")
+def fuzz_env(spark, sf_dir):
+    """Same three tables registered under the same names in both engines
+    (isolated from the shared conftest views)."""
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW li_prop AS SELECT * FROM '{sf_dir}/lineitem.parquet'")
-    return con
+    for t in ["lineitem", "orders", "customer"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(f"fz_{t}")
+        con.execute(f"CREATE VIEW fz_{t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
 
 
-@settings(
-    max_examples=25,
+_SETTINGS = settings(
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+
+
+def _agree(spark, con, sql: str) -> None:
+    s = [tuple(r) for r in spark.sql(sql).collect()]
+    d = con.execute(sql).fetchall()
+    # single-row aggregate outputs: positional compare is exact
+    assert s == d, f"sql: {sql}\nspark: {s}\nduckdb: {d}"
+
+
+# ---------------------------------------------------------------------------
+# Suite 1: WHERE-clause fuzz (filter/expression surface)
+# ---------------------------------------------------------------------------
+
+
+@_SETTINGS
 @given(clause=where_clause())
-def test_random_predicates_agree(spark, li_view, clause):
-    sql = f"SELECT count(*) AS n, count(DISTINCT l_orderkey) AS k FROM li_prop WHERE {clause}"
-    s = spark.sql(sql).collect()[0]
-    d = li_view.execute(sql).fetchone()
-    assert (s.n, s.k) == (d[0], d[1]), f"clause: {clause}"
+def test_random_predicates_agree(spark, fuzz_env, clause):
+    sql = (
+        "SELECT count(*) AS n, count(DISTINCT l_orderkey) AS k, "
+        "CAST(coalesce(sum(l_linenumber), 0) AS BIGINT) AS s "
+        f"FROM fz_lineitem WHERE {clause}"
+    )
+    _agree(spark, fuzz_env, sql)
+
+
+# ---------------------------------------------------------------------------
+# Suite 2: join fuzz — every join type, equi anchors + random non-equi
+# residuals, plus pure non-equi inner joins
+# ---------------------------------------------------------------------------
+
+JOIN_TYPES = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN", "SEMI JOIN", "ANTI JOIN"]
+
+
+@st.composite
+def join_condition(draw) -> str:
+    """Equi anchor on the key + 0-2 random residual predicates (possibly
+    non-equi, cross-table)."""
+    parts = ["o.o_custkey = c.c_custkey"]
+    for _ in range(draw(st.integers(min_value=0, max_value=2))):
+        kind = draw(st.sampled_from(["cross_num", "left_pred", "right_pred"]))
+        if kind == "cross_num":
+            op = draw(comparison)
+            parts.append(f"o.o_totalprice {op} c.c_acctbal * {draw(st.integers(min_value=1, max_value=40))}")
+        elif kind == "left_pred":
+            op = draw(comparison)
+            parts.append(f"o.o_orderkey {op} {draw(st.integers(min_value=0, max_value=6000))}")
+        else:
+            val = draw(st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE"]))
+            op = draw(st.sampled_from(["=", "<>"]))
+            parts.append(f"c.c_mktsegment {op} '{val}'")
+    return " AND ".join(parts)
+
+
+@_SETTINGS
+@given(jt=st.sampled_from(JOIN_TYPES), cond=join_condition())
+def test_random_join_conditions_agree(spark, fuzz_env, jt, cond):
+    if jt in ("SEMI JOIN", "ANTI JOIN"):
+        # semi/anti project the left side only
+        sql = (
+            "SELECT count(*) AS n, count(DISTINCT o.o_custkey) AS k, "
+            "CAST(coalesce(sum(o.o_orderkey), 0) AS BIGINT) AS s "
+            f"FROM fz_orders o {jt} fz_customer c ON {cond}"
+        )
+    else:
+        sql = (
+            "SELECT count(*) AS n, count(o.o_orderkey) AS no, "
+            "count(c.c_custkey) AS nc, "  # null counts pin outer semantics
+            "CAST(coalesce(sum(o.o_orderkey), 0) AS BIGINT) AS so, "
+            "CAST(coalesce(sum(c.c_nationkey), 0) AS BIGINT) AS sc "
+            f"FROM fz_orders o {jt} fz_customer c ON {cond}"
+        )
+    _agree(spark, fuzz_env, sql)
+
+
+@_SETTINGS
+@given(
+    op=comparison,
+    mult=st.integers(min_value=20, max_value=60),
+    extra=st.booleans(),
+)
+def test_pure_nonequi_inner_join_agrees(spark, fuzz_env, op, mult, extra):
+    """No equi anchor at all: the theta-join path (banded so the pair
+    space stays bounded at this SF)."""
+    cond = f"o.o_totalprice {op} c.c_acctbal * {mult}"
+    if extra:
+        cond += " AND o.o_orderstatus = 'F'"
+    sql = (
+        "SELECT count(*) AS n, count(DISTINCT o.o_orderkey) AS k "
+        f"FROM fz_orders o JOIN fz_customer c ON {cond}"
+    )
+    _agree(spark, fuzz_env, sql)
+
+
+# ---------------------------------------------------------------------------
+# Suite 3: aggregate fuzz — random aggregate expressions incl. DISTINCT
+# and FILTER, random group keys, optional HAVING
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def aggregate_exprs(draw) -> list[str]:
+    """1-4 aggregate select items, each engine-exact by construction."""
+    out = []
+    n = draw(st.integers(min_value=1, max_value=4))
+    for i in range(n):
+        kind = draw(
+            st.sampled_from(
+                ["count", "count_distinct", "sum_int", "sum_distinct",
+                 "sum_money", "minmax", "count_filter", "sum_filter"]
+            )
+        )
+        if kind == "count":
+            out.append(f"count(*) AS a{i}")
+        elif kind == "count_distinct":
+            col = draw(st.sampled_from(INT_COLS + STR_COLS))
+            out.append(f"count(DISTINCT {col}) AS a{i}")
+        elif kind == "sum_int":
+            col = draw(st.sampled_from(INT_COLS))
+            out.append(f"CAST(coalesce(sum({col}), 0) AS BIGINT) AS a{i}")
+        elif kind == "sum_distinct":
+            col = draw(st.sampled_from(INT_COLS))
+            out.append(f"CAST(coalesce(sum(DISTINCT {col}), 0) AS BIGINT) AS a{i}")
+        elif kind == "sum_money":
+            col = draw(st.sampled_from(NUMERIC_COLS))
+            out.append(
+                f"CAST(round(coalesce(sum(CAST({col} AS DECIMAL(18,2))), 0), 2) AS DECIMAL(28,2)) AS a{i}"
+            )
+        elif kind == "minmax":
+            fn = draw(st.sampled_from(["min", "max"]))
+            col = draw(st.sampled_from(INT_COLS + STR_COLS + NUMERIC_COLS))
+            out.append(f"{fn}({col}) AS a{i}")
+        elif kind == "count_filter":
+            pred = draw(predicate())
+            out.append(f"count(*) FILTER (WHERE {pred}) AS a{i}")
+        else:
+            col = draw(st.sampled_from(INT_COLS))
+            pred = draw(predicate())
+            out.append(
+                f"CAST(coalesce(sum({col}) FILTER (WHERE {pred}), 0) AS BIGINT) AS a{i}"
+            )
+    return out
+
+
+@_SETTINGS
+@given(
+    aggs=aggregate_exprs(),
+    group=st.sampled_from([None, "l_returnflag", "l_linestatus", "l_linenumber"]),
+    where=st.one_of(st.none(), where_clause()),
+    having=st.one_of(st.none(), st.integers(min_value=0, max_value=2000)),
+)
+def test_random_aggregates_agree(spark, fuzz_env, aggs, group, where, having):
+    select = list(aggs)
+    if group:
+        select.insert(0, f"{group} AS g")
+    sql = f"SELECT {', '.join(select)} FROM fz_lineitem"
+    if where:
+        sql += f" WHERE {where}"
+    if group:
+        sql += f" GROUP BY {group}"
+        if having is not None:
+            sql += f" HAVING count(*) > {having}"
+    s = sorted(tuple(r) for r in spark.sql(sql).collect())
+    d = sorted(fuzz_env.execute(sql).fetchall())
+    assert s == d, f"sql: {sql}\nspark: {s}\nduckdb: {d}"
