@@ -121,14 +121,24 @@ class JetStreamBroker:
     batch drain is the high-throughput upgrade and changes nothing about
     the offset contract.
 
-    Import-gated on nats-py and only constructed for ``nats://`` URLs;
-    every method opens a short-lived connection because executor tasks
-    run in fresh Python workers with no shared event loop.
+    Two interchangeable backends behind the same methods: nats-py when
+    installed, else the pure-stdlib ``JetStreamWireClient`` speaking the
+    ``$JS.API.*`` JSON protocol directly — so the durable transport works
+    against a real ``nats-server -js`` OR the in-repo
+    ``MiniNatsServer(jetstream=True)`` with zero dependencies. Every
+    method opens a short-lived connection because executor tasks run in
+    fresh Python workers with no shared event loop.
     """
 
     def __init__(self, url: str) -> None:
         self.url = url
         self._ensured: set[str] = set()  # streams known to exist (per handle)
+
+    def _wire(self):
+        """The stdlib backend, used whenever nats-py is absent."""
+        from datafusion_nats_spark.sources.nats_wire import JetStreamWireClient
+
+        return JetStreamWireClient(self.url)
 
     _STREAM_PREFIX = "sg_"
 
@@ -159,12 +169,17 @@ class JetStreamBroker:
         return asyncio.run(_with_js())
 
     def ensure_stream(self, subject: str):
-        from nats.js.api import StreamConfig
-        from nats.js.errors import NotFoundError
-
         name = self.stream_name(subject)
         if name in self._ensured:
             return
+        if not nats_available():
+            w = self._wire()
+            if w.stream_info(name) is None:
+                w.create_stream(name, [subject])
+            self._ensured.add(name)
+            return
+        from nats.js.api import StreamConfig
+        from nats.js.errors import NotFoundError
 
         async def _ensure(js):
             try:
@@ -179,6 +194,9 @@ class JetStreamBroker:
         if isinstance(payload, str):
             payload = payload.encode("utf-8")
         self.ensure_stream(subject)
+        if not nats_available():
+            self._wire().publish(subject, payload)
+            return
 
         async def _pub(js):
             await js.publish(subject, payload)
@@ -186,6 +204,9 @@ class JetStreamBroker:
         self._run(_pub)
 
     def size(self, subject: str) -> int:
+        if not nats_available():
+            info = self._wire().stream_info(self.stream_name(subject))
+            return 0 if info is None else info["state"]["messages"]
         from nats.js.errors import NotFoundError
 
         async def _size(js):
@@ -208,6 +229,13 @@ class JetStreamBroker:
         consumer (one filtered consumer over a multi-subject stream)
         would push the match into the broker and is the throughput
         upgrade, not a semantics change."""
+        if not nats_available():
+            subs: list[str] = []
+            for info in self._wire().stream_list():
+                cfg = info.get("config") or {}
+                if cfg.get("name", "").startswith(self._STREAM_PREFIX):
+                    subs.extend(cfg.get("subjects") or [])
+            return sorted(set(subs))
 
         async def _list(js):
             subs: list[str] = []
@@ -223,6 +251,18 @@ class JetStreamBroker:
         CURRENT contents: position i ↦ sequence first_seq + i. Anchoring
         at first_seq (not 1) keeps the contract correct after purges or
         retention-limit trims, which advance first_seq."""
+        if not nats_available():
+            name = self.stream_name(subject)
+            w = self._wire()
+            info = w.stream_info(name)
+            if info is None:
+                return []
+            n = info["state"]["messages"]
+            first = info["state"]["first_seq"]
+            stop = n if end is None else min(end, n)
+            if stop <= start:
+                return []
+            return w.get_range(name, first + start, stop - start)
         from nats.js.errors import NotFoundError
 
         async def _fetch(js):
@@ -245,6 +285,17 @@ class JetStreamBroker:
     def clear(self, subject: str | None = None) -> None:
         """Purge one subject's stream, or (subject=None) every stream this
         broker convention owns — mirroring LocalLogBroker.clear()."""
+        if not nats_available():
+            w = self._wire()
+            if subject is not None:
+                w.purge_stream(self.stream_name(subject))
+            else:
+                for info in w.stream_list():
+                    name = (info.get("config") or {}).get("name", "")
+                    if name.startswith(self._STREAM_PREFIX):
+                        w.purge_stream(name)
+            self._ensured.clear()
+            return
         from nats.js.errors import NotFoundError
 
         async def _clear(js):

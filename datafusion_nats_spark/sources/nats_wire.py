@@ -153,14 +153,41 @@ class MiniNatsClient:
         if not self._pong.wait(timeout_s or self.timeout_s):
             raise NatsWireError("flush timed out waiting for PONG")
 
-    def publish(self, subject: str, payload: bytes | str) -> None:
+    def publish(self, subject: str, payload: bytes | str, reply: str | None = None) -> None:
         if isinstance(payload, str):
             payload = payload.encode("utf-8")
         if len(payload) > MAX_PAYLOAD:
             raise NatsWireError(f"payload exceeds max {MAX_PAYLOAD}")
+        rtok = f" {reply}" if reply else ""
         self._send(
-            f"PUB {subject} {len(payload)}\r\n".encode() + payload + b"\r\n"
+            f"PUB {subject}{rtok} {len(payload)}\r\n".encode() + payload + b"\r\n"
         )
+
+    def request(self, subject: str, payload: bytes | str = b"", timeout_s: float | None = None) -> bytes:
+        """Core-NATS request/reply: publish with a unique inbox reply
+        subject and wait for one response — the transport JetStream's
+        JSON API rides on. SUB and PUB travel in order on one TCP
+        connection, so the server registers the inbox before it processes
+        the request; no extra flush round-trip is needed.
+
+        The inbox token must be globally random (real clients use a
+        NUID): a process-local value like id(self) collides across
+        executor worker processes, and the server fans a reply out to
+        EVERY subscription on the matching subject — two workers sharing
+        an inbox name would receive each other's responses."""
+        import os
+
+        self._next_sid += 1
+        inbox = f"_INBOX.{os.urandom(8).hex()}.{self._next_sid}"
+        sid = self.subscribe(inbox)
+        try:
+            self.publish(subject, payload, reply=inbox)
+            got = self.next_msg(sid, timeout_s or self.timeout_s)
+        finally:
+            self.unsubscribe(sid)
+        if got is None:
+            raise NatsWireError(f"request to {subject!r} timed out (no responders?)")
+        return got[1]
 
     def subscribe(self, subject: str, queue_group: str | None = None) -> int:
         self._next_sid += 1
@@ -257,11 +284,19 @@ class MiniNatsServer:
     INFO/CONNECT/PING/PONG/PUB/SUB/UNSUB/MSG with NATS subject-pattern
     matching (``*`` one token, ``>`` trailing tokens) and queue-group
     round-robin. Enough protocol for nats-py, the reference's async_nats,
-    or MiniNatsClient to connect and run the golden pub/sub path; no
-    JetStream, no TLS, no auth — it exists so the at-most-once wire
-    semantics are exercisable in a hermetic test environment."""
+    or MiniNatsClient to connect and run the golden pub/sub path.
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+    ``jetstream=True`` additionally serves the minimal JetStream subset
+    the source's durable transport uses, speaking the real ``$JS.API.*``
+    request/reply JSON protocol
+    (https://docs.nats.io/reference/reference-protocols/nats_api_reference):
+    STREAM.CREATE/INFO/LIST/NAMES/PURGE, sequence-addressed
+    STREAM.MSG.GET, and stream capture of publishes to bound subjects
+    with PubAck replies — so the offset-range/executor-ingest contract
+    runs hermetically, and the same client code works against a real
+    JetStream-enabled ``nats-server``. No TLS, no auth, no consumers."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, jetstream: bool = False) -> None:
         self.host = host
         self.port = port
         self._listener: socket.socket | None = None
@@ -271,6 +306,9 @@ class MiniNatsServer:
         self._conns: list[socket.socket] = []
         self._stopping = threading.Event()
         self._client_seq = 0
+        self._jetstream = jetstream
+        # name -> {"config": dict, "messages": [(subject, payload)], "first_seq": int}
+        self._js: dict[str, dict] = {}
 
     @property
     def url(self) -> str:
@@ -331,7 +369,7 @@ class MiniNatsServer:
             "host": self.host,
             "port": self.port,
             "headers": False,
-            "jetstream": False,
+            "jetstream": self._jetstream,
             "max_payload": MAX_PAYLOAD,
             "client_id": cid,
         }
@@ -421,7 +459,12 @@ class MiniNatsServer:
                         break
                     payload = rfile.read(nbytes)
                     rfile.read(2)  # CRLF
-                    self._route(subject, reply, payload)
+                    if self._jetstream and subject.startswith("$JS.API."):
+                        self._handle_js_api(subject, reply, payload)
+                    else:
+                        if self._jetstream:
+                            self._js_capture(subject, reply, payload)
+                        self._route(subject, reply, payload)
                     if verbose:
                         send(b"+OK\r\n")
                 else:
@@ -472,6 +515,122 @@ class MiniNatsServer:
             head = f"MSG {subject} {s.sid}{rtok} {len(payload)}\r\n".encode()
             s.conn[1](head + payload + b"\r\n")
 
+    # -- JetStream subset ---------------------------------------------------
+
+    def _js_info_obj(self, name: str) -> dict:
+        """stream_info response body (the fields the JSON API's consumers
+        read: config.name, config.subjects, state.messages/first_seq)."""
+        st = self._js[name]
+        n = len(st["messages"])
+        first = st["first_seq"]
+        return {
+            "type": "io.nats.jetstream.api.v1.stream_info_response",
+            "config": st["config"],
+            "state": {
+                "messages": n,
+                "bytes": sum(len(p) for _, p in st["messages"]),
+                "first_seq": first if n else first,
+                "last_seq": first + n - 1 if n else first - 1,
+                "consumer_count": 0,
+            },
+        }
+
+    @staticmethod
+    def _js_error(code: int, err_code: int, description: str) -> dict:
+        return {"error": {"code": code, "err_code": err_code, "description": description}}
+
+    def _js_capture(self, subject: str, reply: str | None, payload: bytes) -> None:
+        """Append a core publish to every stream whose bound subjects
+        match; PubAck the publisher's reply inbox (js.publish semantics).
+        A publish matching no stream gets no ack — the requester times
+        out exactly like against a real server."""
+        with self._lock:
+            acks = []
+            for name, st in self._js.items():
+                if any(subject_matches(pat, subject) for pat in st["config"].get("subjects", [])):
+                    st["messages"].append((subject, payload))
+                    acks.append({"stream": name, "seq": st["first_seq"] + len(st["messages"]) - 1})
+        if reply and acks:
+            self._route(reply, None, json.dumps(acks[0]).encode())
+
+    def _handle_js_api(self, subject: str, reply: str | None, payload: bytes) -> None:
+        """$JS.API.* request/reply endpoints (JSON bodies, responses to
+        the caller's inbox)."""
+        op = subject[len("$JS.API."):]
+        try:
+            body = json.loads(payload or b"{}")
+        except ValueError:
+            body = {}
+        resp: dict
+        with self._lock:
+            if op.startswith("STREAM.CREATE."):
+                name = op[len("STREAM.CREATE."):]
+                if name not in self._js:
+                    cfg = dict(body) if isinstance(body, dict) else {}
+                    cfg.setdefault("name", name)
+                    cfg.setdefault("subjects", [name])
+                    self._js[name] = {"config": cfg, "messages": [], "first_seq": 1}
+                resp = self._js_info_obj(name)
+            elif op.startswith("STREAM.INFO."):
+                name = op[len("STREAM.INFO."):]
+                resp = (
+                    self._js_info_obj(name)
+                    if name in self._js
+                    else self._js_error(404, 10059, "stream not found")
+                )
+            elif op.startswith("STREAM.MSG.GET."):
+                name = op[len("STREAM.MSG.GET."):]
+                if name not in self._js:
+                    resp = self._js_error(404, 10059, "stream not found")
+                else:
+                    st = self._js[name]
+                    seq = int(body.get("seq", 0))
+                    pos = seq - st["first_seq"]
+                    if 0 <= pos < len(st["messages"]):
+                        subj, data = st["messages"][pos]
+                        import base64
+
+                        resp = {
+                            "message": {
+                                "subject": subj,
+                                "seq": seq,
+                                "data": base64.b64encode(data).decode(),
+                                "time": "1970-01-01T00:00:00Z",
+                            }
+                        }
+                    else:
+                        resp = self._js_error(404, 10037, "no message found")
+            elif op == "STREAM.LIST":
+                infos = [self._js_info_obj(n) for n in sorted(self._js)]
+                resp = {
+                    "total": len(infos),
+                    "offset": 0,
+                    "limit": 256,
+                    "streams": infos or None,
+                }
+            elif op == "STREAM.NAMES":
+                names = sorted(self._js)
+                resp = {
+                    "total": len(names),
+                    "offset": 0,
+                    "limit": 1024,
+                    "streams": names or None,
+                }
+            elif op.startswith("STREAM.PURGE."):
+                name = op[len("STREAM.PURGE."):]
+                if name not in self._js:
+                    resp = self._js_error(404, 10059, "stream not found")
+                else:
+                    st = self._js[name]
+                    purged = len(st["messages"])
+                    st["first_seq"] += purged
+                    st["messages"] = []
+                    resp = {"success": True, "purged": purged}
+            else:
+                resp = self._js_error(404, 0, f"unknown JetStream API endpoint {op!r}")
+        if reply:
+            self._route(reply, None, json.dumps(resp).encode())
+
 
 def fetch_from_nats_stdlib(
     url: str, subject: str, max_messages: int, timeout_ms: int
@@ -481,3 +640,95 @@ def fetch_from_nats_stdlib(
     installed."""
     with MiniNatsClient(url) as client:
         return client.drain(subject, max_messages, timeout_ms)
+
+
+class JetStreamWireClient:
+    """Stdlib JetStream client over the core request/reply wire: the
+    ``$JS.API.*`` JSON endpoints a real ``nats-server -js`` (and
+    ``MiniNatsServer(jetstream=True)``) serve. Implements exactly the
+    subset ``broker.JetStreamBroker`` needs — stream create/info/list/
+    purge, acked publish, sequence-addressed message get — so the durable
+    offset-range transport works with no nats-py installed. Each method
+    opens a short-lived connection (executor tasks run in fresh Python
+    workers), mirroring the nats-py backend's per-call connects."""
+
+    def __init__(self, url: str, timeout_s: float = 5.0) -> None:
+        self.url = url
+        self.timeout_s = timeout_s
+
+    def _api(self, client: MiniNatsClient, op: str, body: dict | None = None) -> dict:
+        payload = json.dumps(body).encode() if body is not None else b""
+        resp = json.loads(client.request(f"$JS.API.{op}", payload, self.timeout_s))
+        return resp
+
+    @staticmethod
+    def _err_code(resp: dict) -> int | None:
+        err = resp.get("error")
+        return err.get("err_code") if isinstance(err, dict) else None
+
+    def stream_info(self, name: str) -> dict | None:
+        """Info dict, or None when the stream does not exist (err 10059)."""
+        with MiniNatsClient(self.url, self.timeout_s) as c:
+            resp = self._api(c, f"STREAM.INFO.{name}")
+        if self._err_code(resp) == 10059:
+            return None
+        if "error" in resp:
+            raise NatsWireError(f"STREAM.INFO.{name}: {resp['error']}")
+        return resp
+
+    def create_stream(self, name: str, subjects: list[str]) -> None:
+        cfg = {"name": name, "subjects": subjects, "retention": "limits", "storage": "file"}
+        with MiniNatsClient(self.url, self.timeout_s) as c:
+            resp = self._api(c, f"STREAM.CREATE.{name}", cfg)
+        if "error" in resp:
+            raise NatsWireError(f"STREAM.CREATE.{name}: {resp['error']}")
+
+    def publish(self, subject: str, payload: bytes) -> int:
+        """js.publish: core PUB with a reply inbox; the PubAck carries the
+        assigned stream sequence. Raises when no stream acks (no stream
+        bound to the subject) — same failure mode as a real server."""
+        with MiniNatsClient(self.url, self.timeout_s) as c:
+            ack = json.loads(c.request(subject, payload, self.timeout_s))
+        if "error" in ack or "seq" not in ack:
+            raise NatsWireError(f"publish to {subject!r} not acked: {ack}")
+        return int(ack["seq"])
+
+    def get_msg(self, name: str, seq: int) -> bytes:
+        import base64
+
+        with MiniNatsClient(self.url, self.timeout_s) as c:
+            resp = self._api(c, f"STREAM.MSG.GET.{name}", {"seq": seq})
+        if "error" in resp:
+            raise NatsWireError(f"STREAM.MSG.GET.{name} seq={seq}: {resp['error']}")
+        return base64.b64decode(resp["message"].get("data") or "")
+
+    def get_range(self, name: str, start_seq: int, count: int) -> list[bytes]:
+        """Sequence-contiguous batch get over ONE connection — the fetch
+        hot path (one TCP handshake per partition, not per message)."""
+        import base64
+
+        out: list[bytes] = []
+        with MiniNatsClient(self.url, self.timeout_s) as c:
+            for seq in range(start_seq, start_seq + count):
+                resp = self._api(c, f"STREAM.MSG.GET.{name}", {"seq": seq})
+                if "error" in resp:
+                    raise NatsWireError(
+                        f"STREAM.MSG.GET.{name} seq={seq}: {resp['error']}"
+                    )
+                out.append(base64.b64decode(resp["message"].get("data") or ""))
+        return out
+
+    def stream_list(self) -> list[dict]:
+        with MiniNatsClient(self.url, self.timeout_s) as c:
+            resp = self._api(c, "STREAM.LIST", {"offset": 0})
+        if "error" in resp:
+            raise NatsWireError(f"STREAM.LIST: {resp['error']}")
+        return resp.get("streams") or []
+
+    def purge_stream(self, name: str) -> None:
+        with MiniNatsClient(self.url, self.timeout_s) as c:
+            resp = self._api(c, f"STREAM.PURGE.{name}")
+        if self._err_code(resp) == 10059:
+            return  # purge of a missing stream is a no-op (broker contract)
+        if "error" in resp:
+            raise NatsWireError(f"STREAM.PURGE.{name}: {resp['error']}")

@@ -40,40 +40,47 @@ def test_get_broker_dispatches_on_scheme():
     assert isinstance(get_broker("nats://localhost:4222"), JetStreamBroker)
 
 
-def test_jetstream_broker_is_import_gated():
-    """Without nats-py (this sandbox), JetStreamBroker methods must fail
-    with ImportError at call time — construction stays cheap so planning
-    code can hold handles without the dependency."""
-    b = JetStreamBroker("nats://localhost:4222")
+# port 1 is never a NATS server: connection-refused deterministically,
+# whether or not a real broker runs on the conventional 4222
+_UNREACHABLE = "nats://127.0.0.1:1"
+
+
+def test_jetstream_broker_fails_loudly_without_server():
+    """Without nats-py (this sandbox), JetStreamBroker speaks the
+    $JS.API wire protocol itself; against an unreachable server its
+    methods must fail with a loud connection error at call time — never
+    an ImportError or AttributeError — while construction stays cheap so
+    planning code can hold handles without a broker running."""
+    b = JetStreamBroker(_UNREACHABLE)
     assert b.stream_name("test.data.live").startswith("sg_test_data_live_")
     # sanitization alone would collapse distinct subjects — the md5
     # suffix keeps the subject->stream mapping injective
     assert b.stream_name("test.data.live") != b.stream_name("test_data_live")
     if not nats_available():
-        with pytest.raises(ImportError):
+        with pytest.raises(OSError):
             b.size("test.data.live")
 
 
-def test_wildcards_over_jetstream_are_import_gated(spark):
-    """JetStream IS subject-enumerable now (list_subjects recovers the
-    bound subject from each sg_ stream's config), so wildcard expansion
-    against a nats:// URL proceeds to the broker — and in this sandbox
-    (no nats-py) must surface the import gate, never an AttributeError
-    from a missing list_subjects. The live expansion is exercised in
-    test_nats_live.py."""
-    if nats_available():
-        pytest.skip("nats-py present — covered by the live wildcard test")
+def test_wildcards_over_jetstream_surface_connection_errors(spark):
+    """JetStream IS subject-enumerable (list_subjects recovers the bound
+    subject from each sg_ stream's config), so wildcard expansion against
+    a nats:// URL proceeds to the broker — and with no server reachable
+    it must surface the connection failure, never an AttributeError from
+    a missing list_subjects. The live expansion is exercised in
+    test_nats_live.py (hermetically via MiniNatsServer(jetstream=True))."""
     df = (
         spark.read.format("nats")
         .schema(KV)
-        .option("url", "nats://localhost:4222")
+        .option("url", _UNREACHABLE)
         .option("subject", "orders.*")
         .option("transport", "jetstream")
         .load()
     )
     with pytest.raises(Exception) as ei:
         df.collect()
-    assert "ImportError" in str(ei.value) or "nats" in str(ei.value)
+    msg = str(ei.value)
+    assert "AttributeError" not in msg
+    assert "refused" in msg.lower() or "nats" in msg.lower() or "Connection" in msg
 
 
 def test_jetstream_transport_reads_replayable_log(spark, broker):

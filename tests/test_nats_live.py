@@ -17,8 +17,11 @@ reachable at ``nats://localhost:4222``, the module boots the in-repo
 pure-stdlib ``MiniNatsServer`` (sources/nats_wire.py) on an ephemeral
 loopback port and the Spark query drains it over the real wire protocol
 (INFO/CONNECT/SUB/PUB/MSG frames over TCP) via the stdlib client
-fallback in ``broker.fetch_from_nats``. The JetStream tests still need a
-real server with JetStream enabled (plus nats-py) and skip otherwise.
+fallback in ``broker.fetch_from_nats``. The JetStream tests likewise
+always run: against a real JetStream-enabled server when one is
+reachable (still skipping on a server with JetStream disabled), else
+against ``MiniNatsServer(jetstream=True)``, whose ``$JS.API.*``
+endpoints the stdlib ``JetStreamWireClient`` drives over the same wire.
 """
 
 from __future__ import annotations
@@ -37,6 +40,11 @@ EXTERNAL_URL = "nats://localhost:4222"
 GOLDEN = [b"1,apple", b"2,banana", b"3,orange"]
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
 @pytest.fixture(scope="module")
 def nats_url():
     """A reachable core-NATS endpoint: the conventional local broker when
@@ -45,6 +53,19 @@ def nats_url():
         yield EXTERNAL_URL
         return
     with MiniNatsServer() as srv:
+        yield srv.url
+
+
+@pytest.fixture(scope="module")
+def js_url():
+    """A JetStream-capable endpoint: the conventional local broker when
+    one is running (tests still skip inside if ITS JetStream is
+    disabled), else a loopback MiniNatsServer serving the $JS.API.*
+    subset."""
+    if nats_server_reachable(EXTERNAL_URL):
+        yield EXTERNAL_URL
+        return
+    with MiniNatsServer(jetstream=True) as srv:
         yield srv.url
 
 
@@ -95,19 +116,16 @@ def test_golden_projection_limit_live(spark, nats_url):
     ]
 
 
-@pytest.mark.skipif(
-    not nats_server_reachable(EXTERNAL_URL),
-    reason=f"no live NATS broker at {EXTERNAL_URL} (JetStream needs a real server)",
-)
-def test_jetstream_offset_range_live(spark):
+def test_jetstream_offset_range_live(spark, js_url):
     """JetStream flavor of the golden path: publish the triple through a
     real JetStream stream, then range-read it with transport=jetstream +
-    executor ingest — durable offsets, no subscribe/publish race. Skips
-    (inside the module-level live gate) when the server has JetStream
-    disabled."""
+    executor ingest — durable offsets, no subscribe/publish race. Runs
+    against a real server when reachable (skipping only if ITS JetStream
+    is disabled), else against the hermetic jetstream-enabled
+    MiniNatsServer over the identical $JS.API wire protocol."""
     from datafusion_nats_spark.sources.broker import JetStreamBroker
 
-    b = JetStreamBroker(EXTERNAL_URL)
+    b = JetStreamBroker(js_url)
     subject = "test.js.golden"
     try:
         b.ensure_stream(subject)
@@ -119,7 +137,7 @@ def test_jetstream_offset_range_live(spark):
     df = (
         spark.read.format("nats")
         .schema("id INT, name STRING")
-        .option("url", EXTERNAL_URL)
+        .option("url", js_url)
         .option("subject", subject)
         .option("transport", "jetstream")
         .option("ingest", "executor")
@@ -135,7 +153,7 @@ def test_jetstream_offset_range_live(spark):
     df2 = (
         spark.read.format("nats")
         .schema("id INT, name STRING")
-        .option("url", EXTERNAL_URL)
+        .option("url", js_url)
         .option("subject", subject)
         .option("transport", "jetstream")
         .option("startingOffset", "1")
@@ -145,19 +163,15 @@ def test_jetstream_offset_range_live(spark):
     assert sorted(r.name for r in df2.collect()) == ["banana", "orange"]
 
 
-@pytest.mark.skipif(
-    not nats_server_reachable(EXTERNAL_URL),
-    reason=f"no live NATS broker at {EXTERNAL_URL} (JetStream needs a real server)",
-)
-def test_jetstream_wildcard_expansion_live(spark):
+def test_jetstream_wildcard_expansion_live(spark, js_url):
     """Wildcard subjects over the JetStream backend: list_subjects
     recovers every sg_ stream's bound subject, so 'test.wc.*' expands at
     planning time to the matching literal subjects and the read unions
-    their streams. Skips (inside the module-level live gate) when the
-    server has JetStream disabled."""
+    their streams. Runs hermetically when no real server is reachable;
+    skips only on a real server with JetStream disabled."""
     from datafusion_nats_spark.sources.broker import JetStreamBroker
 
-    b = JetStreamBroker(EXTERNAL_URL)
+    b = JetStreamBroker(js_url)
     try:
         b.ensure_stream("test.wc.a")
     except Exception as e:  # JetStream not enabled on this server
@@ -175,7 +189,7 @@ def test_jetstream_wildcard_expansion_live(spark):
     df = (
         spark.read.format("nats")
         .schema("id INT, name STRING")
-        .option("url", EXTERNAL_URL)
+        .option("url", js_url)
         .option("subject", "test.wc.*")
         .option("transport", "jetstream")
         .load()
@@ -185,9 +199,52 @@ def test_jetstream_wildcard_expansion_live(spark):
     df2 = (
         spark.read.format("nats")
         .schema("id INT, name STRING")
-        .option("url", EXTERNAL_URL)
+        .option("url", js_url)
         .option("subject", "test.wc.>")
         .option("transport", "jetstream")
         .load()
     )
     assert sorted(r.name for r in df2.collect()) == ["apple", "banana", "orange"]
+
+
+def test_jetstream_streaming_microbatches_live(spark, js_url):
+    """Structured Streaming over the durable transport: checkpointable
+    offsets index the JetStream stream, micro-batches admit
+    maxMessagesPerBatch at a time, and the whole path — driver size()
+    polls, per-partition sequence-addressed fetches — runs over the
+    $JS.API wire (hermetically when no real broker is present)."""
+    from datafusion_nats_spark.sources.broker import JetStreamBroker
+
+    b = JetStreamBroker(js_url)
+    subject = "test.js.stream"
+    try:
+        b.ensure_stream(subject)
+    except Exception as e:  # JetStream not enabled on this server
+        pytest.skip(f"JetStream unavailable: {e}")
+    b.clear(subject)
+    for p in GOLDEN:
+        b.publish(subject, p)
+    q = (
+        spark.readStream.format("nats")
+        .schema("id INT, name STRING")
+        .option("url", js_url)
+        .option("subject", subject)
+        .option("transport", "jetstream")
+        .option("maxMessagesPerBatch", "2")  # forces >1 micro-batch
+        .load()
+        .writeStream.format("memory")
+        .queryName("js_stream_live")
+        .start()
+    )
+    try:
+        # availableNow falls back to ONE batch for Python stream sources,
+        # which would truncate at maxMessagesPerBatch — drain explicitly
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM js_stream_live").collect()
+    assert sorted((r.id, r.name) for r in rows) == [
+        (1, "apple"),
+        (2, "banana"),
+        (3, "orange"),
+    ]

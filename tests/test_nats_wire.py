@@ -230,3 +230,99 @@ def test_client_surfaces_handshake_garbage():
     finally:
         lst.close()
         t.join(timeout=2)
+
+
+def test_unsub_max_counts_prior_deliveries(server):
+    """Real-server fidelity: deliveries BEFORE the UNSUB <sid> <max>
+    count toward max — a client that already received 2 of max=3 gets
+    exactly 1 more, not 3 more."""
+    with MiniNatsClient(server.url) as c:
+        sid = c.subscribe("feed2")
+        c.flush()
+        for i in range(2):
+            c.publish("feed2", str(i).encode())
+        c.flush()
+        assert c.next_msg(sid, 2.0) == ("feed2", b"0")
+        assert c.next_msg(sid, 2.0) == ("feed2", b"1")
+        c._send(f"UNSUB {sid} 3\r\n".encode())
+        c.flush()
+        for i in range(2, 6):
+            c.publish("feed2", str(i).encode())
+        c.flush()
+        assert c.next_msg(sid, 2.0) == ("feed2", b"2")
+        assert c.next_msg(sid, 0.3) is None  # 3 total delivered, sid expired
+
+
+# ---------------------------------------------------------------------------
+# JetStream subset ($JS.API.* over the same wire)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def js_server():
+    with MiniNatsServer(jetstream=True) as srv:
+        yield srv
+
+
+def test_jetstream_advertised_in_info(server, js_server):
+    with MiniNatsClient(server.url) as c:
+        assert c.server_info.get("jetstream") is False
+    with MiniNatsClient(js_server.url) as c:
+        assert c.server_info.get("jetstream") is True
+
+
+def test_request_reply_roundtrip(js_server):
+    """Core request/reply (the substrate of the JS API): INFO on a
+    missing stream answers with the canonical 10059 error body."""
+    import json
+
+    with MiniNatsClient(js_server.url) as c:
+        resp = json.loads(c.request("$JS.API.STREAM.INFO.nope"))
+        assert resp["error"]["err_code"] == 10059
+
+
+def test_jetstream_stream_lifecycle_over_wire(js_server):
+    """create → publish(acked, rising seqs) → info → sequence-addressed
+    get → purge advances first_seq (the offset-anchoring contract the
+    broker's fetch relies on)."""
+    from datafusion_nats_spark.sources.nats_wire import JetStreamWireClient
+
+    w = JetStreamWireClient(js_server.url)
+    w.create_stream("S1", ["a.b"])
+    assert w.stream_info("S1")["state"]["messages"] == 0
+    assert [w.publish("a.b", f"m{i}".encode()) for i in range(3)] == [1, 2, 3]
+    info = w.stream_info("S1")["state"]
+    assert (info["messages"], info["first_seq"], info["last_seq"]) == (3, 1, 3)
+    assert w.get_msg("S1", 2) == b"m1"
+    assert w.get_range("S1", 1, 3) == [b"m0", b"m1", b"m2"]
+    with pytest.raises(NatsWireError):
+        w.get_msg("S1", 99)
+    w.purge_stream("S1")
+    info = w.stream_info("S1")["state"]
+    assert (info["messages"], info["first_seq"]) == (0, 4)
+    # post-purge publishes keep rising sequences; position 0 = first_seq
+    assert w.publish("a.b", b"after") == 4
+    assert w.get_msg("S1", 4) == b"after"
+
+
+def test_jetstream_publish_without_stream_times_out(js_server):
+    from datafusion_nats_spark.sources.nats_wire import JetStreamWireClient
+
+    w = JetStreamWireClient(js_server.url, timeout_s=0.4)
+    with pytest.raises(NatsWireError, match="timed out|not acked"):
+        w.publish("unbound.subject", b"x")
+
+
+def test_jetstream_capture_also_reaches_core_subscribers(js_server):
+    """A js publish is still a core publish: plain subscribers on the
+    bound subject receive it alongside the stream capture."""
+    from datafusion_nats_spark.sources.nats_wire import JetStreamWireClient
+
+    w = JetStreamWireClient(js_server.url)
+    w.create_stream("S2", ["cap.x"])
+    with MiniNatsClient(js_server.url) as c:
+        sid = c.subscribe("cap.x")
+        c.flush()
+        w.publish("cap.x", b"both")
+        assert c.next_msg(sid, 2.0) == ("cap.x", b"both")
+    assert w.get_msg("S2", 1) == b"both"
