@@ -1,7 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}
+"queries": {name: sec, ...}, "sf": ..., "multifile8": {...}}
+
+The primary pass runs the shipped single-file layout (byte-comparable
+with BENCH_baseline.json); a second pass re-times the same queries over
+an 8-file-per-table copy and is recorded under "multifile8" — the
+single-file tables have ONE parquet row group each, so scan-bound
+queries decode on one task regardless of maxPartitionBytes (a fixture
+artifact, PERFORMANCE.md), and the multifile pass is the number that
+tracks the parallelizable layout a cluster would actually read. Setting
+SPARK_GRAFT_MULTIFILE=<n> explicitly instead runs ONLY that layout
+(the pre-round-4 opt-in behavior).
 
 Execution is driven through the noop sink so we measure plan execution,
 not driver-side row materialization.
@@ -66,6 +76,23 @@ def _multifile_copy(spark, sf_dir: str, n_files: int) -> str:
     return out_root
 
 
+def _run_pass(spark, queries, sf_dir: str) -> dict[str, float]:
+    # Warm the JVM + parquet footers with the cheapest query so the first
+    # timed run doesn't pay one-time session costs.
+    queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -77,37 +104,25 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
+    out: dict = {"metric": "headline_queries_total", "unit": "sec", "sf": sf}
     multifile = int(os.environ.get("SPARK_GRAFT_MULTIFILE", "0"))
     if multifile > 1:
-        sf_dir = _multifile_copy(spark, sf_dir, multifile)
-
-    # Warm the JVM + parquet footers with the cheapest query so the first
-    # timed run doesn't pay one-time session costs.
-    queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in queries:
-            continue
-        df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+        # explicit opt-in: time ONLY the requested layout
+        timings = _run_pass(spark, queries, _multifile_copy(spark, sf_dir, multifile))
+        out.update(
+            value=round(sum(timings.values()), 4),
+            queries=timings,
+            multifile=multifile,
         )
-    )
+    else:
+        timings = _run_pass(spark, queries, sf_dir)
+        out.update(value=round(sum(timings.values()), 4), queries=timings)
+        mf_timings = _run_pass(spark, queries, _multifile_copy(spark, sf_dir, 8))
+        out["multifile8"] = {
+            "value": round(sum(mf_timings.values()), 4),
+            "queries": mf_timings,
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
