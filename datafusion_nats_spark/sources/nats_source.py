@@ -501,7 +501,58 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
         full = table.append_column(
             "_subject", pa.array([records[i][0] for i in idx], pa.string())
         ).append_column("_offset", pa.array([records[i][1] for i in idx], pa.int64()))
-        yield from full.to_batches()
+        full = self._arrow_filter(full)  # pushed filters may touch meta columns
+        if full.num_rows:
+            yield from full.to_batches()
+
+    def _arrow_filter(self, table):
+        """Apply the pushed filters to an Arrow table with compute
+        kernels — the vectorized twin of ``_row_passes`` (same supported
+        filter set, evaluated C++-side on whole columns)."""
+        if not self._pushed or table.num_rows == 0:
+            return table
+        import pyarrow.compute as pc
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        mask = None
+        for f in self._pushed:
+            col = table.column(f.attribute[0])
+            if isinstance(f, EqualTo):
+                m = pc.equal(col, f.value)
+            elif isinstance(f, GreaterThan):
+                m = pc.greater(col, f.value)
+            elif isinstance(f, GreaterThanOrEqual):
+                m = pc.greater_equal(col, f.value)
+            elif isinstance(f, LessThan):
+                m = pc.less(col, f.value)
+            elif isinstance(f, LessThanOrEqual):
+                m = pc.less_equal(col, f.value)
+            elif isinstance(f, IsNull):
+                m = pc.is_null(col)
+            elif isinstance(f, IsNotNull):
+                m = pc.is_valid(col)
+            elif isinstance(f, StringContains):
+                m = pc.match_substring(col, f.value)
+            elif isinstance(f, StringStartsWith):
+                m = pc.starts_with(col, f.value)
+            elif isinstance(f, StringEndsWith):
+                m = pc.ends_with(col, f.value)
+            else:  # pragma: no cover - pushFilters only admits the above
+                continue
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        return table.filter(mask) if mask is not None else table
 
     def read(self, partition):  # executor-side (ingest and/or decode)
         if self.include_metadata:
@@ -513,9 +564,17 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
         payloads = self._payloads_of(partition)
         if self._opt("decode") == "arrow":
             # Vectorized TYPED path: pyarrow.csv parses the partition in
-            # C++ and this task hands Spark ready-typed Arrow batches — no
-            # per-row Python tuple, no downstream decode projection.
-            yield from self._decode_arrow(payloads)
+            # C++, pushed filters apply as compute kernels, and this task
+            # hands Spark ready-typed Arrow batches — no per-row Python
+            # tuple, no downstream decode projection.
+            from datafusion_nats_spark.codec import decode_payloads_arrow_indexed
+
+            table, _ = decode_payloads_arrow_indexed(
+                payloads, self.codec.schema, self.mode, self._dlq_publisher()
+            )
+            table = self._arrow_filter(table)
+            if table.num_rows:
+                yield from table.to_batches()
             return
         if self._opt("decode") == "raw":
             # Vectorized path (SURVEY §7.4-5): hand Spark Arrow batches of
@@ -559,12 +618,6 @@ class NatsPushdownBatchReader(NatsBatchReader):
             StringEndsWith,
             StringStartsWith,
         )
-
-        if self._opt("decode") == "arrow":
-            # the vectorized Arrow path yields whole RecordBatches, not
-            # per-row tuples — decline every filter; Spark evaluates them
-            yield from filters
-            return
 
         supported = (
             EqualTo,

@@ -986,10 +986,11 @@ def test_decode_arrow_failfast_surfaces_parse_error(spark, broker):
         df.collect()
 
 
-def test_decode_arrow_with_filters_declines_pushdown(spark, broker):
-    """pushdown=true + decode=arrow: every filter is declined back to
-    Spark (the Arrow path has no per-row hook), so results stay correct
-    and the filter is evaluated engine-side."""
+def test_decode_arrow_pushdown_filters_in_compute_kernels(spark, broker):
+    """pushdown=true + decode=arrow: supported filters are CONSUMED by
+    the source and applied as pyarrow.compute masks on the decoded
+    table — vectorized source-side pushdown, same results as
+    engine-side evaluation."""
     for p in TYPED_ROWS:
         broker.publish("arrow.pd", p)
     df = (
@@ -1001,8 +1002,29 @@ def test_decode_arrow_with_filters_declines_pushdown(spark, broker):
         .option("pushdown", "true")
         .load()
         .filter("id >= 2")
+        .filter("name LIKE '%an%'")  # StringContains
     )
     assert sorted(r.name for r in df.collect()) == ["banana", "orange"]
+    # unit-level: the reader consumes every supported filter (none yielded
+    # back), exactly like the row path
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, StringContains
+
+    from datafusion_nats_spark.sources.nats_source import NatsPushdownBatchReader
+
+    r = NatsPushdownBatchReader(
+        TYPED_SCHEMA,
+        {"url": "memory://test", "subject": "arrow.pd", "decode": "arrow", "pushdown": "true"},
+    )
+    leftover = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("id",), 2), StringContains(("name",), "an"), EqualTo(("ok",), True)]
+        )
+    )
+    assert leftover == [] and len(r._pushed) == 3
+    rows = [t for p in r.partitions() for b in r.read(p) for t in b.to_pylist()]
+    # ok=True ∧ id>=2 ∧ contains 'an': banana fails ok (row value '0'),
+    # apple fails id — only orange survives
+    assert sorted(t["name"] for t in rows) == ["orange"]
 
 
 def test_streaming_decode_arrow_matches_row_streaming(spark, broker, tmp_path):

@@ -248,3 +248,135 @@ def test_random_aggregates_agree(spark, fuzz_env, aggs, group, where, having):
     s = sorted(tuple(r) for r in spark.sql(sql).collect())
     d = sorted(fuzz_env.execute(sql).fetchall())
     assert s == d, f"sql: {sql}\nspark: {s}\nduckdb: {d}"
+
+
+# ---------------------------------------------------------------------------
+# Suite 4: window-function fuzz — ranking/analytic/frames over random
+# partitions, reduced to exact integer aggregates for comparison
+# ---------------------------------------------------------------------------
+
+# (l_orderkey, l_linenumber) is a unique key, so this ORDER BY totally
+# orders every partition — the determinism every sequence-sensitive
+# window function (row_number/ntile/lag/first_value) needs
+_TOTAL_ORDER = "l_orderkey, l_linenumber"
+
+
+@st.composite
+def window_expr(draw) -> str:
+    part = draw(st.sampled_from(["", "PARTITION BY l_returnflag", "PARTITION BY l_linestatus", "PARTITION BY l_suppkey"]))
+    kind = draw(
+        st.sampled_from(
+            ["row_number", "rank", "dense_rank", "ntile", "lag", "lead",
+             "sum_rows", "count_rows", "minmax_rows", "first_value", "sum_range"]
+        )
+    )
+    if kind in ("row_number", "rank", "dense_rank"):
+        order = _TOTAL_ORDER if kind == "row_number" else draw(
+            st.sampled_from([_TOTAL_ORDER, "l_suppkey", "l_linenumber"])
+        )
+        return f"{kind}() OVER ({part} ORDER BY {order})"
+    if kind == "ntile":
+        n = draw(st.integers(min_value=2, max_value=7))
+        return f"ntile({n}) OVER ({part} ORDER BY {_TOTAL_ORDER})"
+    if kind in ("lag", "lead"):
+        off = draw(st.integers(min_value=1, max_value=3))
+        return f"{kind}(l_linenumber, {off}, 0) OVER ({part} ORDER BY {_TOTAL_ORDER})"
+    a = draw(st.integers(min_value=0, max_value=5))
+    b = draw(st.integers(min_value=0, max_value=5))
+    rows = f"ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING"
+    if kind == "sum_rows":
+        return f"sum(l_linenumber) OVER ({part} ORDER BY {_TOTAL_ORDER} {rows})"
+    if kind == "count_rows":
+        return f"count(*) OVER ({part} ORDER BY {_TOTAL_ORDER} {rows})"
+    if kind == "minmax_rows":
+        fn = draw(st.sampled_from(["min", "max"]))
+        return f"{fn}(l_orderkey) OVER ({part} ORDER BY {_TOTAL_ORDER} {rows})"
+    if kind == "first_value":
+        return f"first_value(l_orderkey) OVER ({part} ORDER BY {_TOTAL_ORDER} {rows})"
+    # sum_range: RANGE frames include whole peer groups, deterministic
+    # under ties by definition
+    k = draw(st.integers(min_value=0, max_value=500))
+    return (
+        f"sum(l_linenumber) OVER ({part} ORDER BY l_orderkey "
+        f"RANGE BETWEEN {k} PRECEDING AND CURRENT ROW)"
+    )
+
+
+@_SETTINGS
+@given(
+    wins=st.lists(window_expr(), min_size=1, max_size=3),
+    where=st.one_of(st.none(), where_clause()),
+)
+def test_random_window_functions_agree(spark, fuzz_env, wins, where):
+    """Every generated window expression is integer-valued and
+    deterministic (total-order ORDER BY for sequence-sensitive
+    functions, ROWS/RANGE frames); the windowed relation reduces to
+    exact aggregates so the compare is order-free."""
+    inner_items = [f"{w} AS w{i}" for i, w in enumerate(wins)]
+    inner = f"SELECT {', '.join(inner_items)} FROM fz_lineitem"
+    if where:
+        inner += f" WHERE {where}"
+    outer_items = []
+    for i in range(len(wins)):
+        outer_items += [
+            f"CAST(coalesce(sum(w{i}), 0) AS BIGINT) AS s{i}",
+            f"min(w{i}) AS mn{i}",
+            f"max(w{i}) AS mx{i}",
+            f"count(DISTINCT w{i}) AS k{i}",
+        ]
+    sql = f"SELECT {', '.join(outer_items)} FROM ({inner})"
+    _agree(spark, fuzz_env, sql)
+
+
+# ---------------------------------------------------------------------------
+# Suite 5: subquery fuzz — IN / NOT IN (incl. NULL-poisoned, the classic
+# three-valued-logic trap) / EXISTS / correlated scalar aggregates
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def subquery_predicate(draw) -> str:
+    kind = draw(
+        st.sampled_from(
+            ["in", "not_in", "not_in_nullable", "exists", "not_exists", "scalar_cmp"]
+        )
+    )
+    sub_where = draw(where_clause())
+    if kind == "in":
+        return f"o.o_orderkey IN (SELECT l_orderkey FROM fz_lineitem WHERE {sub_where})"
+    if kind == "not_in":
+        return f"o.o_orderkey NOT IN (SELECT l_orderkey FROM fz_lineitem WHERE {sub_where})"
+    if kind == "not_in_nullable":
+        # any NULL in the NOT IN list makes the whole predicate UNKNOWN —
+        # both engines must agree on the three-valued-logic wipeout
+        return (
+            "o.o_orderkey NOT IN (SELECT CASE WHEN l_linenumber = 3 THEN NULL "
+            f"ELSE l_orderkey END FROM fz_lineitem WHERE {sub_where})"
+        )
+    if kind == "exists":
+        return (
+            "EXISTS (SELECT 1 FROM fz_lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey AND ({sub_where}))"
+        )
+    if kind == "not_exists":
+        return (
+            "NOT EXISTS (SELECT 1 FROM fz_lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey AND ({sub_where}))"
+        )
+    op = draw(comparison)
+    n = draw(st.integers(min_value=0, max_value=5))
+    return (
+        "(SELECT count(*) FROM fz_lineitem l "
+        f"WHERE l.l_orderkey = o.o_orderkey AND ({sub_where})) {op} {n}"
+    )
+
+
+@_SETTINGS
+@given(pred=subquery_predicate())
+def test_random_subqueries_agree(spark, fuzz_env, pred):
+    sql = (
+        "SELECT count(*) AS n, "
+        "CAST(coalesce(sum(o.o_orderkey), 0) AS BIGINT) AS s "
+        f"FROM fz_orders o WHERE {pred}"
+    )
+    _agree(spark, fuzz_env, sql)
