@@ -79,8 +79,12 @@ def fuzz_env(spark, sf_dir):
     con.close()
 
 
+import os
+
 _SETTINGS = settings(
-    max_examples=50,
+    # 50 in the normal suite; crank via SPARK_GRAFT_FUZZ_EXAMPLES for
+    # one-off deep-fuzz sessions (e.g. 300 per suite pre-round-close)
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "50")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
