@@ -383,9 +383,15 @@ def decode_payloads_arrow_indexed(
         valid = nonempty
         if isinstance(f.dataType, T.IntegerType):
             shaped = pc.match_substring_regex(col, _INT_RE.pattern)
-            # bound digits first so the int64 cast below can't overflow-abort
-            shaped = pc.and_(shaped, pc.less_equal(pc.utf8_length(col), 11))
-            as64 = pc.if_else(shaped, col, pa.scalar(None, pa.string())).cast(pa.int64())
+            # bound SIGNIFICANT digits (sign and leading zeros stripped —
+            # '000000000042' is valid Int32 wire, as in Rust's
+            # i32::from_str) so the int64 cast below can't overflow-abort
+            signif = pc.utf8_length(pc.utf8_ltrim(col, "+-0"))
+            shaped = pc.and_(shaped, pc.less_equal(signif, 10))
+            # arrow's string->int cast rejects a leading '+' (valid on the
+            # wire, i32::from_str accepts it) — strip it before casting
+            no_plus = pc.replace_substring_regex(col, r"^\+", "")
+            as64 = pc.if_else(shaped, no_plus, pa.scalar(None, pa.string())).cast(pa.int64())
             in_range = pc.and_(
                 pc.greater_equal(as64, pa.scalar(-(2**31), pa.int64())),
                 pc.less(as64, pa.scalar(2**31, pa.int64())),

@@ -289,12 +289,21 @@ def test_strict_wire_grammar_parity_all_paths():
                 codec.parse_line(v)
             with pytest.raises(ParseError):
                 decode_payloads_arrow([v.encode()], schema)
-    # Int32 boundary values themselves are valid on both paths
+    # Int32 boundary values themselves are valid on both paths, and so
+    # are arbitrarily zero-padded in-range values (Rust i32::from_str
+    # accepts leading zeros — the reference wire semantics)
     edge = T.StructType([T.StructField("x", T.IntegerType(), False)])
-    assert CsvCodec(edge).parse_line("2147483647") == (2147483647,)
-    assert CsvCodec(edge).parse_line("-2147483648") == (-2147483648,)
-    got = [r["x"] for b in decode_payloads_arrow([b"2147483647", b"-2147483648"], edge) for r in b.to_pylist()]
-    assert got == [2147483647, -2147483648]
+    valid = [b"2147483647", b"-2147483648", b"000000000000042", b"-000000000000042", b"+0000000000000", b"0"]
+    want = [2147483647, -2147483648, 42, -42, 0, 0]
+    assert [CsvCodec(edge).parse_line(v.decode())[0] for v in valid] == want
+    got = [r["x"] for b in decode_payloads_arrow(valid, edge) for r in b.to_pylist()]
+    assert got == want
+    # zero-padded OUT-of-range still rejected by both
+    for v in ["0002147483648", "-09999999999"]:
+        with pytest.raises(ParseError):
+            CsvCodec(edge).parse_line(v)
+        with pytest.raises(ParseError):
+            decode_payloads_arrow([v.encode()], edge)
 
 
 def test_arrow_decode_indexed_permissive_and_dlq():
