@@ -801,6 +801,131 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://www.' ELSE 'HTTPS://WWW.' END)
+             || source || (CASE WHEN doc_id % 2 = 0 THEN '.example.com' ELSE '.Example.COM' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+             || '/Articles/' || CAST(doc_id % 50 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0
+                 THEN '?utm_source=feed&b=' || CAST(doc_id % 4 AS VARCHAR) || '&a=' || CAST(doc_id % 25 AS VARCHAR)
+                 ELSE '?a=' || CAST(doc_id % 25 AS VARCHAR) || '&b=' || CAST(doc_id % 4 AS VARCHAR) || '&ref=rss' END)
+             AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+             lower(split_part(url, '://', 1)) AS scheme,
+             regexp_replace(lower(split_part(split_part(split_part(url, '://', 2), '/', 1), '?', 1)), ':443$', '') AS host,
+             regexp_replace(regexp_replace(split_part(url, '?', 1), '^[^:]+://[^/]*', ''), '/$', '') AS path,
+             array_to_string(
+               list_sort(list_filter(string_split(split_part(url, '?', 2), '&'),
+                         p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')))),
+               '&') AS params
+      FROM raw
+    ), canon AS (
+      SELECT doc_id, url,
+             scheme || '://' || host || path
+             || (CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS canonical_url
+      FROM parts
+    )
+    SELECT canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           count(*) AS n_copies,
+           count(DISTINCT url) AS n_raw_variants
+    FROM canon
+    GROUP BY canonical_url
+    """,
+    doc="URL-canonicalization dedup (the CCNet/RefinedWeb crawl-pipeline "
+    "front door): raw URLs differing by scheme/host case, default :443 "
+    "port, trailing slash, query-parameter ORDER and tracking params "
+    "(utm_*, ref) collapse to one canonical form — lowercase scheme+host, "
+    "port stripped, trailing slash stripped, tracking params dropped, "
+    "surviving params sorted. Raw URLs are synthesized deterministically "
+    "from (doc_id, source) with planted messiness so the collapse is "
+    "non-trivial; the canonicalizer parses the RAW string (split on "
+    "'://', '/', '?', '&' + array filter/sort — all JVM built-ins, "
+    "map-only before one hash aggregate). At 100 TB this runs before any "
+    "content fetch: a pure-projection pass plus a groupBy on the "
+    "canonical key.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    raw = F.concat(
+        F.when(doc % 2 == 0, F.lit("https://www.")).otherwise(F.lit("HTTPS://WWW.")),
+        F.col("source"),
+        F.when(doc % 2 == 0, F.lit(".example.com")).otherwise(F.lit(".Example.COM")),
+        F.when(doc % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        (doc % 50).cast("string"),
+        F.when(doc % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            doc % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&b="),
+                (doc % 4).cast("string"),
+                F.lit("&a="),
+                (doc % 25).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("?a="),
+                (doc % 25).cast("string"),
+                F.lit("&b="),
+                (doc % 4).cast("string"),
+                F.lit("&ref=rss"),
+            )
+        ),
+    )
+    u = d.select("doc_id", raw.alias("url"))
+    scheme = F.lower(F.substring_index(F.col("url"), "://", 1))
+    host = F.regexp_replace(
+        F.lower(
+            F.substring_index(
+                F.substring_index(F.substring_index(F.col("url"), "://", -1), "/", 1),
+                "?",
+                1,
+            )
+        ),
+        r":443$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(F.substring_index(F.col("url"), "?", 1), r"^[^:]+://[^/]*", ""),
+        r"/$",
+        "",
+    )
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.substring_index(F.col("url"), "?", -1), "&"),
+                lambda p: ~(p.startswith("utm_") | p.startswith("ref=")),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+    return (
+        u.select("doc_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("url").alias("n_raw_variants"),
+        )
+    )
+
+
+@query(
     "dedup_cluster_size_histogram",
     oracle=f"""
     WITH cc AS ({_connected_components_oracle()})
