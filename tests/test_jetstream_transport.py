@@ -2,10 +2,12 @@
 
 ``transport=jetstream`` shares the replayable offset contract with the
 file-log transport; the backing store is chosen by URL scheme
-(``memory://`` → LocalLogBroker, ``nats://`` → JetStreamBroker). That
-split makes every routing path executable here (with the file log as
-the store) while the live JetStream backend stays import-gated — its
-e2e flavor lives in test_nats_live.py."""
+(``memory://`` → LocalLogBroker, ``nats://`` → JetStreamBroker, which
+uses nats-py when installed and the stdlib $JS.API wire client
+otherwise). Every routing path is executable here with the file log as
+the store; the contract-equivalence of the two stores is pinned
+differentially against MiniNatsServer(jetstream=True), and the live e2e
+flavor runs (hermetically if needed) in test_nats_live.py."""
 
 from __future__ import annotations
 
@@ -153,3 +155,52 @@ def test_unknown_transport_rejected(spark):
     with pytest.raises(Exception) as ei:
         df.collect()
     assert "unknown transport" in str(ei.value)
+
+
+def test_broker_contract_differential_log_vs_jetstream_wire():
+    """The replayable-transport contract, pinned differentially: a random
+    sequence of publish/size/fetch/clear operations must produce
+    IDENTICAL results on the file-backed LocalLogBroker and on the
+    wire-backed JetStreamBroker against MiniNatsServer(jetstream=True) —
+    the equivalence that lets every offset-range consumer (executor
+    ingest, metadata columns, streaming checkpoints) run unchanged on
+    either backend. Purge semantics (first_seq advance) are exercised
+    mid-sequence."""
+    import random
+
+    from datafusion_nats_spark.sources.nats_wire import MiniNatsServer
+
+    rng = random.Random(20260814)
+    subjects = ["c.a", "c.b", "c.deep.x"]
+    with MiniNatsServer(jetstream=True) as srv:
+        log = get_broker("memory://contract_diff")
+        js = JetStreamBroker(srv.url)
+        log.clear()
+        seq = 0
+        for step in range(120):
+            op = rng.choice(["publish", "publish", "publish", "size", "fetch", "clear_one"])
+            s = rng.choice(subjects)
+            if op == "publish":
+                seq += 1
+                payload = f"{seq},msg{seq}".encode()
+                log.publish(s, payload)
+                js.publish(s, payload)
+            elif op == "size":
+                assert log.size(s) == js.size(s), f"step {step} size({s})"
+            elif op == "fetch":
+                start = rng.randint(0, 6)
+                end = rng.choice([None, start + rng.randint(0, 8)])
+                assert log.fetch(s, start, end) == js.fetch(s, start, end), (
+                    f"step {step} fetch({s}, {start}, {end})"
+                )
+            else:
+                log.clear(s)
+                js.clear(s)
+        for s in subjects:  # final full-state agreement
+            assert log.fetch(s, 0) == js.fetch(s, 0)
+        # wildcard planning surface agrees on the live subjects
+        assert set(log.list_subjects()) >= set(
+            x for x in subjects if log.size(x) > 0
+        )
+        log.clear()
+        js.clear()
