@@ -238,8 +238,10 @@ def sim_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = e.alias("a"), e.alias("b")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (_norm(F.col("a.emb")) * _norm(F.col("b.emb")))
+    # both sides are the constant 60-row diagnostic window; the broadcast
+    # hint asserts that boundedness for the registry-wide cartesian guard
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        F.broadcast(a).join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select((F.col("a.label") == F.col("b.label")).alias("same_label"), cos.alias("cos"))
         .groupBy("same_label")
         .agg(

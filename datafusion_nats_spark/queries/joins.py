@@ -132,12 +132,14 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r_name, n_name
     FROM region CROSS JOIN nation
     """,
-    doc="Cross join of two broadcastable dims (5×25 rows).",
+    doc="Cross join of two broadcastable dims (5×25 rows); the broadcast "
+    "hint is the explicit boundedness assertion the registry-wide "
+    "cartesian guard requires on every cross/theta join.",
 )
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").select("r_name")
     n = load(spark, sf_dir, "nation").select("n_name")
-    return r.crossJoin(n)
+    return r.crossJoin(F.broadcast(n))
 
 
 @query(

@@ -838,3 +838,81 @@ def test_salted_join_partitions_on_salt(spark, sf_dir):
     # replication source is the literal 16-row salt range, not the dim
     assert "Range (0, 16" in plan
     assert "BroadcastExchange IdentityBroadcastMode" in plan
+
+
+# ---------------------------------------------------------------------------
+# registry-wide cartesian / theta-join guard (sibling of the window guard)
+# ---------------------------------------------------------------------------
+
+# Queries allowed to run a cross or non-equi join where NEITHER side is
+# provably bounded (Aggregate/Limit/Range/LocalRelation terminal) NOR
+# explicitly broadcast-hinted. Empty today: every cartesian-shaped join
+# in the registry either sits over a collapsed relation or carries the
+# broadcast hint that asserts (reviewably, at the call site) its side is
+# bounded. Add a name only with a written justification.
+CARTESIAN_ALLOWLIST: set[str] = set()
+
+_TINY_LEAVES = {"Range", "LocalRelation", "OneRowRelation"}
+
+
+def _bounded_join_side(node) -> bool:
+    name = node.getClass().getSimpleName()
+    if name in _BOUNDED or name in _TINY_LEAVES:
+        return True
+    if name in _PASS_THROUGH or name == "Join":
+        kids = _children(node)
+        return bool(kids) and all(_bounded_join_side(k) for k in kids)
+    return False
+
+
+def _unbounded_cartesian_offenders(df) -> list[str]:
+    """Cross or non-equi Join nodes (no '=' conjunct in the condition)
+    where no side is provably bounded and no side carries an explicit
+    broadcast hint — the shape that is a full cartesian shuffle/NL loop
+    over two unbounded relations at 100 TB."""
+    out = []
+    for node in _walk_logical(df._jdf.queryExecution().optimizedPlan()):
+        if node.getClass().getSimpleName() != "Join":
+            continue
+        cond = node.condition()
+        cstr = "" if cond.isEmpty() else cond.get().toString()
+        if " = " in cstr or "<=>" in cstr:
+            continue  # has an equi conjunct — hash-joinable
+        if "broadcast" in node.hint().toString().lower():
+            continue  # explicit boundedness assertion at the call site
+        left, right = _children(node)
+        if _bounded_join_side(left) or _bounded_join_side(right):
+            continue
+        out.append(cstr[:80] or "<cross>")
+    return out
+
+
+def test_walker_flags_unbounded_cartesian(spark, sf_dir):
+    """Negative control: an unhinted cross join of two raw fact tables
+    must be flagged; adding the broadcast assertion or collapsing one
+    side clears it."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    assert _unbounded_cartesian_offenders(li.crossJoin(o))
+    assert _unbounded_cartesian_offenders(
+        li.join(o, li.l_extendedprice > o.o_totalprice)  # pure theta
+    )
+    assert not _unbounded_cartesian_offenders(li.crossJoin(F.broadcast(o)))
+    assert not _unbounded_cartesian_offenders(
+        li.crossJoin(o.groupBy("o_orderstatus").count())
+    )
+
+
+def test_registry_has_no_unbounded_cartesian_join(spark, sf_dir):
+    """Walk every registered query's optimized logical plan: no cross or
+    pure-theta join may pair two unbounded, unhinted relations."""
+    failures = {}
+    for name in sorted(QUERIES):
+        if name in CARTESIAN_ALLOWLIST:
+            continue
+        off = _unbounded_cartesian_offenders(QUERIES[name](spark, sf_dir))
+        if off:
+            failures[name] = off
+    assert not failures, f"unbounded cartesian joins: {failures}"
