@@ -1,10 +1,12 @@
 """Differential SQL fuzzing vs DuckDB (SURVEY §5.4 item 5, second half):
-three hypothesis suites generate random SQL — WHERE predicates, join
-conditions across every join type (equi + non-equi), and aggregate
-expressions (incl. DISTINCT and FILTER) — and run the IDENTICAL SQL text
-through Spark and DuckDB. Any semantics drift the 250 hand-written
-oracle queries can't reach (operator interactions, null handling in
-outer joins, distinct-in-aggregate edge cases) must surface here.
+eight hypothesis suites generate random SQL — WHERE predicates, join
+conditions across every join type (equi + non-equi), aggregate
+expressions (incl. DISTINCT and FILTER), window functions, subqueries,
+scalar expressions (integer/string/date grammars), set-operation trees,
+and grouping sets — and run the IDENTICAL SQL text through Spark and
+DuckDB. Any semantics drift the 251 hand-written oracle queries can't
+reach (operator interactions, null handling in outer joins,
+distinct-in-aggregate edge cases) must surface here.
 
 Determinism rules: every compared aggregate is engine-exact — counts,
 BIGINT-cast integer sums, DECIMAL-cast money sums, min/max — never a
@@ -384,3 +386,270 @@ def test_random_subqueries_agree(spark, fuzz_env, pred):
         f"FROM fz_orders o WHERE {pred}"
     )
     _agree(spark, fuzz_env, sql)
+
+
+# ---------------------------------------------------------------------------
+# Suite 6: scalar-expression fuzz — random nested integer / string / date
+# expressions evaluated per-row in both engines and reduced to exact
+# aggregates. Surfaces function-semantics drift (mod sign, substr
+# indexing, concat null handling, interval arithmetic) that fixed
+# queries can't reach.
+#
+# Determinism rules: integer grammar is closed over BIGINT with bounded
+# operands (no division — `/` is float in both engines and FP sum order
+# differs); string grammar stays ASCII so binary collation agrees;
+# dates reduce through extract() to BIGINT (date_trunc is excluded: it
+# returns DATE in DuckDB but TIMESTAMP in Spark).
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def int_expr(draw, depth: int = 0) -> str:
+    atoms = [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "CAST(l_linenumber AS BIGINT)",
+        str(draw(st.integers(min_value=0, max_value=100))),
+    ]
+    if depth >= 2:
+        return draw(st.sampled_from(atoms))
+    kind = draw(
+        st.sampled_from(
+            ["atom", "add", "sub", "mul", "mod", "abs", "greatest", "least", "case"]
+        )
+    )
+    if kind == "atom":
+        return draw(st.sampled_from(atoms))
+    if kind in ("add", "sub"):
+        a = draw(int_expr(depth=depth + 1))
+        b = draw(int_expr(depth=depth + 1))
+        op = "+" if kind == "add" else "-"
+        return f"({a} {op} {b})"
+    if kind == "mul":
+        a = draw(int_expr(depth=depth + 1))
+        k = draw(st.integers(min_value=2, max_value=7))
+        return f"({a} * {k})"
+    if kind == "mod":
+        # both engines use C-style mod (sign follows the dividend) —
+        # verified: -7 % 3 == -1 in Spark and DuckDB
+        a = draw(int_expr(depth=depth + 1))
+        k = draw(st.integers(min_value=2, max_value=97))
+        return f"({a} % {k})"
+    if kind == "abs":
+        return f"abs({draw(int_expr(depth=depth + 1))})"
+    if kind in ("greatest", "least"):
+        a = draw(int_expr(depth=depth + 1))
+        b = draw(int_expr(depth=depth + 1))
+        return f"{kind}({a}, {b})"
+    pred = draw(predicate())
+    a = draw(int_expr(depth=depth + 1))
+    b = draw(int_expr(depth=depth + 1))
+    return f"(CASE WHEN {pred} THEN {a} ELSE {b} END)"
+
+
+@_SETTINGS
+@given(exprs=st.lists(int_expr(), min_size=1, max_size=3), where=st.one_of(st.none(), where_clause()))
+def test_random_int_expressions_agree(spark, fuzz_env, exprs, where):
+    items = []
+    for i, e in enumerate(exprs):
+        items += [
+            f"CAST(coalesce(sum({e}), 0) AS BIGINT) AS s{i}",
+            f"min({e}) AS mn{i}",
+            f"max({e}) AS mx{i}",
+            f"count(DISTINCT {e}) AS k{i}",
+        ]
+    sql = f"SELECT {', '.join(items)} FROM fz_lineitem"
+    if where:
+        sql += f" WHERE {where}"
+    _agree(spark, fuzz_env, sql)
+
+
+@st.composite
+def str_expr(draw, depth: int = 0) -> str:
+    atoms = ["c_name", "c_mktsegment", "'xy#z'"]
+    if depth >= 2:
+        return draw(st.sampled_from(atoms))
+    kind = draw(
+        st.sampled_from(["atom", "upper", "lower", "substr", "reverse", "concat", "replace"])
+    )
+    if kind == "atom":
+        return draw(st.sampled_from(atoms))
+    inner = draw(str_expr(depth=depth + 1))
+    if kind in ("upper", "lower", "reverse"):
+        return f"{kind}({inner})"
+    if kind == "substr":
+        # start >= 1 only: substr from 0 is engine-divergent
+        # (Spark treats 0 as 1; DuckDB/Postgres shift the window)
+        start = draw(st.integers(min_value=1, max_value=5))
+        n = draw(st.integers(min_value=0, max_value=9))
+        return f"substr({inner}, {start}, {n})"
+    if kind == "concat":
+        other = draw(str_expr(depth=depth + 1))
+        return f"({inner} || {other})"
+    a = draw(st.sampled_from(["0", "e", "r", "C", "#"]))
+    b = draw(st.sampled_from(["", "Q", "zz"]))
+    return f"replace({inner}, '{a}', '{b}')"
+
+
+@_SETTINGS
+@given(exprs=st.lists(str_expr(), min_size=1, max_size=3))
+def test_random_string_expressions_agree(spark, fuzz_env, exprs):
+    items = []
+    for i, e in enumerate(exprs):
+        items += [
+            f"count(DISTINCT {e}) AS k{i}",
+            f"min({e}) AS mn{i}",
+            f"max({e}) AS mx{i}",
+            f"CAST(coalesce(sum(length({e})), 0) AS BIGINT) AS s{i}",
+        ]
+    sql = f"SELECT {', '.join(items)} FROM fz_customer"
+    _agree(spark, fuzz_env, sql)
+
+
+@st.composite
+def date_expr(draw) -> str:
+    base = "o_orderdate"
+    kind = draw(st.sampled_from(["plain", "plus", "minus"]))
+    if kind == "plain":
+        return base
+    k = draw(st.integers(min_value=1, max_value=400))
+    op = "+" if kind == "plus" else "-"
+    return f"({base} {op} INTERVAL {k} DAY)"
+
+
+@_SETTINGS
+@given(
+    exprs=st.lists(date_expr(), min_size=1, max_size=3),
+    field=st.sampled_from(["YEAR", "MONTH", "DAY"]),
+)
+def test_random_date_expressions_agree(spark, fuzz_env, exprs, field):
+    items = []
+    for i, e in enumerate(exprs):
+        ext = f"CAST(extract({field} FROM {e}) AS BIGINT)"
+        items += [
+            f"CAST(coalesce(sum({ext}), 0) AS BIGINT) AS s{i}",
+            f"min({ext}) AS mn{i}",
+            f"max({ext}) AS mx{i}",
+            f"count(DISTINCT {ext}) AS k{i}",
+        ]
+    sql = f"SELECT {', '.join(items)} FROM fz_orders"
+    _agree(spark, fuzz_env, sql)
+
+
+# ---------------------------------------------------------------------------
+# Suite 7: set-operation fuzz — random trees of UNION / INTERSECT /
+# EXCEPT ([ALL] and DISTINCT) over type-aligned projections of two
+# different tables, reduced to exact aggregates. Exercises the
+# bag-vs-set semantics corner (EXCEPT ALL multiplicity arithmetic,
+# INTERSECT ALL min-multiplicity) where engines historically diverge.
+# ---------------------------------------------------------------------------
+
+SETOPS = ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+
+
+@st.composite
+def setop_branch(draw) -> str:
+    src = draw(st.sampled_from(["lineitem", "orders"]))
+    if src == "lineitem":
+        where = draw(where_clause())
+        return (
+            "SELECT l_returnflag AS a, CAST(l_linenumber AS BIGINT) AS c "
+            f"FROM fz_lineitem WHERE {where}"
+        )
+    status = draw(st.sampled_from(["O", "F", "P"]))
+    k = draw(st.integers(min_value=2, max_value=9))
+    return (
+        f"SELECT o_orderstatus AS a, (o_orderkey % {k}) AS c "
+        f"FROM fz_orders WHERE o_orderstatus <> '{status}'"
+    )
+
+
+@_SETTINGS
+@given(
+    b1=setop_branch(),
+    b2=setop_branch(),
+    b3=st.one_of(st.none(), setop_branch()),
+    op1=st.sampled_from(SETOPS),
+    op2=st.sampled_from(SETOPS),
+)
+def test_random_set_operations_agree(spark, fuzz_env, b1, b2, b3, op1, op2):
+    tree = f"({b1}) {op1} ({b2})"
+    if b3 is not None:
+        tree = f"({tree}) {op2} ({b3})"
+    sql = (
+        "SELECT count(*) AS n, count(DISTINCT a) AS ka, "
+        "count(DISTINCT c) AS kc, "
+        "CAST(coalesce(sum(c), 0) AS BIGINT) AS s, "
+        "min(a) AS mn, max(c) AS mx "
+        f"FROM ({tree}) t"
+    )
+    _agree(spark, fuzz_env, sql)
+
+
+# ---------------------------------------------------------------------------
+# Suite 8: grouping-sets fuzz — ROLLUP / CUBE / GROUPING SETS over random
+# key subsets with GROUPING() ids. The multiset compare is NULL-safe
+# (grouping keys ARE NULL in super-aggregate rows — the exact corner the
+# sorted-tuple compare of suite 3 cannot reach).
+#
+# Documented divergence (found by this suite, excluded via assume): over
+# an EMPTY input, DuckDB/Postgres emit the grand-total super-aggregate
+# row for ROLLUP/CUBE/GROUPING SETS(()) (count=0, keys NULL, per the
+# standard's treatment of the empty grouping set as a global aggregate),
+# while Spark returns zero rows. The generator therefore requires a
+# non-empty filtered input, probed cheaply on the DuckDB side.
+# ---------------------------------------------------------------------------
+
+GROUP_KEYS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+
+def _agree_multiset(spark, con, sql: str) -> None:
+    from collections import Counter
+
+    s = Counter(tuple(r) for r in spark.sql(sql).collect())
+    d = Counter(tuple(r) for r in con.execute(sql).fetchall())
+    assert s == d, f"sql: {sql}\nspark-only: {s - d}\nduckdb-only: {d - s}"
+
+
+@st.composite
+def grouping_spec(draw) -> tuple[list[str], str]:
+    keys = draw(
+        st.lists(st.sampled_from(GROUP_KEYS), min_size=1, max_size=3, unique=True)
+    )
+    kind = draw(st.sampled_from(["ROLLUP", "CUBE", "SETS"]))
+    if kind in ("ROLLUP", "CUBE"):
+        return keys, f"{kind}({', '.join(keys)})"
+    # GROUPING SETS: random subsets (possibly the empty set), but always
+    # include the full key tuple so every selected key is grouped in at
+    # least one set (a Spark analyzer requirement)
+    sets = [f"({', '.join(keys)})"]
+    for _ in range(draw(st.integers(min_value=0, max_value=2))):
+        sub = draw(st.lists(st.sampled_from(keys), max_size=len(keys), unique=True))
+        sets.append(f"({', '.join(sub)})")
+    return keys, f"GROUPING SETS ({', '.join(sets)})"
+
+
+@_SETTINGS
+@given(spec=grouping_spec(), where=st.one_of(st.none(), where_clause()))
+def test_random_grouping_sets_agree(spark, fuzz_env, spec, where):
+    from hypothesis import assume
+
+    keys, clause = spec
+    if where:
+        n_in = fuzz_env.execute(
+            f"SELECT count(*) FROM fz_lineitem WHERE {where}"
+        ).fetchone()[0]
+        assume(n_in > 0)  # empty-input super-aggregate rows diverge (see above)
+    items = [*keys]
+    items += [f"CAST(grouping({k}) AS INT) AS g_{k}" for k in keys]
+    items += [
+        "count(*) AS n",
+        "CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) AS s",
+        "count(DISTINCT l_suppkey) AS k",
+    ]
+    sql = f"SELECT {', '.join(items)} FROM fz_lineitem"
+    if where:
+        sql += f" WHERE {where}"
+    sql += f" GROUP BY {clause}"
+    _agree_multiset(spark, fuzz_env, sql)
