@@ -367,3 +367,112 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("lvl").alias("level"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """
+        WITH pairs AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), edges AS MATERIALIZED (
+          SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
+          UNION ALL
+          SELECT 's' || sk AS src, 'c' || ck AS dst FROM pairs
+        ), lab0 AS MATERIALIZED (
+          SELECT DISTINCT src AS node, src AS label FROM edges
+        )
+        """
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f"""
+            , cnt{i} AS MATERIALIZED (
+              SELECT e.dst AS node, l.label, count(*) AS c
+              FROM edges e JOIN lab{i - 1} l ON e.src = l.node
+              GROUP BY 1, 2
+            ), lab{i} AS MATERIALIZED (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rn
+                FROM cnt{i}
+              ) WHERE rn = 1
+            )
+            """
+        )
+    summaries = [
+        f"SELECT {i} AS round, label AS community, "
+        f"CAST(count(*) AS BIGINT) AS size FROM lab{i} GROUP BY 1, 2"
+        for i in range(1, _LPA_ROUNDS + 1)
+    ]
+    parts.append(" UNION ALL ".join(summaries))
+    return "".join(parts)
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc=f"Community detection via synchronous label propagation "
+    f"({_LPA_ROUNDS} rounds) on the customer-supplier bipartite graph "
+    "(same edge derivation as graph_pagerank_suppliers). Deterministic "
+    "LPA variant: every node adopts the MOST FREQUENT label among its "
+    "neighbors each round, ties broken by lexicographically-smallest "
+    "label — unlike dedup_connected_components' min-label rule, "
+    "frequency voting lets dense neighborhoods outvote a single "
+    "low-id node, the actual community-detection semantics. Each round "
+    "is one edges-to-labels equi-join, a (node, label) count aggregate "
+    "(map-side combinable), and a PARTITIONED row_number top-1 per "
+    "node; label state is O(|nodes|), lineage truncated per round "
+    "(localCheckpoint), edges cached once. Every node is a dst of the "
+    "symmetric edge union, so no frontier left-join is needed. Emits "
+    "per-community sizes for EVERY round — the coarsening trajectory "
+    "(many small communities after round 1 collapsing toward the "
+    "bipartite fixed point), a much denser correctness fingerprint "
+    "than the final state alone. Oracle: the same rounds unrolled as "
+    "MATERIALIZED CTEs with one summary per round, UNION ALLed.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    c_node = F.concat(F.lit("c"), F.col("ck"))
+    s_node = F.concat(F.lit("s"), F.col("sk"))
+    edges = (
+        pairs.select(c_node.alias("src"), s_node.alias("dst"))
+        .unionByName(pairs.select(s_node.alias("src"), c_node.alias("dst")))
+        .persist()
+    )
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    top1 = W.partitionBy("dst").orderBy(F.desc("c"), F.asc("label"))
+    summaries = []
+    for rnd in range(1, _LPA_ROUNDS + 1):
+        votes = (
+            edges.join(lab, edges.src == lab.node)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lab = (
+            votes.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+            .localCheckpoint()  # truncate per-round plan growth
+        )
+        summaries.append(
+            lab.groupBy(F.col("label").alias("community")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("size")
+            ).select(F.lit(rnd).alias("round"), "community", "size")
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out

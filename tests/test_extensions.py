@@ -611,3 +611,50 @@ def test_lsh_bucket_cap_bounds_mega_cluster(spark, tmp_path_factory):
         f"'{out}/documents.parquet/*.parquet'"  # Spark wrote a directory
     )
     compare(result, con, REGISTRY["dedup_incremental_new_batch"].oracle)
+
+
+def test_label_propagation_invariants(spark, sf_dir):
+    """Per-round community sizes must each sum to the (constant) node
+    count; every community label must be a real node id of the graph;
+    and the trajectory must end no finer than it starts (bounded by the
+    round-1 community count — sync-LPA on this dense bipartite graph
+    coarsens toward its fixed point)."""
+    from datafusion_nats_spark.extensions.graph import (
+        _LPA_ROUNDS,
+        graph_label_propagation,
+    )
+    from datafusion_nats_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = graph_label_propagation(spark, sf_dir).collect()
+    rounds = sorted({r.round for r in rows})
+    assert rounds == list(range(1, _LPA_ROUNDS + 1))
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    n_nodes = (
+        pairs.select(F.concat(F.lit("c"), F.col("o_custkey")).alias("n"))
+        .unionByName(pairs.select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("n")))
+        .distinct()
+        .count()
+    )
+    node_ids = {
+        r.n
+        for r in pairs.select(F.concat(F.lit("c"), F.col("o_custkey")).alias("n"))
+        .unionByName(pairs.select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("n")))
+        .distinct()
+        .collect()
+    }
+    per_round = {}
+    for r in rows:
+        per_round.setdefault(r.round, []).append(r)
+        assert r.community in node_ids, r.community
+        assert r.size >= 1
+    for rnd, rs in per_round.items():
+        assert sum(r.size for r in rs) == n_nodes, (rnd, n_nodes)
+    assert len(per_round[rounds[-1]]) <= len(per_round[rounds[0]])

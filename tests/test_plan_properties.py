@@ -816,11 +816,20 @@ def test_iterative_ops_bounded_plan_depth(spark, sf_dir):
     test_min_label_propagation_bounded_plan_depth. Without hygiene these
     plans would nest one join per round and eventually blow the
     optimizer."""
-    for name in ["curation_coreset_kcenter", "sim_mmr_rerank", "graph_bfs_levels"]:
+    for name in [
+        "curation_coreset_kcenter",
+        "sim_mmr_rerank",
+        "graph_bfs_levels",
+        "graph_label_propagation",
+    ]:
         df = QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("Join") <= 2, f"{name} lineage grew: {plan}"
-        assert len(plan.splitlines()) <= 12, f"{name} lineage grew: {plan}"
+        # LPA unions one constant-size aggregate per round over
+        # checkpointed label state — still round-count-bounded, not
+        # lineage growth (each branch is Aggregate over LogicalRDD)
+        cap = 12 if not name.endswith("label_propagation") else 16
+        assert len(plan.splitlines()) <= cap, f"{name} lineage grew: {plan}"
 
 
 def test_salted_join_partitions_on_salt(spark, sf_dir):
