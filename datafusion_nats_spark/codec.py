@@ -90,11 +90,13 @@ def validate_schema(schema: T.StructType) -> None:
 # Strict wire grammars — the same regexes decode_lines uses JVM-side, so
 # all three decode paths agree on exotic inputs: Python's int()/float()
 # accept underscores ('1_0' -> 10) and strptime accepts non-zero-padded
-# fields ('2024-1-2'), none of which are valid on this wire.
-_INT_RE = re.compile(r"^[+-]?\d+$")
-_FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
-_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$")
-_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+# fields ('2024-1-2'), none of which are valid on this wire. re.ASCII
+# because Python \d otherwise matches Unicode digits (int('٤٢') == 42)
+# that the RE2 (arrow) and JVM rlike paths reject.
+_INT_RE = re.compile(r"^[+-]?\d+$", re.ASCII)
+_FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$", re.ASCII)
+_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$", re.ASCII)
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$", re.ASCII)
 
 
 def _parse_value(value: str, dtype: T.DataType, name: str) -> Any:
@@ -328,9 +330,13 @@ def decode_payloads_arrow_indexed(
         n_skipped += 1
         return "skip"
 
-    try:
-        table = pacsv.read_csv(
-            pa.BufferReader(b"\n".join(payloads[i] for i in kept)),
+    def _read(chunks: list[bytes]):
+        # terminal b"" sentinel: a trailing newline is a no-op terminator
+        # after a non-empty last line, but WITHOUT it an empty last
+        # payload would vanish (the reader treats the final "\n" as the
+        # previous line's terminator, not an empty row)
+        return pacsv.read_csv(
+            pa.BufferReader(b"\n".join([*chunks, b""])),
             read_options=pacsv.ReadOptions(column_names=names),
             parse_options=pacsv.ParseOptions(
                 delimiter=",",
@@ -345,8 +351,30 @@ def decode_payloads_arrow_indexed(
                 strings_can_be_null=False,
             ),
         ).combine_chunks()
+
+    try:
+        table = _read([payloads[i] for i in kept])
     except pa.ArrowInvalid as e:
-        raise ParseError(f"arrow decode failed: {e}") from e
+        if "UTF8" not in str(e):
+            raise ParseError(f"arrow decode failed: {e}") from e
+        # invalid UTF-8: the row path lossily decodes and KEEPS the row
+        # (executor.rs:109 parity — errors="replace"); mirror that here
+        # by repairing the offending payloads and retrying once. Paid
+        # only on the rare corrupt-bytes path; the clean path stays a
+        # single zero-copy read.
+        n_skipped = 0
+        repaired = [
+            payloads[i].decode("utf-8", errors="replace").encode("utf-8")
+            for i in kept
+        ]
+        try:
+            table = _read(repaired)
+        except pa.ArrowInvalid as e2:  # pragma: no cover - repair is total
+            raise ParseError(f"arrow decode failed: {e2}") from e2
+    if not n_skipped and table.num_rows != len(kept):  # pragma: no cover
+        raise ParseError(
+            f"{len(kept)} payloads decoded to {table.num_rows} rows"
+        )
     if n_skipped:
         # map surviving rows back to payload indices: with no quoting the
         # comma count alone determines arity (C-level bytes.count — only
@@ -418,6 +446,12 @@ def decode_payloads_arrow_indexed(
             out = is_true
         elif isinstance(f.dataType, T.TimestampType):
             shaped = pc.match_substring_regex(col, _TS_RE.pattern)
+            # arrow strptime accepts proleptic year 0; Python's datetime
+            # (row path) starts at MINYEAR == 1 — reject '0000-…' so both
+            # paths agree (the regex already pins the year to 4 digits)
+            shaped = pc.and_(
+                shaped, pc.invert(pc.starts_with(col, "0000-"))
+            )
             clean = pc.if_else(shaped, col, pa.scalar(None, pa.string()))
             out = pc.strptime(clean, format="%Y-%m-%d %H:%M:%S", unit="us", error_is_null=True)
             # regex-shaped but non-calendar values (month 13) null out here
@@ -427,6 +461,9 @@ def decode_payloads_arrow_indexed(
             valid = pc.and_(valid, shaped)
         elif isinstance(f.dataType, T.DateType):
             shaped = pc.match_substring_regex(col, _DATE_RE.pattern)
+            shaped = pc.and_(
+                shaped, pc.invert(pc.starts_with(col, "0000-"))
+            )  # year-0 parity with the row path, as above
             clean = pc.if_else(shaped, col, pa.scalar(None, pa.string()))
             out = pc.strptime(clean, format="%Y-%m-%d", unit="s", error_is_null=True)
             shaped = pc.and_(shaped, out.is_valid())

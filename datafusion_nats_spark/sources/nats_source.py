@@ -585,7 +585,15 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
 
             lines = [p.decode("utf-8", errors="replace") for p in payloads]
             if lines:
-                yield pa.RecordBatch.from_arrays([pa.array(lines, pa.string())], ["value"])
+                table = pa.table({"value": pa.array(lines, pa.string())})
+                # pushed filters (on the raw 'value' column) must apply
+                # here too: pushFilters already told Spark this source
+                # handles them, so Spark strips the Filter node from the
+                # plan — skipping this would surface unfiltered rows as
+                # FINAL results
+                table = self._arrow_filter(table)
+                if table.num_rows:
+                    yield from table.to_batches()
             return
         for row in _decode(payloads, self.codec, self.mode, self._dlq_publisher()):
             if self._row_passes(row):

@@ -529,7 +529,12 @@ class MiniNatsServer:
             "state": {
                 "messages": n,
                 "bytes": sum(len(p) for _, p in st["messages"]),
-                "first_seq": first if n else first,
+                # empty stream: first stays at the next-expected seq (real
+                # nats-server reports the same after a purge; the one
+                # divergence is a NEVER-written stream, where it reports 0 —
+                # the broker never reads first_seq before writing, so the
+                # simpler invariant is kept)
+                "first_seq": first,
                 "last_seq": first + n - 1 if n else first - 1,
                 "consumer_count": 0,
             },

@@ -366,3 +366,113 @@ def test_arrow_permissive_matches_row_permissive(rows):
         for rec in b.to_pylist()
     ]
     assert got == want
+
+
+def test_arrow_trailing_empty_payload_not_lost():
+    """Self-review regression: an EMPTY payload in the LAST position used
+    to silently vanish from the arrow decode (the joined buffer's trailing
+    newline reads as a terminator, not an empty row), desyncing the
+    kept-index bookkeeping. It must behave exactly like the row codec:
+    arity error on multi-column schemas, empty-value error on
+    single-column ones — loudly in failfast, routed in permissive/dlq."""
+    import pytest
+
+    from datafusion_nats_spark.codec import decode_payloads_arrow_indexed
+
+    two = T.StructType(
+        [T.StructField("a", T.IntegerType(), False), T.StructField("s", T.StringType(), False)]
+    )
+    with pytest.raises(ParseError):
+        decode_payloads_arrow_indexed([b"1,x", b""], two, mode="failfast")
+    table, idx = decode_payloads_arrow_indexed([b"1,x", b""], two, mode="permissive-skip")
+    assert idx == [0] and table.to_pylist() == [{"a": 1, "s": "x"}]
+    dead: list[bytes] = []
+    table, idx = decode_payloads_arrow_indexed(
+        [b"1,x", b""], two, mode="dlq", on_invalid=dead.append
+    )
+    assert idx == [0] and dead == [b""]
+    # metadata zip stays aligned: the indexed contract is the invariant
+    # _read_arrow_with_metadata builds its _subject/_offset columns on
+    one = T.StructType([T.StructField("s", T.StringType(), False)])
+    with pytest.raises(ParseError, match="empty value"):
+        decode_payloads_arrow_indexed([b"a", b""], one, mode="failfast")
+    table, idx = decode_payloads_arrow_indexed([b"a", b""], one, mode="permissive-skip")
+    assert idx == [0] and table.to_pylist() == [{"s": "a"}]
+    # all-empty input, multi- and single-column
+    table, idx = decode_payloads_arrow_indexed([b"", b""], two, mode="permissive-skip")
+    assert table.num_rows == 0 and idx == []
+
+
+def test_arrow_invalid_utf8_lossy_keep_parity():
+    """Self-review regression: one invalid-UTF-8 payload used to abort the
+    ENTIRE arrow batch in every mode. The row codec lossily decodes with
+    errors='replace' and KEEPS the row (executor.rs:109 parity) — the
+    arrow path must do the same, in all three modes, without affecting
+    neighboring payloads."""
+    from datafusion_nats_spark.codec import CsvCodec, decode_payloads_arrow_indexed
+
+    two = T.StructType(
+        [T.StructField("a", T.IntegerType(), False), T.StructField("s", T.StringType(), False)]
+    )
+    payloads = [b"1,ok", b"2,\xff\xfe", b"3,fine"]
+    want = [CsvCodec(two).parse_line(p.decode("utf-8", errors="replace")) for p in payloads]
+    for mode in ("failfast", "permissive-skip", "dlq"):
+        dead: list[bytes] = []
+        table, idx = decode_payloads_arrow_indexed(
+            payloads, two, mode=mode, on_invalid=dead.append
+        )
+        assert idx == [0, 1, 2] and dead == []
+        got = [(r["a"], r["s"]) for r in table.to_pylist()]
+        assert got == want, mode
+    assert want[1] == (2, "��")
+    # corrupt bytes in a TYPED field: replacement chars fail the strict
+    # grammar, so the row is malformed on both paths (not a crash)
+    bad_int = [b"1,ok", b"\xff,x"]
+    table, idx = decode_payloads_arrow_indexed(bad_int, two, mode="permissive-skip")
+    assert idx == [0]
+
+
+def test_unicode_digit_rejection_parity():
+    """Self-review regression: Python's \\d matches Unicode digits, so the
+    row path accepted numbers ('٤٢' == 42) the arrow (RE2) and JVM rlike
+    paths reject. re.ASCII pins all paths to ASCII digits."""
+    import pytest
+
+    from datafusion_nats_spark.codec import CsvCodec, decode_payloads_arrow
+
+    cases = [
+        (T.IntegerType(), "٤٢"),          # Arabic-Indic 42
+        (T.IntegerType(), "４２"),          # fullwidth 42
+        (T.DoubleType(), "١.٥"),          # Arabic-Indic 1.5
+        (T.TimestampType(), "٢٠٢٤-01-02 03:04:05"),
+        (T.DateType(), "٢٠٢٤-01-02"),
+    ]
+    for dtype, v in cases:
+        schema = T.StructType([T.StructField("x", dtype, False)])
+        with pytest.raises(ParseError):
+            CsvCodec(schema).parse_line(v)
+        with pytest.raises(ParseError):
+            decode_payloads_arrow([v.encode()], schema)
+
+
+def test_year_zero_temporal_rejection_parity():
+    """Self-review regression: arrow strptime accepts proleptic year 0
+    ('0000-01-01'), which Python's datetime (MINYEAR == 1) rejects — the
+    arrow path must reject it too, on both temporal types."""
+    import pytest
+
+    from datafusion_nats_spark.codec import CsvCodec, decode_payloads_arrow
+
+    for dtype, v in [
+        (T.TimestampType(), "0000-01-01 00:00:00"),
+        (T.DateType(), "0000-01-01"),
+    ]:
+        schema = T.StructType([T.StructField("x", dtype, False)])
+        with pytest.raises(ParseError):
+            CsvCodec(schema).parse_line(v)
+        with pytest.raises(ParseError):
+            decode_payloads_arrow([v.encode()], schema)
+        # year 1 is the shared minimum and valid on both paths
+        ok = v.replace("0000", "0001")
+        assert CsvCodec(schema).parse_line(ok)[0] is not None
+        assert decode_payloads_arrow([ok.encode()], schema)

@@ -1055,3 +1055,40 @@ def test_streaming_decode_arrow_matches_row_streaming(spark, broker, tmp_path):
         return sorted(spark.sql(f"SELECT * FROM {name}").collect())
 
     assert drain("arrow") == drain(None)
+
+
+def test_decode_raw_pushdown_filters_applied(spark, broker):
+    """Self-review regression: pushdown=true + decode=raw accepted the
+    pushed filters but the raw read path never applied them — Spark
+    strips the Filter node once the source claims a filter, so
+    unfiltered lines surfaced as FINAL results. The raw path must apply
+    the filters on its single 'value' column."""
+    for i in range(10):
+        broker.publish("raw.pd", f"{'a' if i % 2 == 0 else 'b'}{i}".encode())
+    df = (
+        spark.read.format("nats")
+        .schema("value string")
+        .option("url", "memory://test")
+        .option("subject", "raw.pd")
+        .option("decode", "raw")
+        .option("pushdown", "true")
+        .load()
+        .filter("value LIKE 'a%'")
+    )
+    got = sorted(r.value for r in df.collect())
+    assert got == ["a0", "a2", "a4", "a6", "a8"], got
+    # unit-level: the pushed filter really is consumed and applied inside
+    # the reader (not re-checked by Spark)
+    from pyspark.sql.datasource import StringStartsWith
+
+    from datafusion_nats_spark.sources.nats_source import NatsPushdownBatchReader
+    from pyspark.sql import types as T
+
+    r = NatsPushdownBatchReader(
+        T.StructType([T.StructField("value", T.StringType(), False)]),
+        {"url": "memory://test", "subject": "raw.pd", "decode": "raw", "pushdown": "true"},
+    )
+    leftover = list(r.pushFilters([StringStartsWith(("value",), "a")]))
+    assert leftover == [] and len(r._pushed) == 1
+    rows = [t["value"] for p in r.partitions() for b in r.read(p) for t in b.to_pylist()]
+    assert sorted(rows) == ["a0", "a2", "a4", "a6", "a8"]
