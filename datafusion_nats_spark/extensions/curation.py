@@ -790,3 +790,73 @@ def curation_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leakage))
     )
+
+
+@query(
+    "report_source_overlap_matrix",
+    oracle=f"""
+    WITH sh0 AS (
+      SELECT source, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT DISTINCT source, shingle FROM sh0
+    ), sizes AS MATERIALIZED (
+      SELECT source, count(*) AS n FROM sh GROUP BY 1
+    ), ovl AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT o.src_a, o.src_b, CAST(o.n_common AS BIGINT) AS n_common,
+           CAST(sa.n + sb.n - o.n_common AS BIGINT) AS n_union,
+           CAST(floor(o.n_common * 1000000.0 / (sa.n + sb.n - o.n_common))
+                AS BIGINT) AS jaccard_ppm
+    FROM ovl o
+    JOIN sizes sa ON sa.source = o.src_a
+    JOIN sizes sb ON sb.source = o.src_b
+    """,
+    doc="Cross-source duplication matrix: pairwise shingle-set Jaccard "
+    "between every pair of corpus sources — the mixing-QA report run "
+    "before weighting sources in a training mixture (two crawls of the "
+    "same sites show up as a high-Jaccard pair; curation_mixture_weights "
+    "then discounts one). Scale shape: distinct (source, shingle) pairs "
+    "self-join ON shingle, so per-shingle fan-out is bounded by "
+    "C(n_sources, 2) — a property of the CORPORA count, not the corpus "
+    "size; per-source set sizes are a tiny broadcast. Only overlapping "
+    "pairs are emitted (zero-overlap pairs carry no signal). Jaccard is "
+    "emitted in integer parts-per-million (floor) because both engines "
+    "compute the identical IEEE expression — no decimal rounding-mode "
+    "divergence.",
+)
+def report_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.explode(_shingles_spark(F.col("text"))).alias("shingle"))
+        .distinct()
+        .persist()  # feeds sizes + both self-join sides
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    ovl = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    union_sz = F.col("na") + F.col("nb") - F.col("n_common")
+    return (
+        ovl.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            union_sz.cast("bigint").alias("n_union"),
+            F.floor(F.col("n_common") * F.lit(1000000.0) / union_sz)
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
