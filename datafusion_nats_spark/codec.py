@@ -190,11 +190,20 @@ def _decode_expr(raw: Column, dtype: T.DataType) -> Column:
             .otherwise(F.lit(None))
         )
     if isinstance(dtype, T.TimestampType):
-        return F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss"))
+        # shape-pin like the other paths, and reject proleptic year 0:
+        # Spark's try_to_timestamp accepts '0000-…' but Python's datetime
+        # (MINYEAR == 1) does not — and collecting such a row crashes
+        # PySpark's deserializer ('ordinal must be >= 1')
+        return F.when(
+            raw.rlike(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$")
+            & ~raw.startswith("0000-"),
+            F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
+        ).otherwise(F.lit(None).cast("timestamp"))
     if isinstance(dtype, T.DateType):
-        return F.when(raw.rlike(r"^\d{4}-\d{2}-\d{2}$"), F.to_date(raw)).otherwise(
-            F.lit(None)
-        )
+        return F.when(
+            raw.rlike(r"^\d{4}-\d{2}-\d{2}$") & ~raw.startswith("0000-"),
+            F.to_date(raw),
+        ).otherwise(F.lit(None))
     return raw  # StringType
 
 

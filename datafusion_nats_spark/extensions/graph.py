@@ -27,18 +27,51 @@ _DAMPING = 0.85
 _ITERATIONS = 3
 
 
-def _pagerank_iterations_sql() -> str:
-    """Unrolled DuckDB twin: r0 .. r{_ITERATIONS} as chained CTEs."""
-    parts = [
-        """
-        WITH pairs AS (
+def _edges_cte(materialized: bool = False) -> str:
+    """Shared oracle prefix: the customer↔supplier bipartite edge list
+    (pairs + symmetric 'c…'/'s…' union). One definition so the three
+    iterative ops' oracles cannot drift apart; MATERIALIZED variants are
+    for oracles whose rounds reference the CTE more than once (plain
+    inlining would re-evaluate it exponentially)."""
+    m = " MATERIALIZED" if materialized else ""
+    return f"""
+        WITH pairs AS{m} (
           SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        ), edges AS (
+        ), edges AS{m} (
           SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
           UNION ALL
           SELECT 's' || sk AS src, 'c' || ck AS dst FROM pairs
-        ), deg AS (
+        )
+    """
+
+
+def _bipartite_edges(spark: SparkSession, sf_dir: str):
+    """Spark twin of :func:`_edges_cte`: (pairs, edges) DataFrames, edges
+    persisted (every caller is an iterative loop reading it per round)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    c_node = F.concat(F.lit("c"), F.col("ck"))
+    s_node = F.concat(F.lit("s"), F.col("sk"))
+    edges = (
+        pairs.select(c_node.alias("src"), s_node.alias("dst"))
+        .unionByName(pairs.select(s_node.alias("src"), c_node.alias("dst")))
+        .persist()
+    )
+    return pairs, edges
+
+
+def _pagerank_iterations_sql() -> str:
+    """Unrolled DuckDB twin: r0 .. r{_ITERATIONS} as chained CTEs."""
+    parts = [
+        _edges_cte()
+        + """
+        , deg AS (
           SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY 1
         ), nodes AS (
           SELECT DISTINCT src AS node FROM edges
@@ -92,20 +125,7 @@ def _pagerank_iterations_sql() -> str:
     "unrolled as chained CTEs in DuckDB.",
 )
 def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-    )
-    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-    edges = (
-        pairs.select(c.alias("src"), s.alias("dst"))
-        .unionAll(pairs.select(s.alias("src"), c.alias("dst")))
-        .persist()
-    )
+    _, edges = _bipartite_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("outdeg")
     ).persist()
@@ -265,15 +285,9 @@ _BFS_ROUNDS = 3
 
 def _bfs_oracle() -> str:
     parts = [
-        """
-        WITH pairs AS MATERIALIZED (
-          SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        ), edges AS MATERIALIZED (
-          SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
-          UNION ALL
-          SELECT 's' || sk AS src, 'c' || ck AS dst FROM pairs
-        ), nodes AS MATERIALIZED (
+        _edges_cte(materialized=True)
+        + """
+        , nodes AS MATERIALIZED (
           SELECT DISTINCT src AS node FROM edges
         ), lvl0 AS MATERIALIZED (
           SELECT node,
@@ -324,20 +338,7 @@ def _bfs_oracle() -> str:
     "plain CTE inlining would be exponential).",
 )
 def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
-        .distinct()
-    )
-    c_node = F.concat(F.lit("c"), F.col("ck"))
-    s_node = F.concat(F.lit("s"), F.col("sk"))
-    edges = (
-        pairs.select(c_node.alias("src"), s_node.alias("dst"))
-        .unionByName(pairs.select(s_node.alias("src"), c_node.alias("dst")))
-        .persist()
-    )
+    pairs, edges = _bipartite_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     src = pairs.agg(F.min("ck").alias("mn"))  # 1 row, broadcast
     cur = nodes.crossJoin(F.broadcast(src)).select(
@@ -374,15 +375,9 @@ _LPA_ROUNDS = 3
 
 def _lpa_oracle() -> str:
     parts = [
-        """
-        WITH pairs AS MATERIALIZED (
-          SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        ), edges AS MATERIALIZED (
-          SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
-          UNION ALL
-          SELECT 's' || sk AS src, 'c' || ck AS dst FROM pairs
-        ), lab0 AS MATERIALIZED (
+        _edges_cte(materialized=True)
+        + """
+        , lab0 AS MATERIALIZED (
           SELECT DISTINCT src AS node, src AS label FROM edges
         )
         """
@@ -436,20 +431,7 @@ def _lpa_oracle() -> str:
     "MATERIALIZED CTEs with one summary per round, UNION ALLed.",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
-        .distinct()
-    )
-    c_node = F.concat(F.lit("c"), F.col("ck"))
-    s_node = F.concat(F.lit("s"), F.col("sk"))
-    edges = (
-        pairs.select(c_node.alias("src"), s_node.alias("dst"))
-        .unionByName(pairs.select(s_node.alias("src"), c_node.alias("dst")))
-        .persist()
-    )
+    _, edges = _bipartite_edges(spark, sf_dir)
     lab = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

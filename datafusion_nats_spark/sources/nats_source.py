@@ -257,6 +257,21 @@ class _OptionsMixin:
         return ingest
 
 
+def _raw_line_field(schema: T.StructType) -> str:
+    """decode=raw's contract: the declared schema is ONE string column
+    (the raw line; typed decode happens downstream via decode_lines).
+    Returns that column's name — the raw Arrow batches and the pushed-
+    filter evaluation must both use the DECLARED name, not a hard-coded
+    'value' (a filter pushed on '.schema("line string")' would otherwise
+    probe a column the emitted table doesn't have)."""
+    if len(schema.fields) != 1 or not isinstance(schema.fields[0].dataType, T.StringType):
+        raise CodecError(
+            "decode=raw emits the undecoded line as a single string "
+            f"column; declare e.g. 'value string' (got {schema.simpleString()})"
+        )
+    return schema.fields[0].name
+
+
 def _decode(payloads: list[bytes], codec: CsvCodec, mode: str, dlq=None):
     for payload in payloads:
         # Reference uses from_utf8_lossy (executor.rs:109) — replicate.
@@ -295,7 +310,11 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
                     f"with {want} (Kafka-style provenance columns)"
                 )
             data_schema = T.StructType(schema.fields[: -len(want)])
-        self.codec = None if self._opt("decode") == "raw" else CsvCodec(data_schema)
+        if self._opt("decode") == "raw":
+            self.codec = None
+            self._raw_col = _raw_line_field(data_schema)
+        else:
+            self.codec = CsvCodec(data_schema)
         self._field_index = {f.name: i for i, f in enumerate(schema.fields)}
         self._pushed: list = []
 
@@ -585,7 +604,7 @@ class NatsBatchReader(DataSourceReader, _OptionsMixin):
 
             lines = [p.decode("utf-8", errors="replace") for p in payloads]
             if lines:
-                table = pa.table({"value": pa.array(lines, pa.string())})
+                table = pa.table({self._raw_col: pa.array(lines, pa.string())})
                 # pushed filters (on the raw 'value' column) must apply
                 # here too: pushFilters already told Spark this source
                 # handles them, so Spark strips the Filter node from the
@@ -663,7 +682,11 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
 
     def __init__(self, schema: T.StructType, options: dict) -> None:
         self.options = {k.lower(): v for k, v in options.items()}
-        self.codec = None if self._opt("decode") == "raw" else CsvCodec(schema)
+        if self._opt("decode") == "raw":
+            self.codec = None
+            self._raw_col = _raw_line_field(schema)
+        else:
+            self.codec = CsvCodec(schema)
         self.max_per_batch = int(self._opt("maxmessagesperbatch", "1000"))
         mb = self._opt("maxbytesperbatch")
         self.max_bytes_per_batch = int(mb) if mb is not None else None
@@ -758,7 +781,9 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
 
             lines = [p.decode("utf-8", errors="replace") for p in payloads]
             if lines:
-                yield pa.RecordBatch.from_arrays([pa.array(lines, pa.string())], ["value"])
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(lines, pa.string())], [self._raw_col]
+                )
             return
         yield from _decode(payloads, self.codec, self.mode, self._dlq_publisher())
 

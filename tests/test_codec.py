@@ -152,3 +152,40 @@ def test_decode_lines_marked_mode(spark):
     n_corrupt = out.filter("_corrupt").count()
     assert n_corrupt == len(BAD)
     assert out.count() == len(GOOD) + len(BAD)
+
+
+def test_decode_lines_rejects_year_zero_and_loose_shapes(spark):
+    """Self-review regression: Spark's to_date/try_to_timestamp accept
+    proleptic year 0 ('0000-01-01') that the row and arrow paths reject —
+    and collecting such a Date32 row crashes PySpark's deserializer
+    ('ordinal must be >= 1'). The JVM decode must drop those rows (and
+    non-zero-padded temporals) exactly like the other two paths."""
+    from pyspark.sql import types as T
+
+    from datafusion_nats_spark.codec import decode_lines
+
+    schema = T.StructType(
+        [
+            T.StructField("t", T.TimestampType(), False),
+            T.StructField("d", T.DateType(), False),
+        ]
+    )
+    lines = [
+        "2024-01-02 03:04:05,2024-01-02",  # valid
+        # year 1 = the shared minimum (mid-year: PySpark's deserializer
+        # converts via local-time fromtimestamp, which underflows to year
+        # 0 for instants at the exact minimum in western timezones)
+        "0001-07-01 00:00:00,0001-07-01",
+        "0000-01-01 00:00:00,2024-01-02",  # year-0 timestamp
+        "2024-01-02 03:04:05,0000-01-01",  # year-0 date
+        "2024-1-2 03:04:05,2024-01-02",    # non-zero-padded (JVM lenient)
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    rows = decode_lines(df, schema).collect()  # must not crash on collect
+    import datetime
+
+    got = sorted((r.t, r.d) for r in rows)
+    assert got == [
+        (datetime.datetime(1, 7, 1, 0, 0), datetime.date(1, 7, 1)),
+        (datetime.datetime(2024, 1, 2, 3, 4, 5), datetime.date(2024, 1, 2)),
+    ]

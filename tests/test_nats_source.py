@@ -1092,3 +1092,44 @@ def test_decode_raw_pushdown_filters_applied(spark, broker):
     assert leftover == [] and len(r._pushed) == 1
     rows = [t["value"] for p in r.partitions() for b in r.read(p) for t in b.to_pylist()]
     assert sorted(rows) == ["a0", "a2", "a4", "a6", "a8"]
+
+
+def test_decode_raw_respects_declared_column_name(spark, broker):
+    """Self-review regression: the raw path hard-coded its Arrow column
+    as 'value', so a filter pushed on '.schema("line string")' probed a
+    column the emitted table doesn't have. The raw batches (and pushed
+    filters) must use the DECLARED single-column name; a multi-column or
+    non-string raw schema is rejected loudly."""
+    broker.publish("raw.named", b"alpha")
+    broker.publish("raw.named", b"beta")
+    df = (
+        spark.read.format("nats")
+        .schema("line string")
+        .option("url", "memory://test")
+        .option("subject", "raw.named")
+        .option("decode", "raw")
+        .option("pushdown", "true")
+        .load()
+        .filter("line LIKE 'a%'")
+    )
+    assert [r.line for r in df.collect()] == ["alpha"]
+    import pytest
+    from datafusion_nats_spark.codec import CodecError
+    from datafusion_nats_spark.sources.nats_source import NatsBatchReader
+    from pyspark.sql import types as T
+
+    with pytest.raises(CodecError, match="single string"):
+        NatsBatchReader(
+            T.StructType(
+                [
+                    T.StructField("a", T.StringType(), False),
+                    T.StructField("b", T.StringType(), False),
+                ]
+            ),
+            {"url": "memory://test", "subject": "raw.named", "decode": "raw"},
+        )
+    with pytest.raises(CodecError, match="single string"):
+        NatsBatchReader(
+            T.StructType([T.StructField("a", T.IntegerType(), False)]),
+            {"url": "memory://test", "subject": "raw.named", "decode": "raw"},
+        )

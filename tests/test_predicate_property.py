@@ -4,7 +4,7 @@ conditions across every join type (equi + non-equi), aggregate
 expressions (incl. DISTINCT and FILTER), window functions, subqueries,
 scalar expressions (integer/string/date grammars), set-operation trees,
 and grouping sets — and run the IDENTICAL SQL text through Spark and
-DuckDB. Any semantics drift the 251 hand-written oracle queries can't
+DuckDB. Any semantics drift the 253 hand-written oracle queries can't
 reach (operator interactions, null handling in outer joins,
 distinct-in-aggregate edge cases) must surface here.
 
