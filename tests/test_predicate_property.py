@@ -653,3 +653,113 @@ def test_random_grouping_sets_agree(spark, fuzz_env, spec, where):
         sql += f" WHERE {where}"
     sql += f" GROUP BY {clause}"
     _agree_multiset(spark, fuzz_env, sql)
+
+
+# ---------------------------------------------------------------------------
+# Suite 9: multi-table join-topology fuzz — three-relation chains and
+# stars with a random outer/inner join type at EACH step. Two stacked
+# outer joins is where engines historically disagree (null-extended rows
+# from step 1 feeding step 2's join condition); the null-count
+# aggregates pin exactly which side got extended.
+# ---------------------------------------------------------------------------
+
+MULTI_JOIN_TYPES = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+
+
+@_SETTINGS
+@given(
+    jt1=st.sampled_from(MULTI_JOIN_TYPES),
+    jt2=st.sampled_from(MULTI_JOIN_TYPES),
+    topology=st.sampled_from(["chain", "star"]),
+    where=st.one_of(st.none(), where_clause()),
+    cust_pred=st.one_of(
+        st.none(),
+        st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE"]),
+    ),
+)
+def test_random_multi_join_topologies_agree(spark, fuzz_env, jt1, jt2, topology, where, cust_pred):
+    if topology == "chain":
+        # lineitem -> orders -> customer
+        frm = (
+            f"fz_lineitem l {jt1} fz_orders o ON l.l_orderkey = o.o_orderkey "
+            f"{jt2} fz_customer c ON o.o_custkey = c.c_custkey"
+        )
+    else:
+        # star around orders: customer first, then lineitem
+        frm = (
+            f"fz_orders o {jt1} fz_customer c ON o.o_custkey = c.c_custkey "
+            f"{jt2} fz_lineitem l ON l.l_orderkey = o.o_orderkey"
+        )
+    conds = []
+    if where:
+        # predicate over lineitem columns — NULL for l-extended rows,
+        # three-valued logic must agree
+        conds.append(f"({where})")
+    if cust_pred:
+        conds.append(f"c.c_mktsegment = '{cust_pred}'")
+    sql = (
+        "SELECT count(*) AS n, "
+        "count(l.l_orderkey) AS nl, count(o.o_orderkey) AS no, "
+        "count(c.c_custkey) AS nc, "
+        "CAST(coalesce(sum(l.l_linenumber), 0) AS BIGINT) AS sl, "
+        "CAST(coalesce(sum(o.o_custkey), 0) AS BIGINT) AS so, "
+        "CAST(coalesce(sum(c.c_nationkey), 0) AS BIGINT) AS sc "
+        f"FROM {frm}"
+    )
+    if conds:
+        sql += " WHERE " + " AND ".join(conds)
+    _agree(spark, fuzz_env, sql)
+
+
+# ---------------------------------------------------------------------------
+# Suite 10: ORDER BY / LIMIT / OFFSET fuzz — random sort keys and
+# directions with a total-order tiebreak, random LIMIT and OFFSET,
+# compared POSITIONALLY (the only suite where row order is the result).
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def order_spec(draw) -> str:
+    keys = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(
+                    ["l_suppkey", "l_linenumber", "l_returnflag", "l_quantity"]
+                ),
+                st.sampled_from(["ASC", "DESC"]),
+            ),
+            max_size=2,
+            unique_by=lambda t: t[0],
+        )
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in this synthetic data
+    # (fuzz-discovered); the tiebreak therefore spans ALL selected
+    # columns — rows still tied after it have identical output tuples,
+    # so the positional compare stays exact
+    tie = draw(st.sampled_from(["ASC", "DESC"]))
+    parts = [f"{k} {d}" for k, d in keys]
+    parts += [
+        f"l_orderkey {tie}",
+        f"l_linenumber {tie}",
+        f"l_returnflag {tie}",
+    ]
+    return ", ".join(parts)
+
+
+@_SETTINGS
+@given(
+    order=order_spec(),
+    limit=st.integers(min_value=0, max_value=40),
+    offset=st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+    where=st.one_of(st.none(), where_clause()),
+)
+def test_random_order_limit_offset_agree(spark, fuzz_env, order, limit, offset, where):
+    sql = "SELECT l_orderkey, l_linenumber, l_returnflag FROM fz_lineitem"
+    if where:
+        sql += f" WHERE {where}"
+    sql += f" ORDER BY {order} LIMIT {limit}"
+    if offset is not None:
+        sql += f" OFFSET {offset}"
+    s = [tuple(r) for r in spark.sql(sql).collect()]
+    d = fuzz_env.execute(sql).fetchall()
+    assert s == d, f"sql: {sql}\nspark: {s}\nduckdb: {d}"  # ordered compare
