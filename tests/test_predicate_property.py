@@ -1,9 +1,11 @@
 """Differential SQL fuzzing vs DuckDB (SURVEY §5.4 item 5, second half):
-eight hypothesis suites generate random SQL — WHERE predicates, join
+eleven hypothesis suites generate random SQL — WHERE predicates, join
 conditions across every join type (equi + non-equi), aggregate
-expressions (incl. DISTINCT and FILTER), window functions, subqueries,
-scalar expressions (integer/string/date grammars), set-operation trees,
-and grouping sets — and run the IDENTICAL SQL text through Spark and
+expressions (incl. DISTINCT and FILTER), window functions, IN/NOT IN
+subqueries, scalar expressions (integer/string/date grammars),
+set-operation trees, grouping sets, three-relation join topologies
+(stacked outer joins), ORDER BY / LIMIT / OFFSET, and correlated
+subqueries — and run the IDENTICAL SQL text through Spark and
 DuckDB. Any semantics drift the 253 hand-written oracle queries can't
 reach (operator interactions, null handling in outer joins,
 distinct-in-aggregate edge cases) must surface here.
@@ -763,3 +765,41 @@ def test_random_order_limit_offset_agree(spark, fuzz_env, order, limit, offset, 
     s = [tuple(r) for r in spark.sql(sql).collect()]
     d = fuzz_env.execute(sql).fetchall()
     assert s == d, f"sql: {sql}\nspark: {s}\nduckdb: {d}"  # ordered compare
+
+
+# ---------------------------------------------------------------------------
+# Suite 11: correlated-subquery fuzz — scalar aggregates in the SELECT
+# list and (NOT) EXISTS in WHERE, with a random uncorrelated inner
+# predicate. The classic divergence pits are COUNT-over-empty-group
+# (must be 0, not NULL) vs SUM-over-empty-group (must be NULL —
+# coalesced to a sentinel here so the compare is explicit), and
+# NOT EXISTS against a null-extended inner predicate.
+# ---------------------------------------------------------------------------
+
+
+@_SETTINGS
+@given(
+    shape=st.sampled_from(["scalar_agg", "exists", "not_exists"]),
+    inner=st.one_of(st.none(), where_clause()),
+    cutoff=st.integers(min_value=50, max_value=2000),
+)
+def test_random_correlated_subqueries_agree(spark, fuzz_env, shape, inner, cutoff):
+    inner_pred = f"l.l_orderkey = o.o_orderkey" + (f" AND ({inner})" if inner else "")
+    if shape == "scalar_agg":
+        sql = (
+            "SELECT o.o_orderkey, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM fz_lineitem l WHERE {inner_pred}) AS cnt, "
+            "CAST(coalesce((SELECT CAST(sum(l.l_linenumber) AS BIGINT) "
+            f"FROM fz_lineitem l WHERE {inner_pred}), -1) AS BIGINT) AS s, "
+            f"(SELECT max(l.l_returnflag) FROM fz_lineitem l WHERE {inner_pred}) AS mx "
+            f"FROM fz_orders o WHERE o.o_orderkey <= {cutoff}"
+        )
+    else:
+        neg = "NOT " if shape == "not_exists" else ""
+        sql = (
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(coalesce(sum(o.o_custkey), 0) AS BIGINT) AS sc "
+            f"FROM fz_orders o WHERE o.o_orderkey <= {cutoff} "
+            f"AND {neg}EXISTS (SELECT 1 FROM fz_lineitem l WHERE {inner_pred})"
+        )
+    _agree_multiset(spark, fuzz_env, sql)
