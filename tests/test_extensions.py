@@ -658,3 +658,90 @@ def test_label_propagation_invariants(spark, sf_dir):
     for rnd, rs in per_round.items():
         assert sum(r.size for r in rs) == n_nodes, (rnd, n_nodes)
     assert len(per_round[rounds[-1]]) <= len(per_round[rounds[0]])
+
+
+def test_collapse_leaves_no_verified_near_dup_pair(spark, sf_dir):
+    """End-to-end safety property of the dedup OUTPUT stage that the
+    oracles cannot express: after collapse-to-canonical, NO verified
+    near-duplicate pair (exact Jaccard >= 0.8 on capped shingle sets)
+    has both endpoints surviving, and the min-label components are a
+    true fixed point (every verified edge connects same-label docs,
+    every label is the min doc_id of its component)."""
+    from datafusion_nats_spark.extensions.dedup import (
+        dedup_collapse_keep_canonical,
+        dedup_connected_components,
+        dedup_ngram_jaccard,
+    )
+
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r.jaccard >= 0.8
+    ]
+    label = {
+        r.doc_id: r.component
+        for r in dedup_connected_components(spark, sf_dir).collect()
+    }
+    survivors = {r.doc_id for r in dedup_collapse_keep_canonical(spark, sf_dir).collect()}
+
+    assert edges, "planted near-dups must produce verified edges at this SF"
+    for a, b in edges:
+        assert label[a] == label[b], (a, b, label[a], label[b])  # fixed point
+        assert not (a in survivors and b in survivors), (a, b)  # no pair survives
+    # each component's label is its min member; exactly that member survives
+    comp_members: dict = {}
+    for doc, comp in label.items():
+        comp_members.setdefault(comp, []).append(doc)
+    for comp, members in comp_members.items():
+        assert comp == min(members), (comp, members)
+        assert [d for d in members if d in survivors] == [comp]
+    # conservation: survivors = all docs minus non-canonical members
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    dropped = {d for d, c in label.items() if d != c}
+    assert len(survivors) == n_docs - len(dropped)
+
+
+def test_sequence_packing_is_contiguous_and_conserving(spark, sf_dir):
+    """Packing invariants the aggregate oracle can't see: per language
+    the concat stream starts at offset 0, every document's start_off is
+    exactly the previous document's start_off + n_tok (no gaps, no
+    overlaps, no doc packed twice), and bin arithmetic is consistent
+    with the stream offsets."""
+    from datafusion_nats_spark.extensions.curation import (
+        PACK_BIN,
+        curation_sequence_packing,
+    )
+
+    rows = curation_sequence_packing(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len({r.doc_id for r in rows}) == len(rows)  # each doc packed once
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.start_off)
+        assert rs[0].start_off == 0, lang
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.start_off == prev.start_off + prev.n_tok, (lang, prev, cur)
+        for r in rs:
+            assert r.n_tok >= 1
+            assert r.first_bin == r.start_off // PACK_BIN
+            last_bin = (r.start_off + r.n_tok - 1) // PACK_BIN
+            assert r.bins_spanned == last_bin - r.first_bin + 1
+
+
+def test_split_is_exhaustive_and_balanced(spark, sf_dir):
+    """The 80/10/10 split covers every document exactly once (doc and
+    char totals are conserved) and the hash-bucket fractions land near
+    their targets — a skewed-md5 or off-by-one bucket bug shifts the
+    band."""
+    from datafusion_nats_spark.extensions.curation import curation_split_train_val_test
+
+    rows = {r.split: r for r in curation_split_train_val_test(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n, chars = docs.count(), docs.agg(F.sum("n_chars")).first()[0]
+    assert sum(r.n_docs for r in rows.values()) == n
+    assert sum(r.total_chars for r in rows.values()) == chars
+    frac_train = rows["train"].n_docs / n
+    assert 0.70 <= frac_train <= 0.90, frac_train
+    assert rows["val"].n_docs > 0 and rows["test"].n_docs > 0
