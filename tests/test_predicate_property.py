@@ -1,12 +1,12 @@
 """Differential SQL fuzzing vs DuckDB (SURVEY §5.4 item 5, second half):
-eleven hypothesis suites generate random SQL — WHERE predicates, join
+twelve hypothesis suites generate random SQL — WHERE predicates, join
 conditions across every join type (equi + non-equi), aggregate
 expressions (incl. DISTINCT and FILTER), window functions, IN/NOT IN
 subqueries, scalar expressions (integer/string/date grammars),
 set-operation trees, grouping sets, three-relation join topologies
-(stacked outer joins), ORDER BY / LIMIT / OFFSET, and correlated
-subqueries — and run the IDENTICAL SQL text through Spark and
-DuckDB. Any semantics drift the 253 hand-written oracle queries can't
+(stacked outer joins), ORDER BY / LIMIT / OFFSET, correlated
+subqueries, and projected three-valued boolean logic trees — and run
+the IDENTICAL SQL text through Spark and DuckDB. Any semantics drift the 253 hand-written oracle queries can't
 reach (operator interactions, null handling in outer joins,
 distinct-in-aggregate edge cases) must surface here.
 
@@ -802,4 +802,55 @@ def test_random_correlated_subqueries_agree(spark, fuzz_env, shape, inner, cutof
             f"FROM fz_orders o WHERE o.o_orderkey <= {cutoff} "
             f"AND {neg}EXISTS (SELECT 1 FROM fz_lineitem l WHERE {inner_pred})"
         )
+    _agree_multiset(spark, fuzz_env, sql)
+
+
+# ---------------------------------------------------------------------------
+# Suite 12: three-valued-logic projection fuzz — random boolean
+# expression trees (AND/OR/NOT over comparisons, IS [NOT] NULL, nullable
+# NULLIF-injected operands) PROJECTED as values, not filtered on. A
+# WHERE clause only observes TRUE vs not-TRUE; projecting the boolean
+# (grouped into TRUE/FALSE/NULL counts) distinguishes FALSE from NULL —
+# the half of Kleene logic the filter suites cannot see.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def bool_tree(draw, depth: int = 0) -> str:
+    if depth >= 3 or draw(st.booleans()):
+        kind = draw(st.sampled_from(["cmp", "null_cmp", "is_null"]))
+        if kind == "cmp":
+            col = draw(st.sampled_from(INT_COLS))
+            op = draw(comparison)
+            val = draw(st.integers(min_value=0, max_value=4000))
+            return f"{col} {op} {val}"
+        if kind == "null_cmp":
+            # NULLIF injects NULLs so comparisons yield UNKNOWN, not
+            # just TRUE/FALSE
+            col = draw(st.sampled_from(["l_linenumber", "l_suppkey"]))
+            sentinel = draw(st.integers(min_value=0, max_value=7))
+            op = draw(comparison)
+            val = draw(st.integers(min_value=0, max_value=10))
+            return f"nullif({col} % 8, {sentinel}) {op} {val}"
+        col = draw(st.sampled_from(["l_returnflag", "l_quantity"]))
+        neg = draw(st.sampled_from(["", "NOT "]))
+        return f"{col} IS {neg}NULL"
+    op = draw(st.sampled_from(["AND", "OR"]))
+    neg = draw(st.sampled_from(["", "NOT "]))
+    left = draw(bool_tree(depth + 1))
+    right = draw(bool_tree(depth + 1))
+    return f"{neg}(({left}) {op} ({right}))"
+
+
+@_SETTINGS
+@given(tree=bool_tree(), where=st.one_of(st.none(), where_clause()))
+def test_random_boolean_projection_agrees(spark, fuzz_env, tree, where):
+    sql = (
+        "SELECT CASE WHEN (" + tree + ") THEN 'T' "
+        "WHEN NOT (" + tree + ") THEN 'F' ELSE 'U' END AS verdict, "
+        "CAST(count(*) AS BIGINT) AS n FROM fz_lineitem"
+    )
+    if where:
+        sql += f" WHERE {where}"
+    sql += " GROUP BY verdict"
     _agree_multiset(spark, fuzz_env, sql)
