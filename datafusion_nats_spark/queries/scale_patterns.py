@@ -168,6 +168,72 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+# Interval-overlap bucketing: 300 s buckets; durations come from the
+# events.value column (≤ ~328 s) so an interval spans 1–3 buckets —
+# VARIABLE replication, unlike join_range_bucketed's fixed 2 buckets.
+OVERLAP_BUCKET_US = 300 * 1_000_000
+
+
+@query(
+    "join_interval_overlap_bucketed",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value) AS BIGINT) * 1000000 AS e
+      FROM events
+    )
+    SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.user_id
+    """,
+    doc="Interval-OVERLAP self-join (same-user event intervals "
+    "[ts, ts + floor(value) seconds] that intersect) as an EQUI-join: "
+    "each interval explodes to the sequence of 300 s buckets it spans "
+    "(variable 1-3 per row here — the replication factor is the "
+    "interval length, bounded by construction), the join runs on "
+    "(user_id, bucket), the exact predicate filters candidates, and a "
+    "DISTINCT collapses pairs that share several buckets — the dedup "
+    "step point-bucketing (join_range_bucketed) does not need. Any "
+    "overlapping pair shares the bucket containing the intersection, "
+    "so coverage is exact; all arithmetic is integer epoch-micros. "
+    "Oracle: the direct theta join.",
+)
+def join_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    s = F.unix_micros(F.col("ts"))
+    e = s + (F.floor("value").cast("long") * F.lit(1_000_000))
+    iv = ev.select("user_id", "event_id", s.alias("s"), e.alias("e"))
+    bs = F.floor(F.col("s") / OVERLAP_BUCKET_US).cast("long")
+    be = F.floor(F.col("e") / OVERLAP_BUCKET_US).cast("long")
+    left = iv.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+        F.explode(F.sequence(bs, be)).alias("bkt"),
+    )
+    right = iv.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+        F.explode(F.sequence(bs, be)).alias("bkt"),
+    )
+    pairs = (
+        left.join(right, (left.user_id == right.r_user) & (left.bkt == right.bkt))
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+        )
+        .select("user_id", "a_id", "b_id")
+        .distinct()  # a pair can share up to 3 buckets
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 # DIY Bloom prefilter: 2^15 bit positions packed as 1024 x 32-bit words
 # (32-bit so the DuckDB oracle's signed BIGINT << never reaches the sign bit).
 _BLOOM_BITS = 1 << 15
