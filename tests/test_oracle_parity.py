@@ -45,3 +45,27 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
             if t.startswith(("array", "map", "struct", "binary")):
                 bad.append((name, f.name, t))
     assert not bad, f"complex-typed output columns: {bad}"
+
+
+def test_compare_harness_rejects_wrong_results(spark, duck):
+    """Negative control for the correctness gate itself: compare() must
+    FAIL on value drift, row-count drift, and column-name drift, and
+    pass on a genuinely equal pair — so a refactor can never make the
+    oracle comparison vacuous."""
+    from tests.parity import compare
+
+    good = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    compare(good, duck, "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(k, v)")
+
+    with pytest.raises(AssertionError):  # value drift
+        compare(good, duck, "SELECT * FROM (VALUES (1, 'a'), (2, 'X')) t(k, v)")
+    with pytest.raises(AssertionError):  # row-count drift
+        compare(good, duck, "SELECT * FROM (VALUES (1, 'a')) t(k, v)")
+    with pytest.raises(AssertionError):  # column-name drift
+        compare(good, duck, "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(k, w)")
+    with pytest.raises(AssertionError):  # duplicate-row multiplicity drift
+        compare(
+            good.union(good),
+            duck,
+            "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (1, 'a')) t(k, v)",
+        )
