@@ -818,7 +818,10 @@ def timeseries_daily_count_spikes(spark: SparkSession, sf_dir: str) -> DataFrame
     "session (30-min-gap sessionization, same recipe as "
     "window_sessionize) contributes +1 at its start and -1 at its end; "
     "collapsing deltas per timestamp and running-summing gives exact "
-    "concurrency at every change point. The scale story is WHY this "
+    "concurrency at every change point under the standard HALF-OPEN "
+    "[start, end) convention — a session no longer counts at its own "
+    "end point (pinned against an independent interval-count model in "
+    "tests/test_sweepline_model.py). The scale story is WHY this "
     "pattern exists: the naive form (join every timestamp against every "
     "overlapping interval) is an interval theta-join that degenerates "
     "quadratically; the sweep line is two narrow aggregates + a "
