@@ -860,3 +860,185 @@ def report_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
+
+
+N_STUMP_BINS = 32  # histogram resolution of the distributed split finder
+
+
+@query(
+    "curation_info_gain_stump",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+             f.feature, f.value
+      FROM documents,
+           LATERAL (VALUES
+             ('n_chars',  CAST(length(text) AS DOUBLE)),
+             ('n_tokens', CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE))
+           ) AS f(feature, value)
+    ), rng AS (
+      SELECT feature, min(value) AS vmin, max(value) AS vmax
+      FROM feats GROUP BY feature
+    ), binned AS (
+      SELECT f.feature, f.is_pos,
+             CASE WHEN r.vmax > r.vmin
+                  THEN least({N_STUMP_BINS - 1},
+                             CAST(floor((f.value - r.vmin) * {N_STUMP_BINS}.0
+                                        / (r.vmax - r.vmin)) AS INT))
+                  ELSE 0 END AS bin
+      FROM feats f JOIN rng r USING (feature)
+    ), hist AS (
+      SELECT feature, bin,
+             count(*) AS n, sum(is_pos) AS npos
+      FROM binned GROUP BY feature, bin
+    ), cum AS (
+      SELECT feature, bin,
+             sum(n)    OVER wb AS nl,
+             sum(npos) OVER wb AS posl,
+             sum(n)    OVER wt AS nt,
+             sum(npos) OVER wt AS post
+      FROM hist
+      WINDOW wb AS (PARTITION BY feature ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING),
+             wt AS (PARTITION BY feature ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)
+    ), gains AS (
+      SELECT feature, bin,
+             nl, nt - nl AS nr, posl, post - posl AS posr,
+             (CASE WHEN CAST(post AS DOUBLE) / nt <= 0 OR CAST(post AS DOUBLE) / nt >= 1 THEN 0
+                   ELSE -((CAST(post AS DOUBLE) / nt) * ln(CAST(post AS DOUBLE) / nt)
+                          + (1 - CAST(post AS DOUBLE) / nt) * ln(1 - CAST(post AS DOUBLE) / nt)) END)
+             - (CAST(nl AS DOUBLE) / nt)
+               * (CASE WHEN CAST(posl AS DOUBLE) / nl <= 0 OR CAST(posl AS DOUBLE) / nl >= 1 THEN 0
+                       ELSE -((CAST(posl AS DOUBLE) / nl) * ln(CAST(posl AS DOUBLE) / nl)
+                              + (1 - CAST(posl AS DOUBLE) / nl) * ln(1 - CAST(posl AS DOUBLE) / nl)) END)
+             - (CAST(nt - nl AS DOUBLE) / nt)
+               * (CASE WHEN CAST(post - posl AS DOUBLE) / (nt - nl) <= 0
+                         OR CAST(post - posl AS DOUBLE) / (nt - nl) >= 1 THEN 0
+                       ELSE -((CAST(post - posl AS DOUBLE) / (nt - nl)) * ln(CAST(post - posl AS DOUBLE) / (nt - nl))
+                              + (1 - CAST(post - posl AS DOUBLE) / (nt - nl))
+                                * ln(1 - CAST(post - posl AS DOUBLE) / (nt - nl))) END)
+             AS gain
+      FROM cum
+      WHERE nl > 0 AND nt - nl > 0
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY feature
+                                   ORDER BY round(gain, 9) DESC, bin) AS rk
+      FROM gains
+    )
+    SELECT feature, CAST(bin AS INTEGER) AS split_bin,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           CAST(posl AS BIGINT) AS pos_left, CAST(posr AS BIGINT) AS pos_right,
+           round(gain, 6) AS info_gain
+    FROM ranked WHERE rk = 1
+    """,
+    doc="Distributed decision-stump split finder (the MLlib-style binned "
+    "histogram algorithm): label = (lang = 'en'), candidate features "
+    "unpivoted to (feature, value) rows, each feature range-binned into "
+    "32 histogram buckets with broadcast min/max, per-(feature, bin) "
+    "label counts aggregated in ONE shuffle, and every split boundary "
+    "scored from the cumulative histogram — information gain via binary "
+    "entropy — in a 32-rows-per-feature window. This is how tree "
+    "ensembles find splits at 100 TB: the corpus is touched once for "
+    "the histogram; all candidate-threshold scoring happens on the "
+    "|features|x|bins| aggregate. Entropies derive from integer counts "
+    "through identical IEEE expressions, and ranking uses round(gain, 9) "
+    "with a bin tie-break so the argmax cannot flip across engines.",
+)
+def curation_info_gain_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_pos"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("n_chars").alias("feature"),
+                    F.length("text").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("n_tokens").alias("feature"),
+                    F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                    .cast("double")
+                    .alias("value"),
+                ),
+            )
+        ).alias("fv"),
+    ).select("doc_id", "is_pos", F.col("fv.feature").alias("feature"), F.col("fv.value").alias("value"))
+    rng = feats.groupBy("feature").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = feats.join(F.broadcast(rng), "feature").select(
+        "feature",
+        "is_pos",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.lit(N_STUMP_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * float(N_STUMP_BINS)
+                    / (F.col("vmax") - F.col("vmin"))
+                ).cast("int"),
+            ),
+        )
+        .otherwise(0)
+        .alias("bin"),
+    )
+    hist = binned.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_pos").alias("npos")
+    )
+    wb = W.partitionBy("feature").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    wt = W.partitionBy("feature").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "feature",
+        "bin",
+        F.sum("n").over(wb).alias("nl"),
+        F.sum("npos").over(wb).alias("posl"),
+        F.sum("n").over(wt).alias("nt"),
+        F.sum("npos").over(wt).alias("post"),
+    )
+
+    def _entropy(pos, n):
+        p = pos.cast("double") / n
+        return F.when((p <= 0) | (p >= 1), F.lit(0.0)).otherwise(
+            -(p * F.log(p) + (1 - p) * F.log(1 - p))
+        )
+
+    gains = (
+        cum.filter((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0))
+        .select(
+            "feature",
+            "bin",
+            "nl",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            "posl",
+            (F.col("post") - F.col("posl")).alias("posr"),
+            (
+                _entropy(F.col("post"), F.col("nt"))
+                - (F.col("nl").cast("double") / F.col("nt"))
+                * _entropy(F.col("posl"), F.col("nl"))
+                - ((F.col("nt") - F.col("nl")).cast("double") / F.col("nt"))
+                * _entropy(
+                    F.col("post") - F.col("posl"), F.col("nt") - F.col("nl")
+                )
+            ).alias("gain"),
+        )
+    )
+    rk = W.partitionBy("feature").orderBy(F.round("gain", 9).desc(), "bin")
+    return (
+        gains.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "feature",
+            F.col("bin").cast("int").alias("split_bin"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.col("posl").alias("pos_left"),
+            F.col("posr").alias("pos_right"),
+            F.round("gain", 6).alias("info_gain"),
+        )
+    )

@@ -164,9 +164,11 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 3  # neighbors per vertex in the similarity graph
 
 
-@query(
-    "graph_knn_triangles",
-    oracle=f"""
+# Shared oracle prefix for every operator over the within-label cosine
+# kNN graph (triangles, link prediction): embeddings → all within-label
+# cosine pairs → per-vertex top-K → DISTINCT undirected (x < y) edges.
+# One definition so the graph ops' edge sets cannot drift apart.
+_KNN_UND_SQL = """
     WITH e AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
@@ -180,10 +182,43 @@ KNN_K = 3  # neighbors per vertex in the similarity graph
       SELECT u, v FROM (
         SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY c DESC, v) AS rn
         FROM pairs
-      ) WHERE rn <= {{K}}
+      ) WHERE rn <= {K}
     ), und AS (
       SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y FROM knn
-    ), deg AS (
+    )
+""".replace("{K}", str(KNN_K))
+
+
+def _knn_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :data:`_KNN_UND_SQL`: the persisted undirected
+    (x < y) edge set of the within-label top-K cosine kNN graph."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+
+    def cos(a, b):
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+        nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, v: s + v * v))  # noqa: E731
+        return F.round(dot / (nrm(a) * nrm(b)), 6)
+
+    a = e.select(F.col("vec_id").alias("u"), F.col("label").alias("la"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("v"), F.col("label").alias("lb"), F.col("emb").alias("eb"))
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("u") != F.col("v"))).select(
+        "u", "v", cos(F.col("ea"), F.col("eb")).alias("c")
+    )
+    w = W.partitionBy("u").orderBy(F.desc("c"), "v")
+    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KNN_K)
+    return knn.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    ).distinct().persist()  # feeds degree + orientation/wedge + closing joins
+
+
+@query(
+    "graph_knn_triangles",
+    oracle=_KNN_UND_SQL
+    + """
+    , deg AS (
       SELECT v, count(*) AS d
       FROM (SELECT x AS v FROM und UNION ALL SELECT y FROM und) GROUP BY v
     ), o AS (
@@ -202,7 +237,7 @@ KNN_K = 3  # neighbors per vertex in the similarity graph
     SELECT t.v AS vec_id, d.d AS degree, count(*) AS n_triangles
     FROM tv t JOIN deg d ON d.v = t.v
     GROUP BY 1, 2
-    """.replace("{K}", str(KNN_K)),
+    """,
     doc=f"Triangle counting over the within-label top-{KNN_K} cosine kNN "
     "graph with DEGREE-ORDERED edge orientation — every edge points from "
     "the (degree, id)-smaller endpoint, so each triangle is enumerated "
@@ -214,26 +249,7 @@ KNN_K = 3  # neighbors per vertex in the similarity graph
     "pytest.",
 )
 def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
-    )
-
-    def cos(a, b):
-        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-        nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, v: s + v * v))  # noqa: E731
-        return F.round(dot / (nrm(a) * nrm(b)), 6)
-
-    a = e.select(F.col("vec_id").alias("u"), F.col("label").alias("la"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("v"), F.col("label").alias("lb"), F.col("emb").alias("eb"))
-    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("u") != F.col("v"))).select(
-        "u", "v", cos(F.col("ea"), F.col("eb")).alias("c")
-    )
-    w = W.partitionBy("u").orderBy(F.desc("c"), "v")
-    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KNN_K)
-    und = knn.select(
-        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
-    ).distinct().persist()  # feeds degree + orientation + closing join
+    und = _knn_und_edges(spark, sf_dir)
     deg = (
         und.select(F.col("x").alias("v"))
         .unionAll(und.select(F.col("y").alias("v")))
@@ -458,3 +474,91 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in summaries[1:]:
         out = out.unionByName(s)
     return out
+
+
+LINKPRED_TOP = 20
+
+
+@query(
+    "graph_adamic_adar_linkpred",
+    oracle=_KNN_UND_SQL
+    + f"""
+    , deg AS (
+      SELECT v, count(*) AS d
+      FROM (SELECT x AS v FROM und UNION ALL SELECT y FROM und) GROUP BY v
+    ), adj AS (
+      SELECT x AS v, y AS nbr FROM und
+      UNION ALL
+      SELECT y AS v, x AS nbr FROM und
+    ), wedge AS (
+      SELECT a.nbr AS u, b.nbr AS w, a.v AS mid
+      FROM adj a JOIN adj b ON a.v = b.v AND a.nbr < b.nbr
+    ), cand AS (
+      SELECT wg.u, wg.w,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             round(sum(1.0 / ln(dg.d)), 6) AS adamic_adar
+      FROM wedge wg JOIN deg dg ON dg.v = wg.mid
+      WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.x = wg.u AND und.y = wg.w)
+      GROUP BY wg.u, wg.w
+    )
+    SELECT u AS vec_a, w AS vec_b, common_neighbors, adamic_adar
+    FROM cand
+    ORDER BY adamic_adar DESC, vec_a, vec_b
+    LIMIT {LINKPRED_TOP}
+    """,
+    doc=f"Link prediction on the within-label top-{KNN_K} cosine kNN "
+    f"graph (same edge derivation as graph_knn_triangles): Adamic-Adar "
+    "scores — sum over shared neighbors of 1/ln(degree) — for every "
+    f"NON-adjacent vertex pair with >=1 common neighbor, top-{LINKPRED_TOP}. "
+    "Wedge enumeration fans out from each MIDDLE vertex (one self-join "
+    "of the adjacency list partitioned by the middle — per-task work is "
+    "deg^2 of that vertex, bounded by the kNN construction, never an "
+    "all-pairs product), existing edges are removed with a left_anti "
+    "equi-join on the canonical (x < y) edge key, and the final ranking "
+    "is TakeOrderedAndProject. A middle vertex of any wedge has degree "
+    ">= 2, so ln(d) > 0 always; scores are rounded to 1e-6 BEFORE the "
+    "ordering with a full (vec_a, vec_b) tie-break so summation-order "
+    "noise cannot flip the top-k across engines.",
+)
+def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _knn_und_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("x").alias("v"))
+        .unionAll(und.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    adj = und.select(F.col("x").alias("v"), F.col("y").alias("nbr")).unionAll(
+        und.select(F.col("y").alias("v"), F.col("x").alias("nbr"))
+    )
+    a = adj.select("v", F.col("nbr").alias("u"))
+    b = adj.select(F.col("v").alias("v2"), F.col("nbr").alias("w"))
+    wedge = a.join(
+        b, (F.col("v") == F.col("v2")) & (F.col("u") < F.col("w"))
+    ).select("u", "w", F.col("v").alias("mid"))
+    dm = deg.select(F.col("v").alias("mid"), "d")
+    cand = (
+        wedge.join(F.broadcast(dm), "mid")
+        .join(
+            und.select(F.col("x").alias("u"), F.col("y").alias("w")),
+            ["u", "w"],
+            "left_anti",
+        )
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))), 6).alias(
+                "adamic_adar"
+            ),
+        )
+    )
+    return (
+        cand.select(
+            F.col("u").alias("vec_a"),
+            F.col("w").alias("vec_b"),
+            "common_neighbors",
+            "adamic_adar",
+        )
+        .orderBy(F.desc("adamic_adar"), "vec_a", "vec_b")
+        .limit(LINKPRED_TOP)
+    )

@@ -832,3 +832,136 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "phrase")
         .limit(RAKE_TOP)
     )
+
+
+@query(
+    "text_naive_bayes_langid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang AS true_lang, tok
+      FROM (SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM toks
+    ), docs AS (
+      SELECT doc_id, lang AS true_lang FROM documents
+    ), langdim AS (
+      SELECT d.lang AS cand_lang,
+             ln(CAST(d.n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM
+               (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang) t))
+               AS log_prior,
+             CAST(coalesce(tk.n_toks, 0) AS DOUBLE) + (SELECT v FROM vocab) AS denom
+      FROM (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang) d
+      LEFT JOIN (SELECT true_lang, count(*) AS n_toks FROM toks GROUP BY true_lang) tk
+        ON tk.true_lang = d.lang
+    ), model AS (
+      SELECT true_lang AS cand_lang, tok, count(*) AS c FROM toks GROUP BY 1, 2
+    ), tok_scores AS (
+      SELECT t.doc_id, l.cand_lang,
+             sum(ln((CAST(coalesce(m.c, 0) AS DOUBLE) + 1) / l.denom)) AS s
+      FROM toks t
+      CROSS JOIN langdim l
+      LEFT JOIN model m ON m.cand_lang = l.cand_lang AND m.tok = t.tok
+      GROUP BY t.doc_id, l.cand_lang
+    ), scored AS (
+      SELECT d.doc_id, d.true_lang, l.cand_lang,
+             round(l.log_prior + coalesce(ts.s, 0), 6) AS score
+      FROM docs d
+      CROSS JOIN langdim l
+      LEFT JOIN tok_scores ts
+        ON ts.doc_id = d.doc_id AND ts.cand_lang = l.cand_lang
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand_lang) AS rk
+      FROM scored
+    )
+    SELECT true_lang, cand_lang AS predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM ranked WHERE rk = 1
+    GROUP BY true_lang, cand_lang
+    """,
+    doc="Multinomial Naive Bayes language identification, trained and "
+    "evaluated on the corpus itself (self-consistency confusion matrix): "
+    "the model is the per-(lang, token) occurrence count with add-one "
+    "smoothing over the corpus vocabulary, priors are document "
+    "frequencies, and each document's posterior is the token-stream "
+    "log-likelihood sum per candidate language. Spark-first shape: the "
+    "language dimension (5 rows of prior + smoothing denominator) is a "
+    "broadcast, the (lang, token) model joins the token stream on its "
+    "natural composite key — a shuffle hash join that never broadcasts "
+    "the unbounded vocabulary — and the per-(doc, lang) score is one "
+    "partial-aggregated sum. Scores are rounded to 1e-6 BEFORE the "
+    "argmax ranking with a language tie-break, so summation-order "
+    "noise (~1e-13) cannot flip the prediction across engines. "
+    "Complements text_langid (closed-vocabulary n-gram heuristic) with "
+    "the corpus-trained generative classifier.",
+)
+def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .persist()
+    )
+    vocab = toks.agg(F.countDistinct("tok").cast("double").alias("v"))
+    lang_docs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total_docs = lang_docs.agg(F.sum("n_docs").alias("d_total"))
+    lang_toks = toks.groupBy("true_lang").agg(F.count(F.lit(1)).alias("n_toks"))
+    langdim = (
+        lang_docs.join(lang_toks, lang_docs["lang"] == lang_toks["true_lang"], "left")
+        .crossJoin(F.broadcast(total_docs))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            F.log(F.col("n_docs").cast("double") / F.col("d_total")).alias(
+                "log_prior"
+            ),
+            (
+                F.coalesce(F.col("n_toks"), F.lit(0)).cast("double") + F.col("v")
+            ).alias("denom"),
+        )
+    )
+    model = toks.groupBy(
+        F.col("true_lang").alias("cand_lang"), "tok"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tok_scores = (
+        toks.crossJoin(F.broadcast(langdim))
+        .join(model, ["cand_lang", "tok"], "left")
+        .groupBy("doc_id", "cand_lang")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)).cast("double") + 1)
+                    / F.col("denom")
+                )
+            ).alias("s")
+        )
+    )
+    scored = (
+        d.select("doc_id", F.col("lang").alias("true_lang"))
+        .crossJoin(F.broadcast(langdim))
+        .join(tok_scores, ["doc_id", "cand_lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand_lang",
+            F.round(
+                F.col("log_prior") + F.coalesce(F.col("s"), F.lit(0.0)), 6
+            ).alias("score"),
+        )
+    )
+    rk = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .groupBy("true_lang", F.col("cand_lang").alias("predicted_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

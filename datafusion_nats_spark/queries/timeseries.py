@@ -1100,3 +1100,311 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heavy_share",
         )
     )
+
+
+@query(
+    "timeseries_changepoint_meanshift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), framed AS (
+      SELECT event_type, day,
+             avg(n)   OVER wl AS left_mean,
+             count(*) OVER wl AS left_n,
+             avg(n)   OVER wr AS right_mean,
+             count(*) OVER wr AS right_n
+      FROM daily
+      WINDOW wl AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+             wr AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+    )
+    SELECT event_type, day,
+           round(left_mean, 6)               AS left_mean,
+           round(right_mean, 6)              AS right_mean,
+           round(right_mean - left_mean, 6)  AS shift
+    FROM framed
+    WHERE left_n = 7 AND right_n = 7
+    ORDER BY abs(right_mean - left_mean) DESC, event_type, day
+    LIMIT 20
+    """,
+    doc="Mean-shift changepoint scan over the per-(type, day) count "
+    "series: for every day with a full 7-row history and a full 7-row "
+    "future, compare the trailing-week mean against the leading-week "
+    "mean and surface the 20 largest level shifts (deterministic "
+    "tie-break on type+day). The sliding comparison is two ROWS-frame "
+    "window aggregates PARTITIONED BY event_type over the already-"
+    "aggregated daily rollup — the raw event table collapses to "
+    "|types|x|days| rows in the first hash aggregate, so the window "
+    "sort is over a calendar-bounded series per type, never the raw "
+    "stream; the final top-20 is TakeOrderedAndProject, not a global "
+    "sort. Frame means are sums of integers divided by 7, so the "
+    "floats are bit-identical across engines. Row-based neighbors "
+    "(observed days), not calendar-gap-aware — the gap-fill operator "
+    "is the densifying complement.",
+)
+def timeseries_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wl = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    wr = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(0, 6)
+    )
+    framed = daily.select(
+        "event_type",
+        "day",
+        F.avg("n").over(wl).alias("left_mean"),
+        F.count(F.lit(1)).over(wl).alias("left_n"),
+        F.avg("n").over(wr).alias("right_mean"),
+        F.count(F.lit(1)).over(wr).alias("right_n"),
+    )
+    return (
+        framed.filter((F.col("left_n") == 7) & (F.col("right_n") == 7))
+        .orderBy(
+            F.abs(F.col("right_mean") - F.col("left_mean")).desc(),
+            "event_type",
+            "day",
+        )
+        .limit(20)
+        .select(
+            "event_type",
+            "day",
+            F.round("left_mean", 6).alias("left_mean"),
+            F.round("right_mean", 6).alias("right_mean"),
+            F.round(F.col("right_mean") - F.col("left_mean"), 6).alias("shift"),
+        )
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+@query(
+    "timeseries_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, avg(n) AS mu FROM daily GROUP BY 1
+    ), den AS (
+      SELECT d.event_type, sum((d.n - s.mu) * (d.n - s.mu)) AS den
+      FROM daily d JOIN stats s USING (event_type)
+      GROUP BY 1
+    ), num AS (
+      SELECT a.event_type, l.lag,
+             sum((a.n - s.mu) * (b.n - s.mu)) AS num,
+             count(*) AS n_pairs
+      FROM daily a
+      CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) AS l(lag)
+      JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+      JOIN stats s ON s.event_type = a.event_type
+      GROUP BY 1, 2
+    )
+    SELECT n.event_type, CAST(n.lag AS INTEGER) AS lag,
+           round(n.num / d.den, 6) AS acf,
+           CAST(n.n_pairs AS BIGINT) AS n_pairs
+    FROM num n JOIN den d USING (event_type)
+    WHERE d.den > 0
+    """,
+    doc=f"Sample autocorrelation function of the per-(type, day) count "
+    f"series at calendar lags 1..{ACF_MAX_LAG}: r_k = sum((x_t - mu)"
+    "(x_t+k - mu)) / sum((x_t - mu)^2), pairing day t with day t+k by "
+    "CALENDAR arithmetic (missing days pair with nothing — documented "
+    "convention; the gap-fill operator is the densifying complement). "
+    "Spark-first shape: the raw stream collapses to |types|x|days| rows "
+    "in the first hash aggregate; the per-type mean and variance "
+    "denominator are tiny broadcast aggregates, the lag pairing is one "
+    "equi-join of the collapsed series with itself on (type, day+lag) "
+    "after a 7-way map-side lag explode. Counts are integers, so mu and "
+    "every product are bit-identical across engines; only the final "
+    "sum order differs (~1e-13), absorbed by round(..., 6).",
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    stats = daily.groupBy("event_type").agg(F.avg("n").alias("mu"))
+    den = (
+        daily.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(F.sum((F.col("n") - F.col("mu")) * (F.col("n") - F.col("mu"))).alias("den"))
+    )
+    a = (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "mu",
+            F.explode(F.array(*[F.lit(i) for i in range(1, ACF_MAX_LAG + 1)])).alias("lag"),
+        )
+    )
+    b = daily.select(
+        F.col("event_type").alias("bt"), F.col("day").alias("bday"), F.col("n").alias("bn")
+    )
+    num = (
+        a.join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bday") == F.date_add(F.col("day"), F.col("lag"))),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.sum((F.col("n") - F.col("mu")) * (F.col("bn") - F.col("mu"))).alias("num"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return (
+        num.join(F.broadcast(den), "event_type")
+        .filter(F.col("den") > 0)
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+            F.col("n_pairs").alias("n_pairs"),
+        )
+    )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ), maxw AS (
+      SELECT max(week) AS mw FROM wk
+    ), seq AS (
+      SELECT user_id, week,
+             lag(week)  OVER w AS prev_week,
+             lead(week) OVER w AS next_week,
+             min(week)  OVER (PARTITION BY user_id) AS first_week
+      FROM wk
+      WINDOW w AS (PARTITION BY user_id ORDER BY week)
+    ), status AS (
+      SELECT week,
+             CASE WHEN week = first_week THEN 'new'
+                  WHEN prev_week = week - 7 THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM seq
+      UNION ALL
+      SELECT week + 7 AS week, 'churned'
+      FROM seq CROSS JOIN maxw
+      WHERE (next_week IS NULL OR next_week > week + 7) AND week + 7 <= mw
+    )
+    SELECT week,
+           CAST(count(*) FILTER (WHERE status = 'new')         AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (WHERE status = 'retained')    AS BIGINT) AS n_retained,
+           CAST(count(*) FILTER (WHERE status = 'resurrected') AS BIGINT) AS n_resurrected,
+           CAST(count(*) FILTER (WHERE status = 'churned')     AS BIGINT) AS n_churned
+    FROM status
+    GROUP BY week
+    """,
+    doc="Weekly growth accounting (the standard new / retained / "
+    "resurrected / churned user-lifecycle ledger): per-user distinct "
+    "active weeks, each classified against the user's previous active "
+    "week — first week ever = new, consecutive = retained, gap = "
+    "resurrected — plus a churn row in week+1 for every activity week "
+    "not followed immediately (clipped at the corpus's last observed "
+    "week, which is a 1-row broadcast). The raw stream collapses to "
+    "|users|x|weeks| DISTINCT rows first; the lag/lead window partitions "
+    "by user_id (high-cardinality), and the final ledger is a "
+    "|weeks|-row conditional-count aggregate. Pure integer counts and "
+    "calendar arithmetic — no FP anywhere. Both engines truncate weeks "
+    "to Monday; the CAST to DATE normalizes Spark's timestamp return.",
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    maxw = wk.agg(F.max("week").alias("mw"))
+    w = W.partitionBy("user_id").orderBy("week")
+    seq = wk.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lead("week").over(w).alias("next_week"),
+        F.min("week").over(W.partitionBy("user_id")).alias("first_week"),
+    )
+    status = seq.select(
+        "week",
+        F.when(F.col("week") == F.col("first_week"), F.lit("new"))
+        .when(F.col("prev_week") == F.date_sub(F.col("week"), 7), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+    ).unionByName(
+        seq.crossJoin(F.broadcast(maxw))
+        .filter(
+            (F.col("next_week").isNull() | (F.col("next_week") > F.date_add(F.col("week"), 7)))
+            & (F.date_add(F.col("week"), 7) <= F.col("mw"))
+        )
+        .select(F.date_add(F.col("week"), 7).alias("week"), F.lit("churned").alias("status"))
+    )
+    return status.groupBy("week").agg(
+        F.count(F.when(F.col("status") == "new", 1)).alias("n_new"),
+        F.count(F.when(F.col("status") == "retained", 1)).alias("n_retained"),
+        F.count(F.when(F.col("status") == "resurrected", 1)).alias("n_resurrected"),
+        F.count(F.when(F.col("status") == "churned", 1)).alias("n_churned"),
+    )
+
+
+PATH_TOP = 20
+
+
+@query(
+    "events_session_path_trigrams",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS step1, e2 AS step2, e3 AS step3,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, step1, step2, step3
+    LIMIT {PATH_TOP}
+    """,
+    doc=f"Top-{PATH_TOP} three-step behavioral paths (event-type "
+    "trigrams over each user's chronological stream — the sequential-"
+    "pattern-mining / Sankey-diagram primitive): two lead() columns per "
+    "event in ONE window pass partitioned by user_id (high-cardinality, "
+    "never a global sort), ordered by (ts, event_id) so concurrent "
+    "events cannot flip trigrams across engines; the path space "
+    "collapses to at most |types|^3 rows in the counting aggregate and "
+    "the final ranking is TakeOrderedAndProject with a full-path "
+    "tie-break. Cross-user windows never join — a trigram never spans "
+    "two users.",
+)
+def events_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("step1"),
+            F.col("e2").alias("step2"),
+            F.col("e3").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(PATH_TOP)
+    )
