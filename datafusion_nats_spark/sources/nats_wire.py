@@ -10,9 +10,18 @@ but ``socket``/``threading``/``json`` — the wire format is a tiny
 line-based dialect (https://docs.nats.io/reference/reference-protocols/nats-protocol):
 
 - server → client: ``INFO {json}``, ``MSG <subject> <sid> [reply] <#bytes>\\r\\n<payload>``,
+  ``HMSG <subject> <sid> [reply] <#hdr> <#total>\\r\\n<headers><payload>``,
   ``PING``/``PONG``, ``+OK``, ``-ERR 'msg'``
 - client → server: ``CONNECT {json}``, ``PUB <subject> [reply] <#bytes>\\r\\n<payload>``,
+  ``HPUB <subject> [reply] <#hdr> <#total>\\r\\n<headers><payload>``,
   ``SUB <subject> [queue] <sid>``, ``UNSUB <sid> [max]``, ``PING``/``PONG``
+
+Message headers (NATS 2.2+, https://docs.nats.io/reference/reference-protocols/nats-protocol#hpub)
+ride in an HTTP-style block ``NATS/1.0\\r\\nKey: Value\\r\\n...\\r\\n\\r\\n``
+whose byte length is the ``<#hdr>`` token and is INCLUDED in ``<#total>``.
+Both sides here advertise ``headers: true`` and speak HPUB/HMSG; a
+headerless publish still travels as plain PUB/MSG, matching real
+nats-server behavior.
 
 ``MiniNatsClient`` implements the subset the source needs (publish,
 subscribe, bounded drain, flush) and works against any real
@@ -48,6 +57,49 @@ def parse_nats_url(url: str) -> tuple[str, int]:
 
 class NatsWireError(RuntimeError):
     """Protocol-level failure (handshake, -ERR, truncated frame)."""
+
+
+_HDR_VERSION = b"NATS/1.0"
+
+
+def encode_headers(headers: dict[str, str]) -> bytes:
+    """Serialize a header map to the wire block (version line + one
+    ``Key: Value`` per entry + blank-line terminator). Keys and values
+    must be CR/LF-free and keys colon-free — the block is line-framed, so
+    embedded terminators would desynchronize the stream (same failfast
+    stance as the CSV codec's embedded-newline rejection)."""
+    lines = [_HDR_VERSION]
+    for k, v in headers.items():
+        if not k or ":" in k or any(c in "\r\n" for c in k) or any(c in "\r\n" for c in v):
+            raise NatsWireError(f"invalid header {k!r}: {v!r}")
+        lines.append(f"{k}: {v}".encode("utf-8"))
+    return b"\r\n".join(lines) + b"\r\n\r\n"
+
+
+def parse_headers(block: bytes) -> dict[str, str]:
+    """Parse a wire header block. The version line may carry an inline
+    status (``NATS/1.0 503`` / ``NATS/1.0 100 Idle Heartbeat``) — exposed
+    as ``Status`` / ``Description`` pseudo-headers, the same convention
+    the official clients use. Duplicate keys: last wins (documented
+    simplification; real NATS preserves multi-values)."""
+    if not block.startswith(_HDR_VERSION):
+        raise NatsWireError(f"bad header block start: {block[:16]!r}")
+    out: dict[str, str] = {}
+    lines = block.split(b"\r\n")
+    status = lines[0][len(_HDR_VERSION):].strip()
+    if status:
+        parts = status.decode("utf-8", errors="replace").split(" ", 1)
+        out["Status"] = parts[0]
+        if len(parts) > 1:
+            out["Description"] = parts[1]
+    for line in lines[1:]:
+        if not line:
+            continue
+        key, sep, val = line.partition(b":")
+        if not sep:
+            raise NatsWireError(f"malformed header line: {line!r}")
+        out[key.decode("utf-8").strip()] = val.decode("utf-8").strip()
+    return out
 
 
 class MiniNatsClient:
@@ -98,6 +150,7 @@ class MiniNatsClient:
             "lang": "python",
             "version": "0.1",
             "protocol": 0,
+            "headers": True,  # we can parse HMSG; server may still send MSG
         }
         self._send(b"CONNECT " + json.dumps(opts).encode() + b"\r\nPING\r\n")
         try:
@@ -153,15 +206,32 @@ class MiniNatsClient:
         if not self._pong.wait(timeout_s or self.timeout_s):
             raise NatsWireError("flush timed out waiting for PONG")
 
-    def publish(self, subject: str, payload: bytes | str, reply: str | None = None) -> None:
+    def publish(
+        self,
+        subject: str,
+        payload: bytes | str,
+        reply: str | None = None,
+        headers: dict[str, str] | None = None,
+    ) -> None:
         if isinstance(payload, str):
             payload = payload.encode("utf-8")
         if len(payload) > MAX_PAYLOAD:
             raise NatsWireError(f"payload exceeds max {MAX_PAYLOAD}")
         rtok = f" {reply}" if reply else ""
-        self._send(
-            f"PUB {subject}{rtok} {len(payload)}\r\n".encode() + payload + b"\r\n"
-        )
+        if headers:
+            if not self.server_info.get("headers"):
+                raise NatsWireError("server does not advertise headers support")
+            hdr = encode_headers(headers)
+            self._send(
+                f"HPUB {subject}{rtok} {len(hdr)} {len(hdr) + len(payload)}\r\n".encode()
+                + hdr
+                + payload
+                + b"\r\n"
+            )
+        else:
+            self._send(
+                f"PUB {subject}{rtok} {len(payload)}\r\n".encode() + payload + b"\r\n"
+            )
 
     def request(self, subject: str, payload: bytes | str = b"", timeout_s: float | None = None) -> bytes:
         """Core-NATS request/reply: publish with a unique inbox reply
@@ -202,7 +272,15 @@ class MiniNatsClient:
         self._queues.pop(sid, None)
 
     def next_msg(self, sid: int, timeout_s: float) -> tuple[str, bytes] | None:
-        """(subject, payload) or None on timeout/close."""
+        """(subject, payload) or None on timeout/close. Headers, if any,
+        are dropped here — use :meth:`next_msg_full` to observe them."""
+        got = self.next_msg_full(sid, timeout_s)
+        return None if got is None else (got[0], got[1])
+
+    def next_msg_full(
+        self, sid: int, timeout_s: float
+    ) -> tuple[str, bytes, dict[str, str] | None] | None:
+        """(subject, payload, headers-or-None) or None on timeout/close."""
         q = self._queues.get(sid)
         if q is None:
             return None
@@ -251,7 +329,18 @@ class MiniNatsClient:
                     self._rfile.read(2)  # trailing CRLF
                     q = self._queues.get(sid)
                     if q is not None:
-                        q.put((subject, payload))
+                        q.put((subject, payload, None))
+                elif upper.startswith(b"HMSG "):
+                    parts = op.split()
+                    # HMSG <subject> <sid> [reply-to] <#hdr-bytes> <#total-bytes>
+                    subject = parts[1].decode()
+                    sid = int(parts[2])
+                    hdr_len, total = int(parts[-2]), int(parts[-1])
+                    blob = self._rfile.read(total)
+                    self._rfile.read(2)  # trailing CRLF
+                    q = self._queues.get(sid)
+                    if q is not None:
+                        q.put((subject, blob[hdr_len:], parse_headers(blob[:hdr_len])))
                 elif upper == b"PING":
                     self._send(b"PONG\r\n")
                 elif upper == b"PONG":
@@ -368,7 +457,7 @@ class MiniNatsServer:
             "proto": 1,
             "host": self.host,
             "port": self.port,
-            "headers": False,
+            "headers": True,
             "jetstream": self._jetstream,
             "max_payload": MAX_PAYLOAD,
             "client_id": cid,
@@ -467,6 +556,32 @@ class MiniNatsServer:
                         self._route(subject, reply, payload)
                     if verbose:
                         send(b"+OK\r\n")
+                elif upper.startswith(b"HPUB "):
+                    parts = op.split()
+                    # HPUB <subject> [reply-to] <#hdr-bytes> <#total-bytes>
+                    subject = parts[1].decode()
+                    reply = parts[2].decode() if len(parts) == 5 else None
+                    hdr_len, total = int(parts[-2]), int(parts[-1])
+                    if total > MAX_PAYLOAD:
+                        send(b"-ERR 'Maximum Payload Violation'\r\n")
+                        break
+                    blob = rfile.read(total)
+                    rfile.read(2)  # CRLF
+                    hdr_block, payload = blob[:hdr_len], blob[hdr_len:]
+                    if not hdr_block.startswith(_HDR_VERSION):
+                        send(b"-ERR 'Invalid Headers'\r\n")
+                        break
+                    # headers are opaque pass-through server-side (the real
+                    # server never re-serializes them); JetStream API calls
+                    # and the capture log use the payload only
+                    if self._jetstream and subject.startswith("$JS.API."):
+                        self._handle_js_api(subject, reply, payload)
+                    else:
+                        if self._jetstream:
+                            self._js_capture(subject, reply, payload)
+                        self._route(subject, reply, payload, hdr_block)
+                    if verbose:
+                        send(b"+OK\r\n")
                 else:
                     send(b"-ERR 'Unknown Protocol Operation'\r\n")
                     break
@@ -482,10 +597,18 @@ class MiniNatsServer:
             except OSError:
                 pass
 
-    def _route(self, subject: str, reply: str | None, payload: bytes) -> None:
+    def _route(
+        self,
+        subject: str,
+        reply: str | None,
+        payload: bytes,
+        hdr_block: bytes | None = None,
+    ) -> None:
         """Fan out to every matching plain subscription and ONE member per
         matching queue group (round-robin cursor — deterministic, unlike
-        the real server's random pick, which only strengthens tests)."""
+        the real server's random pick, which only strengthens tests).
+        A message carrying headers is delivered as HMSG with the header
+        block passed through byte-for-byte."""
         with self._lock:
             plain = [
                 s
@@ -512,8 +635,15 @@ class MiniNatsServer:
                 self._subs.remove(s)
         rtok = f" {reply}" if reply else ""
         for s in chosen:
-            head = f"MSG {subject} {s.sid}{rtok} {len(payload)}\r\n".encode()
-            s.conn[1](head + payload + b"\r\n")
+            if hdr_block is not None:
+                head = (
+                    f"HMSG {subject} {s.sid}{rtok} "
+                    f"{len(hdr_block)} {len(hdr_block) + len(payload)}\r\n"
+                ).encode()
+                s.conn[1](head + hdr_block + payload + b"\r\n")
+            else:
+                head = f"MSG {subject} {s.sid}{rtok} {len(payload)}\r\n".encode()
+                s.conn[1](head + payload + b"\r\n")
 
     # -- JetStream subset ---------------------------------------------------
 

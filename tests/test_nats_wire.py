@@ -326,3 +326,102 @@ def test_jetstream_capture_also_reaches_core_subscribers(js_server):
         w.publish("cap.x", b"both")
         assert c.next_msg(sid, 2.0) == ("cap.x", b"both")
     assert w.get_msg("S2", 1) == b"both"
+
+
+def test_headers_roundtrip_hpub_hmsg(server):
+    """HPUB → HMSG end-to-end: headers arrive parsed, payload byte-exact,
+    and a headerless publish on the same subscription still comes through
+    as plain MSG (headers None)."""
+    from datafusion_nats_spark.sources.nats_wire import parse_headers
+
+    with MiniNatsClient(server.url) as pub, MiniNatsClient(server.url) as sub:
+        assert sub.server_info.get("headers") is True
+        sid = sub.subscribe("hdr.t")
+        sub.flush()
+        pub.publish("hdr.t", b"v1,x", headers={"Content-Type": "text/csv", "Trace-Id": "abc-123"})
+        pub.publish("hdr.t", b"plain")
+        pub.flush()
+        got = sub.next_msg_full(sid, 2.0)
+        assert got == ("hdr.t", b"v1,x", {"Content-Type": "text/csv", "Trace-Id": "abc-123"})
+        got2 = sub.next_msg_full(sid, 2.0)
+        assert got2 == ("hdr.t", b"plain", None)
+        # the 2-tuple accessor drops headers but keeps payload identity
+        pub.publish("hdr.t", b"again", headers={"K": "V"})
+        pub.flush()
+        assert sub.next_msg(sid, 2.0) == ("hdr.t", b"again")
+
+
+def test_headers_binary_payload_with_embedded_crlf(server):
+    """The <#hdr>/<#total> length prefixes frame the block: a payload
+    containing CRLF + protocol keywords after a header block must
+    survive byte-exact."""
+    evil = b"\r\nNATS/1.0\r\nPING\r\nHMSG x 1 3 9\r\n\x00\xff"
+    with MiniNatsClient(server.url) as c:
+        sid = c.subscribe("hdr.bin")
+        c.flush()
+        c.publish("hdr.bin", evil, headers={"A": "B"})
+        c.flush()
+        assert c.next_msg_full(sid, 2.0) == ("hdr.bin", evil, {"A": "B"})
+
+
+def test_raw_socket_sees_exact_hmsg_framing(server):
+    """Byte-level golden frame: a raw-socket subscriber receives exactly
+    ``HMSG <subject> <sid> <#hdr> <#total>\\r\\n<headers><payload>\\r\\n``
+    with the header block passed through verbatim and its length included
+    in the total."""
+    hdr = b"NATS/1.0\r\nK: V\r\n\r\n"  # 8 + 2 + 4 + 2 + 2 = 18 bytes
+    with socket.create_connection(("127.0.0.1", server.port), timeout=2) as s:
+        f = s.makefile("rb")
+        assert f.readline().startswith(b"INFO ")
+        s.sendall(b'CONNECT {"verbose":false}\r\nSUB hdr.raw 9\r\nPING\r\n')
+        assert f.readline() == b"PONG\r\n"
+        with MiniNatsClient(server.url) as pub:
+            pub.publish("hdr.raw", b"pay", headers={"K": "V"})
+            pub.flush()
+        assert f.readline() == f"HMSG hdr.raw 9 {len(hdr)} {len(hdr) + 3}\r\n".encode()
+        assert f.read(len(hdr)) == hdr
+        assert f.read(5) == b"pay\r\n"
+
+
+def test_headers_codec_validation_and_status_line():
+    from datafusion_nats_spark.sources.nats_wire import encode_headers, parse_headers
+
+    block = encode_headers({"A": "1", "B-Key": "two words"})
+    assert block == b"NATS/1.0\r\nA: 1\r\nB-Key: two words\r\n\r\n"
+    assert parse_headers(block) == {"A": "1", "B-Key": "two words"}
+    # inline status forms (no-responders / idle heartbeat)
+    assert parse_headers(b"NATS/1.0 503\r\n\r\n") == {"Status": "503"}
+    assert parse_headers(b"NATS/1.0 100 Idle Heartbeat\r\n\r\n") == {
+        "Status": "100",
+        "Description": "Idle Heartbeat",
+    }
+    with pytest.raises(NatsWireError):
+        encode_headers({"bad:key": "v"})
+    with pytest.raises(NatsWireError):
+        encode_headers({"K": "embedded\r\nnewline"})
+    with pytest.raises(NatsWireError):
+        parse_headers(b"HTTP/1.1 200\r\n\r\n")
+
+
+def test_hpub_with_reply_token_request_shape(server):
+    """HPUB carries an optional reply-to like PUB; the responder sees the
+    headers and the requester's inbox still works for the response."""
+    with MiniNatsClient(server.url) as responder, MiniNatsClient(server.url) as requester:
+        sid = responder.subscribe("svc.echo")
+        responder.flush()
+
+        inbox_sid = requester.subscribe("_INBOX.hdrtest.1")
+        requester.flush()
+        requester.publish(
+            "svc.echo", b"ping", reply="_INBOX.hdrtest.1", headers={"Trace": "t1"}
+        )
+        requester.flush()
+        got = responder.next_msg_full(sid, 2.0)
+        assert got == ("svc.echo", b"ping", {"Trace": "t1"})
+        responder.publish("_INBOX.hdrtest.1", b"pong", headers={"Trace": "t1"})
+        responder.flush()
+        assert requester.next_msg_full(inbox_sid, 2.0) == (
+            "_INBOX.hdrtest.1",
+            b"pong",
+            {"Trace": "t1"},
+        )
