@@ -1042,3 +1042,95 @@ def curation_info_gain_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("gain", 6).alias("info_gain"),
         )
     )
+
+
+@query(
+    "curation_feature_correlation",
+    oracle="""
+    WITH feats AS (
+      SELECT CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+             CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE)
+               AS n_uniq_tokens
+      FROM documents
+    ), pairs AS (
+      SELECT 'n_chars' AS feat_a, 'n_tokens' AS feat_b, n_chars AS a, n_tokens AS b FROM feats
+      UNION ALL
+      SELECT 'n_chars', 'n_uniq_tokens', n_chars, n_uniq_tokens FROM feats
+      UNION ALL
+      SELECT 'n_tokens', 'n_uniq_tokens', n_tokens, n_uniq_tokens FROM feats
+    ), s AS (
+      SELECT feat_a, feat_b, CAST(count(*) AS DOUBLE) AS n,
+             sum(a) AS sa, sum(b) AS sb,
+             sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT feat_a, feat_b, CAST(n AS BIGINT) AS n_docs,
+           round((n * sab - sa * sb)
+                 / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 6) AS pearson_r
+    FROM s
+    """,
+    doc="Pairwise Pearson correlation matrix across per-document scalar "
+    "features (char count, token count, unique-token count) — the "
+    "redundancy screen a curation pipeline runs before treating features "
+    "as independent quality signals. Features are computed map-side per "
+    "document, the three unordered pairs are unpivoted via one explode "
+    "(no self-join of the corpus), and each pair collapses to a 6-sum "
+    "partial-aggregated row; the closed-form r is evaluated on the "
+    "3-row aggregate. Pearson r comes from IDENTICAL IEEE expressions "
+    "on both engines (never the engines' own corr(), whose internal "
+    "accumulation orders differ), with round(..., 6) absorbing "
+    "summation-order noise.",
+)
+def curation_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    feats = d.select(
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+        .cast("double")
+        .alias("n_uniq_tokens"),
+    )
+    pairs = feats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("n_chars").alias("feat_a"),
+                    F.lit("n_tokens").alias("feat_b"),
+                    F.col("n_chars").alias("a"),
+                    F.col("n_tokens").alias("b"),
+                ),
+                F.struct(
+                    F.lit("n_chars").alias("feat_a"),
+                    F.lit("n_uniq_tokens").alias("feat_b"),
+                    F.col("n_chars").alias("a"),
+                    F.col("n_uniq_tokens").alias("b"),
+                ),
+                F.struct(
+                    F.lit("n_tokens").alias("feat_a"),
+                    F.lit("n_uniq_tokens").alias("feat_b"),
+                    F.col("n_tokens").alias("a"),
+                    F.col("n_uniq_tokens").alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.feat_a", "p.feat_b", "p.a", "p.b")
+    s = pairs.groupBy("feat_a", "feat_b").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")
+    return s.select(
+        "feat_a",
+        "feat_b",
+        n.cast("bigint").alias("n_docs"),
+        F.round(
+            (n * sab - sa * sb) / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+            6,
+        ).alias("pearson_r"),
+    )

@@ -965,3 +965,80 @@ def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", F.col("cand_lang").alias("predicted_lang"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "text_zipf_law_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), counted AS (
+      SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok
+    ), ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+      FROM counted
+    ), pts AS (
+      SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+      FROM ranked
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n), 6)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+    FROM s
+    """,
+    doc="Zipf's-law fit over the corpus vocabulary: token frequencies "
+    "ranked (count DESC, token tie-break), then an ordinary-least-squares "
+    "line through the (ln rank, ln frequency) cloud — the slope is the "
+    "Zipf exponent (~-1 for natural language; a strong deviation flags "
+    "synthetic or templated corpora), with R² as fit quality. The corpus "
+    "collapses to its vocabulary in one map-side-combined hash "
+    "aggregate; the global rank runs over that aggregated, "
+    "domain-bounded relation (same shape as the BPE trainer's word "
+    "histogram rank), and the regression is a single 6-sum aggregate "
+    "with the closed-form solution evaluated on ONE row. Slope, "
+    "intercept, and R² derive from identical IEEE expressions on both "
+    "engines; summation-order noise is absorbed by round(..., 6).",
+)
+def text_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counted = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = W.orderBy(F.desc("cnt"), "tok")
+    pts = counted.select(
+        F.log(F.row_number().over(rk).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(sy / n - slope * (sx / n), 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r_squared"),
+    )
