@@ -233,7 +233,13 @@ class MiniNatsClient:
                 f"PUB {subject}{rtok} {len(payload)}\r\n".encode() + payload + b"\r\n"
             )
 
-    def request(self, subject: str, payload: bytes | str = b"", timeout_s: float | None = None) -> bytes:
+    def request(
+        self,
+        subject: str,
+        payload: bytes | str = b"",
+        timeout_s: float | None = None,
+        headers: dict[str, str] | None = None,
+    ) -> bytes:
         """Core-NATS request/reply: publish with a unique inbox reply
         subject and wait for one response — the transport JetStream's
         JSON API rides on. SUB and PUB travel in order on one TCP
@@ -251,7 +257,7 @@ class MiniNatsClient:
         inbox = f"_INBOX.{os.urandom(8).hex()}.{self._next_sid}"
         sid = self.subscribe(inbox)
         try:
-            self.publish(subject, payload, reply=inbox)
+            self.publish(subject, payload, reply=inbox, headers=headers)
             got = self.next_msg(sid, timeout_s or self.timeout_s)
         finally:
             self.unsubscribe(sid)
@@ -578,7 +584,7 @@ class MiniNatsServer:
                         self._handle_js_api(subject, reply, payload)
                     else:
                         if self._jetstream:
-                            self._js_capture(subject, reply, payload)
+                            self._js_capture(subject, reply, payload, hdr_block)
                         self._route(subject, reply, payload, hdr_block)
                     if verbose:
                         send(b"+OK\r\n")
@@ -658,7 +664,7 @@ class MiniNatsServer:
             "config": st["config"],
             "state": {
                 "messages": n,
-                "bytes": sum(len(p) for _, p in st["messages"]),
+                "bytes": sum(len(p) for _, p, _h in st["messages"]),
                 # empty stream: first stays at the next-expected seq (real
                 # nats-server reports the same after a purge; the one
                 # divergence is a NEVER-written stream, where it reports 0 —
@@ -674,16 +680,24 @@ class MiniNatsServer:
     def _js_error(code: int, err_code: int, description: str) -> dict:
         return {"error": {"code": code, "err_code": err_code, "description": description}}
 
-    def _js_capture(self, subject: str, reply: str | None, payload: bytes) -> None:
+    def _js_capture(
+        self,
+        subject: str,
+        reply: str | None,
+        payload: bytes,
+        hdr_block: bytes | None = None,
+    ) -> None:
         """Append a core publish to every stream whose bound subjects
         match; PubAck the publisher's reply inbox (js.publish semantics).
         A publish matching no stream gets no ack — the requester times
-        out exactly like against a real server."""
+        out exactly like against a real server. Headers are stored as the
+        raw wire block and surfaced base64 in MSG.GET's ``hdrs`` field,
+        matching the real server's message-get response."""
         with self._lock:
             acks = []
             for name, st in self._js.items():
                 if any(subject_matches(pat, subject) for pat in st["config"].get("subjects", [])):
-                    st["messages"].append((subject, payload))
+                    st["messages"].append((subject, payload, hdr_block))
                     acks.append({"stream": name, "seq": st["first_seq"] + len(st["messages"]) - 1})
         if reply and acks:
             self._route(reply, None, json.dumps(acks[0]).encode())
@@ -722,17 +736,18 @@ class MiniNatsServer:
                     seq = int(body.get("seq", 0))
                     pos = seq - st["first_seq"]
                     if 0 <= pos < len(st["messages"]):
-                        subj, data = st["messages"][pos]
+                        subj, data, hdrs = st["messages"][pos]
                         import base64
 
-                        resp = {
-                            "message": {
-                                "subject": subj,
-                                "seq": seq,
-                                "data": base64.b64encode(data).decode(),
-                                "time": "1970-01-01T00:00:00Z",
-                            }
+                        msg = {
+                            "subject": subj,
+                            "seq": seq,
+                            "data": base64.b64encode(data).decode(),
+                            "time": "1970-01-01T00:00:00Z",
                         }
+                        if hdrs is not None:
+                            msg["hdrs"] = base64.b64encode(hdrs).decode()
+                        resp = {"message": msg}
                     else:
                         resp = self._js_error(404, 10037, "no message found")
             elif op == "STREAM.LIST":
@@ -818,24 +833,37 @@ class JetStreamWireClient:
         if "error" in resp:
             raise NatsWireError(f"STREAM.CREATE.{name}: {resp['error']}")
 
-    def publish(self, subject: str, payload: bytes) -> int:
-        """js.publish: core PUB with a reply inbox; the PubAck carries the
-        assigned stream sequence. Raises when no stream acks (no stream
-        bound to the subject) — same failure mode as a real server."""
+    def publish(
+        self, subject: str, payload: bytes, headers: dict[str, str] | None = None
+    ) -> int:
+        """js.publish: core PUB (HPUB when headers ride along) with a
+        reply inbox; the PubAck carries the assigned stream sequence.
+        Raises when no stream acks (no stream bound to the subject) —
+        same failure mode as a real server."""
         with MiniNatsClient(self.url, self.timeout_s) as c:
-            ack = json.loads(c.request(subject, payload, self.timeout_s))
+            ack = json.loads(c.request(subject, payload, self.timeout_s, headers=headers))
         if "error" in ack or "seq" not in ack:
             raise NatsWireError(f"publish to {subject!r} not acked: {ack}")
         return int(ack["seq"])
 
     def get_msg(self, name: str, seq: int) -> bytes:
+        return self.get_msg_with_headers(name, seq)[0]
+
+    def get_msg_with_headers(
+        self, name: str, seq: int
+    ) -> tuple[bytes, dict[str, str] | None]:
+        """Sequence-addressed get returning (payload, headers-or-None) —
+        the stored header block rides base64 in the response's ``hdrs``
+        field, as the real server's message get returns it."""
         import base64
 
         with MiniNatsClient(self.url, self.timeout_s) as c:
             resp = self._api(c, f"STREAM.MSG.GET.{name}", {"seq": seq})
         if "error" in resp:
             raise NatsWireError(f"STREAM.MSG.GET.{name} seq={seq}: {resp['error']}")
-        return base64.b64decode(resp["message"].get("data") or "")
+        data = base64.b64decode(resp["message"].get("data") or "")
+        raw_hdrs = resp["message"].get("hdrs")
+        return data, (parse_headers(base64.b64decode(raw_hdrs)) if raw_hdrs else None)
 
     def get_range(self, name: str, start_seq: int, count: int) -> list[bytes]:
         """Sequence-contiguous batch get over ONE connection — the fetch

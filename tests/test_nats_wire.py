@@ -425,3 +425,36 @@ def test_hpub_with_reply_token_request_shape(server):
             b"pong",
             {"Trace": "t1"},
         )
+
+
+def test_jetstream_headers_stored_and_returned(js_server):
+    """JetStream + headers: an HPUB'd message is captured with its header
+    block, MSG.GET returns it base64 in ``hdrs``, a headerless message in
+    the same stream returns hdrs=None, and the capture-also-routes path
+    delivers HMSG to live core subscribers."""
+    from datafusion_nats_spark.sources.nats_wire import JetStreamWireClient
+
+    js = JetStreamWireClient(js_server.url)
+    js.create_stream("HDRS", ["hdr.js.>"])
+    with MiniNatsClient(js_server.url) as sub:
+        sid = sub.subscribe("hdr.js.a")
+        sub.flush()
+        seq1 = js.publish("hdr.js.a", b"with", headers={"Trace-Id": "t-9", "Kind": "csv"})
+        seq2 = js.publish("hdr.js.a", b"without")
+        assert (seq1, seq2) == (1, 2)
+        # live core subscriber got the HMSG fan-out during capture
+        assert sub.next_msg_full(sid, 2.0) == (
+            "hdr.js.a",
+            b"with",
+            {"Trace-Id": "t-9", "Kind": "csv"},
+        )
+        assert sub.next_msg_full(sid, 2.0) == ("hdr.js.a", b"without", None)
+    # durable replay returns the stored headers
+    assert js.get_msg_with_headers("HDRS", 1) == (
+        b"with",
+        {"Trace-Id": "t-9", "Kind": "csv"},
+    )
+    assert js.get_msg_with_headers("HDRS", 2) == (b"without", None)
+    assert js.get_msg("HDRS", 1) == b"with"  # payload-only accessor unchanged
+    info = js.stream_info("HDRS")
+    assert info["state"]["messages"] == 2
