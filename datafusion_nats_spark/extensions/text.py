@@ -1042,3 +1042,163 @@ def text_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_squared"),
     )
+
+
+@query(
+    "text_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+           CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+           round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) / count(*), 6)
+             AS hapax_share
+    FROM tf
+    GROUP BY doc_id
+    """,
+    doc="Per-document lexical-diversity metrics: type-token ratio "
+    "(distinct tokens / total tokens — low TTR flags repetitive or "
+    "templated text) and hapax-legomenon share (fraction of the "
+    "document's vocabulary appearing exactly once — low hapax share "
+    "flags looping generation). One (doc_id, token) count aggregate "
+    "partitioned by the high-cardinality doc_id, then a per-doc "
+    "conditional-count reduction — two map-side-combinable shuffles, "
+    "nothing corpus-global. Ratios are integer/integer divisions, "
+    "bit-identical across engines before the cosmetic round.",
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias("ttr"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
+        F.round(
+            F.count(F.when(F.col("c") == 1, 1)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("hapax_share"),
+    )
+
+
+BURROWS_TOP = 30
+
+
+@query(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), st AS (
+      SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ), totals AS (
+      SELECT source, sum(c) AS tot FROM st GROUP BY 1
+    ), top AS (
+      SELECT tok FROM (
+        SELECT tok, sum(c) AS corpus_c,
+               row_number() OVER (ORDER BY sum(c) DESC, tok) AS rk
+        FROM st GROUP BY tok
+      ) WHERE rk <= {BURROWS_TOP}
+    ), freq AS (
+      SELECT t.source, p.tok, coalesce(st.c, 0) / t.tot AS f
+      FROM totals t CROSS JOIN top p
+      LEFT JOIN st ON st.source = t.source AND st.tok = p.tok
+    ), stats AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS n,
+             sum(f) AS sf, sum(f * f) AS sff
+      FROM freq GROUP BY 1
+    ), z AS (
+      SELECT f.source, f.tok,
+             (f.f - s.sf / s.n) / sqrt(s.sff / s.n - (s.sf / s.n) * (s.sf / s.n)) AS z
+      FROM freq f JOIN stats s ON s.tok = f.tok
+      WHERE (s.sff / s.n - (s.sf / s.n) * (s.sf / s.n)) > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(avg(abs(a.z - b.z)), 6) AS delta
+    FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc=f"Burrows' Delta stylometric distance between every pair of "
+    f"document sources: relative frequencies of the corpus's top-"
+    f"{BURROWS_TOP} tokens per source, z-scored per token across "
+    "sources (population sigma via identical closed-form IEEE "
+    "expressions), then Delta(a, b) = mean |z_a - z_b| — the standard "
+    "authorship/provenance attribution measure, here a duplicate-"
+    "pipeline screen (near-zero Delta = two sources emitting the same "
+    "template). Everything after the (source, token) count shuffle is "
+    "domain-bounded: the top-token rank runs over the aggregated "
+    "vocabulary, frequencies/z-scores live on a |sources| x "
+    f"{BURROWS_TOP} grid, and the pairwise join is over that tiny "
+    "grid keyed by token. Constant-frequency tokens are excluded by "
+    "the variance guard on BOTH sides.",
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    st = st.persist()  # feeds totals, the top-token rank, and the freq join
+    totals = st.groupBy("source").agg(F.sum("c").alias("tot"))
+    rk = W.orderBy(F.desc("corpus_c"), "tok")
+    top = (
+        st.groupBy("tok")
+        .agg(F.sum("c").alias("corpus_c"))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= BURROWS_TOP)
+        .select("tok")
+    )
+    freq = (
+        totals.crossJoin(F.broadcast(top))
+        .join(st, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            (F.coalesce(F.col("c"), F.lit(0.0)) / F.col("tot")).alias("f"),
+        )
+    )
+    stats = freq.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("f").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).alias("sff"),
+    )
+    n, sf, sff = F.col("n"), F.col("sf"), F.col("sff")
+    var = sff / n - (sf / n) * (sf / n)
+    z = (
+        freq.join(F.broadcast(stats.filter(var > 0)), "tok")
+        .select(
+            "source",
+            "tok",
+            ((F.col("f") - sf / n) / F.sqrt(sff / n - (sf / n) * (sf / n))).alias("z"),
+        )
+    )
+    a = z.select(F.col("source").alias("source_a"), "tok", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), F.col("tok").alias("tok_b"), F.col("z").alias("zb"))
+    return (
+        a.join(
+            b,
+            (F.col("tok") == F.col("tok_b")) & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"),
+        )
+    )

@@ -1408,3 +1408,149 @@ def events_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
         .limit(PATH_TOP)
     )
+
+
+XCORR_MAX_LAG = 3
+
+
+@query(
+    "timeseries_cross_correlation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+             a.n AS x, b.n AS y
+      FROM daily a
+      CROSS JOIN (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) AS l(lag)
+      JOIN daily b ON b.event_type > a.event_type AND b.day = a.day + l.lag
+    ), s AS (
+      SELECT type_a, type_b, lag, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM lagged GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, CAST(lag AS INTEGER) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS xcorr
+    FROM s
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+    doc=f"Lagged cross-correlation between every unordered pair of "
+    f"event-type daily-count series at calendar lags -{XCORR_MAX_LAG}.."
+    f"+{XCORR_MAX_LAG} — the lead/lag detector (does 'view' traffic "
+    "predict 'purchase' traffic two days later?) complementing "
+    "timeseries_autocorrelation's self-lags. Pearson r over the "
+    "OVERLAP sample: the raw stream collapses to |types|x|days| rows "
+    "first, the pairing is one self-equi-join of that rollup on "
+    "(day + lag) with a type_a < type_b canonicalization, and each "
+    "(pair, lag) cell reduces to a 6-sum closed form — identical IEEE "
+    "expressions on both engines, round(..., 6) absorbing summation "
+    "order. Degenerate (constant-series) cells are excluded by the "
+    "variance guard on BOTH sides.",
+)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        F.col("day").alias("day_a"),
+        F.col("n").alias("x"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)])
+        ).alias("lag"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("n").alias("y"),
+    )
+    lagged = a.join(
+        b,
+        (F.col("type_b") > F.col("type_a"))
+        & (F.col("day_b") == F.date_add(F.col("day_a"), F.col("lag"))),
+    )
+    s = lagged.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return (
+        s.filter(((n * sxx - sx * sx) > 0) & ((n * syy - sy * sy) > 0))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").cast("int").alias("lag"),
+            n.cast("bigint").alias("n_pairs"),
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("xcorr"),
+        )
+    )
+
+
+@query(
+    "events_burstiness_fano",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n_days,
+             sum(n) AS sx, sum(n * n) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(sx / n_days, 6) AS mean_daily,
+           round((sxx / n_days - (sx / n_days) * (sx / n_days))
+                 / (sx / n_days), 6) AS fano_factor,
+           round((sqrt(sxx / n_days - (sx / n_days) * (sx / n_days)) - sx / n_days)
+                 / (sqrt(sxx / n_days - (sx / n_days) * (sx / n_days)) + sx / n_days), 6)
+             AS burstiness
+    FROM s
+    WHERE sx > 0
+    """,
+    doc="Burstiness profile of each event type's daily-count series: the "
+    "Fano factor (population variance / mean — 1.0 for a Poisson "
+    "process, >1 over-dispersed/bursty) and the Goh-Barabasi "
+    "burstiness index B = (sigma - mu)/(sigma + mu) in [-1, 1] "
+    "(-1 periodic, 0 Poisson-like, ->1 extremely bursty). The stream "
+    "collapses to |types|x|days| rows in the first hash aggregate and "
+    "each type reduces to a 3-sum closed form — population variance "
+    "via identical sxx/n - (sx/n)^2 IEEE expressions on both engines, "
+    "round(..., 6) absorbing summation order.",
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_days"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    nd, sx, sxx = F.col("n_days"), F.col("sx"), F.col("sxx")
+    mean = sx / nd
+    var = sxx / nd - mean * mean
+    sigma = F.sqrt(var)
+    return s.filter(sx > 0).select(
+        "event_type",
+        nd.cast("bigint").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var / mean, 6).alias("fano_factor"),
+        F.round((sigma - mean) / (sigma + mean), 6).alias("burstiness"),
+    )

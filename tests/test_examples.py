@@ -32,6 +32,7 @@ def _run(script: str, timeout: int = 240) -> str:
         ("simple_query.py", "banana"),  # the golden triple rendered
         ("batch_analytics.py", "count_order"),  # Q1 header
         ("corpus_curation.py", "survivors:"),  # collapse stage ran
+        ("headers_tracing.py", "trace=req-2"),  # durable header replay
     ],
 )
 def test_example_runs_clean(script, marker):
