@@ -1134,3 +1134,48 @@ def curation_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     )
+
+
+@query(
+    "curation_gini_source_balance",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS c
+      FROM documents GROUP BY 1
+    ), r AS (
+      SELECT c, row_number() OVER (ORDER BY c, source) AS rk FROM s
+    ), t AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(c) AS tot, sum(rk * c) AS src
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_sources,
+           CAST(tot AS BIGINT) AS n_docs,
+           round((2 * src) / (n * tot) - (n + 1) / n, 6) AS gini
+    FROM t
+    """,
+    doc="Gini coefficient of the document-count distribution across "
+    "sources — the corpus-balance scalar behind curation_domain_caps "
+    "(0 = perfectly even, ->1 = one source dominates; the number a "
+    "mixture rebalance is judged by). The corpus collapses to "
+    "|sources| rows in the first aggregate; the rank runs over that "
+    "bounded relation with a (count, source) tie-break and the "
+    "coefficient is the standard closed form 2*sum(rank*c)/(n*tot) - "
+    "(n+1)/n on a 1-row reduction — all integer-derived doubles, "
+    "bit-identical across engines before the cosmetic round.",
+)
+def curation_gini_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    rk = W.orderBy("c", "source")
+    r = s.withColumn("rk", F.row_number().over(rk))
+    t = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("rk") * F.col("c")).alias("src"),
+    )
+    n, tot, src = F.col("n"), F.col("tot"), F.col("src")
+    return t.select(
+        n.cast("bigint").alias("n_sources"),
+        tot.cast("bigint").alias("n_docs"),
+        F.round((2 * src) / (n * tot) - (n + 1) / n, 6).alias("gini"),
+    )

@@ -630,3 +630,84 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("query_id", "neighbor_id", cosine.alias("cosine")).filter(
         F.col("cosine") >= RADIUS_TAU
     )
+
+
+@query(
+    "sim_silhouette_by_label",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), expl AS (
+      SELECT vec_id, label, u.pos, u.x
+      FROM e, LATERAL (
+        SELECT generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+      ) AS u
+    ), cent AS (
+      SELECT label AS clabel, pos, avg(x) AS cx
+      FROM expl GROUP BY 1, 2
+    ), dist AS (
+      SELECT ex.vec_id, ex.label, c.clabel,
+             round(sqrt(sum((ex.x - c.cx) * (ex.x - c.cx))), 6) AS d
+      FROM expl ex JOIN cent c ON c.pos = ex.pos
+      GROUP BY 1, 2, 3
+    ), ab AS (
+      SELECT vec_id, label,
+             min(CASE WHEN clabel = label THEN d END) AS a,
+             min(CASE WHEN clabel != label THEN d END) AS b
+      FROM dist GROUP BY 1, 2
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg((b - a) / greatest(a, b)), 6) AS silhouette,
+           round(avg(a), 6) AS mean_intra,
+           round(avg(b), 6) AS mean_nearest_other
+    FROM ab
+    GROUP BY label
+    """,
+    doc="Simplified (centroid-based) silhouette score per label — the "
+    "clustering-quality gauge for the label blocking that "
+    "dedup_semantic_semdedup / sim_kmeans_ann rely on: a = distance to "
+    "the OWN label centroid, b = distance to the nearest OTHER "
+    "centroid, s = (b - a)/max(a, b), averaged per label (s near 1 = "
+    "compact well-separated labels; near 0 = blocking is doing "
+    "nothing). Centroids are a |labels| x dim aggregate broadcast back; "
+    "per-vector distances are one posexplode-regroup (never an "
+    "all-pairs join — the O(n^2) exact silhouette is what this "
+    "closed-form variant avoids at 100 TB). Distances are rounded to "
+    "1e-6 BEFORE the nearest-other argmin and the ratio, so "
+    "centroid-average summation noise (~1e-13) cannot flip the min "
+    "across engines.",
+)
+def sim_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "x"
+        ),
+    )
+    cent = e.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.avg("x").alias("cx")
+    )
+    dist = (
+        e.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")))),
+                6,
+            ).alias("d")
+        )
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d"))).alias("b"),
+    )
+    return ab.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.avg((F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))), 6
+        ).alias("silhouette"),
+        F.round(F.avg("a"), 6).alias("mean_intra"),
+        F.round(F.avg("b"), 6).alias("mean_nearest_other"),
+    )

@@ -1554,3 +1554,88 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var / mean, 6).alias("fano_factor"),
         F.round((sigma - mean) / (sigma + mean), 6).alias("burstiness"),
     )
+
+
+@query(
+    "events_ks_drift",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    ), ev AS (
+      SELECT value AS v,
+             CASE WHEN epoch_us(ts) < (b.t0 + b.t1) // 2
+                  THEN 1 ELSE 0 END AS early
+      FROM events CROSS JOIN bounds b
+    ), g AS (
+      SELECT v,
+             sum(early) AS ne,
+             count(*) - sum(early) AS nl
+      FROM ev GROUP BY v
+    ), tot AS (
+      SELECT CAST(sum(ne) AS DOUBLE) AS te, CAST(sum(nl) AS DOUBLE) AS tl FROM g
+    ), cum AS (
+      SELECT v,
+             CAST(sum(ne) OVER w AS DOUBLE) / t.te AS ce,
+             CAST(sum(nl) OVER w AS DOUBLE) / t.tl AS cl
+      FROM g CROSS JOIN tot t
+      WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ), d AS (
+      SELECT v, abs(ce - cl) AS dd,
+             row_number() OVER (ORDER BY abs(ce - cl) DESC, v) AS rk
+      FROM cum
+    )
+    SELECT CAST(t.te AS BIGINT) AS n_early, CAST(t.tl AS BIGINT) AS n_late,
+           round(d.dd, 6) AS ks_d, d.v AS ks_at_value
+    FROM d CROSS JOIN tot t WHERE d.rk = 1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift test between the event-value "
+    "distributions of the first and second halves of the time range — "
+    "the classic training-data distribution-drift monitor. The split "
+    "point is integer epoch-microsecond arithmetic on a 1-row broadcast "
+    "(identical classification on both engines); the corpus collapses "
+    "to per-distinct-value counts (values are exact cents, so the grid "
+    "is DOMAIN-bounded, not row-bounded); both ECDFs are one cumulative "
+    "window over that aggregated grid and D = max |ECDF_early - "
+    "ECDF_late| is exact: integer cumulative sums divided by integer "
+    "totals are bit-identical IEEE operations, so the argmax (value "
+    "tie-break) cannot flip across engines — round(..., 6) is cosmetic.",
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("t0"), F.max(F.unix_micros("ts")).alias("t1")
+    )
+    ev = e.crossJoin(F.broadcast(bounds)).select(
+        F.col("value").alias("v"),
+        F.when(
+            F.unix_micros("ts") < F.floor((F.col("t0") + F.col("t1")) / 2), 1
+        )
+        .otherwise(0)
+        .alias("early"),
+    )
+    g = ev.groupBy("v").agg(
+        F.sum("early").alias("ne"),
+        (F.count(F.lit(1)) - F.sum("early")).alias("nl"),
+    )
+    tot = g.agg(
+        F.sum("ne").cast("double").alias("te"), F.sum("nl").cast("double").alias("tl")
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = g.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "te",
+        "tl",
+        (F.sum("ne").over(w).cast("double") / F.col("te")).alias("ce"),
+        (F.sum("nl").over(w).cast("double") / F.col("tl")).alias("cl"),
+    )
+    rk = W.orderBy(F.abs(F.col("ce") - F.col("cl")).desc(), "v")
+    return (
+        cum.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("te").cast("bigint").alias("n_early"),
+            F.col("tl").cast("bigint").alias("n_late"),
+            F.round(F.abs(F.col("ce") - F.col("cl")), 6).alias("ks_d"),
+            F.col("v").alias("ks_at_value"),
+        )
+    )
