@@ -495,3 +495,127 @@ def segmented_ntile(
         )
         .drop("_bkt", "_carry", "_N", "_r")
     )
+
+
+BOOTSTRAP_B = 32
+
+# Cumulative Poisson(1) CDF thresholds for the inverse-CDF draw; the
+# SAME literals appear in the oracle so the weight of every (row,
+# replicate) pair is decided by an identical IEEE comparison.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = "".join(
+        f" WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    )
+    return f"CASE{branches} ELSE {len(_POIS1_CDF)} END"
+
+
+@query(
+    "agg_bootstrap_ci_mean",
+    oracle=f"""
+    WITH rep AS (
+      SELECT o_totalprice AS x, b.b,
+             ('0x' || substr(md5(o_orderkey || ':' || b.b), 1, 6))::BIGINT
+               / 16777216.0 AS u
+      FROM orders CROSS JOIN (
+        SELECT unnest(range({BOOTSTRAP_B})) AS b
+      ) b
+    ), weighted AS (
+      SELECT b, {_pois_case_sql('u')} AS w, x FROM rep
+    ), means AS (
+      SELECT b, sum(w * x) / sum(w) AS m
+      FROM weighted GROUP BY b HAVING sum(w) > 0
+    ), ranked AS (
+      SELECT m,
+             row_number() OVER (ORDER BY m, b) AS lo_rk,
+             row_number() OVER (ORDER BY m DESC, b DESC) AS hi_rk
+      FROM means
+    ), full_mean AS (
+      SELECT sum(o_totalprice) / count(*) AS fm FROM orders
+    )
+    SELECT CAST({BOOTSTRAP_B} AS INTEGER) AS b_replicates,
+           round((SELECT fm FROM full_mean), 6) AS mean_full,
+           round((SELECT m FROM ranked WHERE lo_rk = 2), 6) AS ci_lo,
+           round((SELECT m FROM ranked WHERE hi_rk = 2), 6) AS ci_hi
+    """,
+    doc=f"Poisson-bootstrap confidence interval for the mean order value "
+    f"— the scale pattern for uncertainty estimates over data too big "
+    f"to resample by shuffling: each of {BOOTSTRAP_B} replicates weights "
+    "every row by an independent Poisson(1) draw (the classic "
+    "big-data bootstrap approximation of multinomial resampling), so "
+    "the whole procedure is ONE map-side explode + a "
+    f"{BOOTSTRAP_B}-group aggregate with map-side combine — no "
+    "sampling shuffle, no driver loop. Draws are deterministic: a "
+    "24-bit md5 uniform per (order, replicate) pushed through the "
+    "inverse Poisson CDF with literal thresholds identical in both "
+    "engines, so every weight matches bit-for-bit. The CI is the "
+    "2nd-smallest / 2nd-largest replicate mean (exact order "
+    "statistics with replicate tie-breaks — never an interpolating "
+    "percentile, whose conventions differ across engines).",
+)
+def agg_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rep = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.col("o_orderkey"),
+        F.explode(F.array(*[F.lit(b) for b in range(BOOTSTRAP_B)])).alias("b"),
+    ).select(
+        "x",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":"), F.col("b").cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(16777216.0)
+        ).alias("u"),
+    )
+    w_expr = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w_expr = F.when(F.col("u") < F.lit(_POIS1_CDF[k]), k).otherwise(w_expr)
+    weighted = rep.select("b", w_expr.alias("w"), "x")
+    means = (
+        weighted.groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("swx"), F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .select("b", (F.col("swx") / F.col("sw")).alias("m"))
+    )
+    lo = W.orderBy("m", "b")
+    hi = W.orderBy(F.desc("m"), F.desc("b"))
+    ranked = means.select(
+        "m",
+        F.row_number().over(lo).alias("lo_rk"),
+        F.row_number().over(hi).alias("hi_rk"),
+    )
+    full_mean = o.agg(
+        (F.sum("o_totalprice") / F.count(F.lit(1))).alias("fm")
+    )
+    ci_lo = ranked.filter(F.col("lo_rk") == 2).select(F.col("m").alias("ci_lo"))
+    ci_hi = ranked.filter(F.col("hi_rk") == 2).select(F.col("m").alias("ci_hi"))
+    return (
+        full_mean.crossJoin(F.broadcast(ci_lo))
+        .crossJoin(F.broadcast(ci_hi))
+        .select(
+            F.lit(BOOTSTRAP_B).cast("int").alias("b_replicates"),
+            F.round("fm", 6).alias("mean_full"),
+            F.round("ci_lo", 6).alias("ci_lo"),
+            F.round("ci_hi", 6).alias("ci_hi"),
+        )
+    )

@@ -1639,3 +1639,94 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("ks_at_value"),
         )
     )
+
+
+@query(
+    "events_ab_test_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS cohort,
+             CASE WHEN coalesce(max(CASE WHEN event_type = 'purchase'
+                                         THEN value END), 0) > 250
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT cohort, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(converted) AS DOUBLE) AS k
+      FROM assign GROUP BY 1
+    ), w AS (
+      SELECT max(CASE WHEN cohort = 0 THEN n END) AS n_a,
+             max(CASE WHEN cohort = 0 THEN k END) AS k_a,
+             max(CASE WHEN cohort = 1 THEN n END) AS n_b,
+             max(CASE WHEN cohort = 1 THEN k END) AS k_b
+      FROM c
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(k_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(k_b AS BIGINT) AS conv_b,
+           round(k_a / n_a, 6) AS rate_a,
+           round(k_b / n_b, 6) AS rate_b,
+           round(CASE WHEN (k_a + k_b) / (n_a + n_b) <= 0
+                        OR (k_a + k_b) / (n_a + n_b) >= 1 THEN 0
+                 ELSE (k_a / n_a - k_b / n_b)
+                      / sqrt(((k_a + k_b) / (n_a + n_b))
+                             * (1 - (k_a + k_b) / (n_a + n_b))
+                             * (1 / n_a + 1 / n_b)) END, 6) AS z_score
+    FROM w
+    """,
+    doc="Two-proportion z-test between deterministic user cohorts "
+    "(user_id parity — the hash-split every A/B framework uses): "
+    "per-cohort conversion = share of users whose largest purchase "
+    "exceeds 250, pooled-variance z = (p_a - p_b) / "
+    "sqrt(p(1-p)(1/n_a + 1/n_b)) — the experimentation primitive on "
+    "top of the funnel operators. The stream collapses to one row per "
+    "user in the first aggregate (max-value conversion flag, map-side "
+    "combinable), cohorts reduce to a 2-row aggregate pivoted onto one "
+    "row, and the statistic is a closed form over four integers — "
+    "bit-identical across engines before the cosmetic round. The "
+    "degenerate all-convert / none-convert pool (zero pooled "
+    "variance) pins z to 0 on BOTH sides rather than dividing by "
+    "zero under ANSI mode.",
+)
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    assign = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("cohort")
+    ).agg(
+        F.when(
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("value"))),
+                F.lit(0.0),
+            )
+            > 250,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    c = assign.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("k"),
+    )
+    w = c.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("cohort") == 0, F.col("k"))).alias("k_a"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("cohort") == 1, F.col("k"))).alias("k_b"),
+    )
+    na, ka, nb, kb = F.col("n_a"), F.col("k_a"), F.col("n_b"), F.col("k_b")
+    p = (ka + kb) / (na + nb)
+    return w.select(
+        na.cast("bigint").alias("n_a"),
+        ka.cast("bigint").alias("conv_a"),
+        nb.cast("bigint").alias("n_b"),
+        kb.cast("bigint").alias("conv_b"),
+        F.round(ka / na, 6).alias("rate_a"),
+        F.round(kb / nb, 6).alias("rate_b"),
+        F.round(
+            F.when((p <= 0) | (p >= 1), F.lit(0.0)).otherwise(
+                (ka / na - kb / nb)
+                / F.sqrt(p * (1 - p) * (F.lit(1) / na + F.lit(1) / nb))
+            ),
+            6,
+        ).alias("z_score"),
+    )
