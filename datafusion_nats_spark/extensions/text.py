@@ -1202,3 +1202,58 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"),
         )
     )
+
+
+@query(
+    "text_readability_flesch",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)
+               AS sentences,
+             CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS DOUBLE) AS syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(words AS BIGINT) AS n_words,
+           CAST(sentences AS BIGINT) AS n_sentences,
+           CAST(syllables AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * (words / sentences)
+                 - 84.6 * (syllables / words), 6) AS flesch_score
+    FROM m
+    """,
+    doc="Flesch reading-ease per document — the classic readability "
+    "filter (very negative = run-on machine-generated text; the "
+    "syllable count is the standard vowel-group heuristic "
+    "[aeiouy]+, sentences are terminal-punctuation runs, both "
+    "clamped to >= 1 so the score is total). Pure map-side regexp "
+    "counting — no shuffle at all, same zero-exchange shape as "
+    "text_quality_score — and the score is a closed form over three "
+    "integers, bit-identical across engines before the cosmetic "
+    "round. Complements the stopword/length quality score with the "
+    "sentence-structure signal.",
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("double")
+    syllables = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)),
+        F.lit(1),
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syllables.cast("bigint").alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words / sentences)
+            - F.lit(84.6) * (syllables / words),
+            6,
+        ).alias("flesch_score"),
+    )

@@ -1730,3 +1730,202 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+PERIODOGRAM_PERIODS = (2, 3, 4, 5, 6, 7, 8, 9, 10)
+_TWO_PI = 6.283185307179586
+
+
+@query(
+    "timeseries_periodogram",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT d.event_type, d.n,
+             CAST(d.day - m.d0 AS DOUBLE) AS t
+      FROM daily d
+      JOIN (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1) m
+        USING (event_type)
+    ), terms AS (
+      SELECT i.event_type, p.period,
+             sum(i.n * cos({_TWO_PI} * i.t / p.period)) AS sc,
+             sum(i.n * sin({_TWO_PI} * i.t / p.period)) AS ss,
+             sum(i.n) AS tot,
+             count(*) AS n_days
+      FROM idx i
+      CROSS JOIN (VALUES {", ".join(f"({p})" for p in PERIODOGRAM_PERIODS)})
+        AS p(period)
+      GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(period AS INTEGER) AS period,
+           CAST(n_days AS BIGINT) AS n_days,
+           round((sc * sc + ss * ss) / (tot * tot), 6) AS norm_power
+    FROM terms
+    WHERE tot > 0
+    """,
+    doc=f"Discrete-Fourier periodogram of each event type's daily-count "
+    f"series at candidate periods {PERIODOGRAM_PERIODS[0]}.."
+    f"{PERIODOGRAM_PERIODS[-1]} days — the spectral seasonality "
+    "detector (a spike at period 7 = weekly rhythm) complementing the "
+    "calendar-bucketed seasonality index. Power at period T is "
+    "(sum n_t cos(2*pi*t/T))^2 + (sum n_t sin(2*pi*t/T))^2 normalized "
+    "by the squared total so the statistic is O(1) and round(..., 6) "
+    "absorbs both summation order and the <=1-ulp cross-engine trig "
+    "differences (the same tolerance regime fn_trig_battery pins). "
+    "t is the CALENDAR day index from each type's first day — integer "
+    "date subtraction, identical on both engines. The raw stream "
+    "collapses to |types|x|days| rows first; each (type, period) cell "
+    "is one map-side-combinable 2-sum aggregate after a 9-way literal "
+    "period explode. 2*pi appears as the same 17-digit literal in both "
+    "engines.",
+)
+def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    d0 = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    idx = daily.join(F.broadcast(d0), "event_type").select(
+        "event_type",
+        "n",
+        F.datediff(F.col("day"), F.col("d0")).cast("double").alias("t"),
+        F.explode(
+            F.array(*[F.lit(p) for p in PERIODOGRAM_PERIODS])
+        ).alias("period"),
+    )
+    ang = F.lit(_TWO_PI) * F.col("t") / F.col("period")
+    terms = idx.groupBy("event_type", "period").agg(
+        F.sum(F.col("n") * F.cos(ang)).alias("sc"),
+        F.sum(F.col("n") * F.sin(ang)).alias("ss"),
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return terms.filter(F.col("tot") > 0).select(
+        "event_type",
+        F.col("period").cast("int").alias("period"),
+        F.col("n_days").alias("n_days"),
+        F.round(
+            (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+            / (F.col("tot") * F.col("tot")),
+            6,
+        ).alias("norm_power"),
+    )
+
+
+HOLT_WINDOW = 8  # newest samples fed to the double-exponential recursion
+_HOLT_ALPHA = 0.5  # exactly representable: every Holt step stays dyadic
+_HOLT_BETA = 0.5
+
+
+def _holt_oracle() -> str:
+    pivot_cols = ", ".join(
+        f"max(CASE WHEN rn = {HOLT_WINDOW + 1 - k} THEN n END) AS x{k}"
+        for k in range(1, HOLT_WINDOW + 1)
+    )
+    parts = [
+        f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rn
+      FROM daily
+    ), px AS (
+      SELECT event_type, {pivot_cols}
+      FROM ranked WHERE rn <= {HOLT_WINDOW}
+      GROUP BY event_type
+      HAVING count(*) = {HOLT_WINDOW}
+    ), h1 AS (
+      SELECT *, x1 AS s1, x2 - x1 AS b1 FROM px
+    )"""
+    ]
+    for t in range(2, HOLT_WINDOW + 1):
+        parts.append(
+            f""", h{t} AS (
+      SELECT *,
+             {_HOLT_ALPHA} * x{t} + {1 - _HOLT_ALPHA} * (s{t - 1} + b{t - 1}) AS s{t},
+             {_HOLT_BETA} * ({_HOLT_ALPHA} * x{t}
+                             + {1 - _HOLT_ALPHA} * (s{t - 1} + b{t - 1}) - s{t - 1})
+               + {1 - _HOLT_BETA} * b{t - 1} AS b{t}
+      FROM h{t - 1}
+    )"""
+        )
+    last = HOLT_WINDOW
+    parts.append(
+        f"""
+    SELECT event_type,
+           round(s{last}, 6) AS level,
+           round(b{last}, 6) AS trend,
+           round(s{last} + b{last}, 6) AS forecast_next
+    FROM h{last}
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "timeseries_holt_linear",
+    oracle=_holt_oracle(),
+    doc=f"Holt's linear-trend double exponential smoothing over each "
+    f"event type's {HOLT_WINDOW} newest daily counts (alpha = beta = "
+    f"{_HOLT_ALPHA}): level_t = a*x_t + (1-a)*(level+trend), trend_t = "
+    "b*(level_t - level) + (1-b)*trend, initialized s1 = x1, b1 = x2 - "
+    "x1, emitting the final level/trend and the one-step forecast — "
+    "the trend-aware upgrade of timeseries_ewma_smooth (which cannot "
+    "follow a ramp). The recursion is unrolled at plan-build time over "
+    "a per-type pivot of the newest samples, so the whole operator is "
+    "one partitioned window rank + one pivot aggregate — bounded rows "
+    "per type by construction, no iteration at runtime. With "
+    "exactly-representable 0.5 coefficients every intermediate is a "
+    "dyadic rational: the recursion is BIT-exact across engines "
+    "(rounds are cosmetic); types with fewer than "
+    f"{HOLT_WINDOW} observed days are excluded on both sides.",
+)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = W.partitionBy("event_type").orderBy(F.desc("day"))
+    ranked = daily.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= HOLT_WINDOW
+    )
+    px = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            *[
+                F.max(
+                    F.when(F.col("rn") == HOLT_WINDOW + 1 - k, F.col("n"))
+                ).alias(f"x{k}")
+                for k in range(1, HOLT_WINDOW + 1)
+            ],
+        )
+        .filter(F.col("n_obs") == HOLT_WINDOW)
+    )
+    df = px.withColumn("s1", F.col("x1")).withColumn(
+        "b1", F.col("x2") - F.col("x1")
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    for t in range(2, HOLT_WINDOW + 1):
+        s_new = F.lit(a) * F.col(f"x{t}") + F.lit(1 - a) * (
+            F.col(f"s{t - 1}") + F.col(f"b{t - 1}")
+        )
+        df = df.withColumn(f"s{t}", s_new)
+        df = df.withColumn(
+            f"b{t}",
+            F.lit(b) * (F.col(f"s{t}") - F.col(f"s{t - 1}"))
+            + F.lit(1 - b) * F.col(f"b{t - 1}"),
+        )
+    last = HOLT_WINDOW
+    return df.select(
+        "event_type",
+        F.round(F.col(f"s{last}"), 6).alias("level"),
+        F.round(F.col(f"b{last}"), 6).alias("trend"),
+        F.round(F.col(f"s{last}") + F.col(f"b{last}"), 6).alias("forecast_next"),
+    )
