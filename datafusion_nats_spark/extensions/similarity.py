@@ -648,20 +648,29 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM expl GROUP BY 1, 2
     ), dist AS (
       SELECT ex.vec_id, ex.label, c.clabel,
-             round(sqrt(sum((ex.x - c.cx) * (ex.x - c.cx))), 6) AS d
+             CAST(round(sqrt(sum((ex.x - c.cx) * (ex.x - c.cx))) * 1000000.0)
+                  AS BIGINT) AS d_u
       FROM expl ex JOIN cent c ON c.pos = ex.pos
       GROUP BY 1, 2, 3
     ), ab AS (
       SELECT vec_id, label,
-             min(CASE WHEN clabel = label THEN d END) AS a,
-             min(CASE WHEN clabel != label THEN d END) AS b
+             min(CASE WHEN clabel = label THEN d_u END) AS a_u,
+             min(CASE WHEN clabel != label THEN d_u END) AS b_u
       FROM dist GROUP BY 1, 2
+    ), ratio AS (
+      SELECT vec_id, label, a_u, b_u,
+             CAST(round((b_u - a_u) * 1000000.0 / greatest(a_u, b_u))
+                  AS BIGINT) AS s_u
+      FROM ab
     )
     SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
-           round(avg((b - a) / greatest(a, b)), 6) AS silhouette,
-           round(avg(a), 6) AS mean_intra,
-           round(avg(b), 6) AS mean_nearest_other
-    FROM ab
+           round(CAST(sum(s_u) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS silhouette,
+           round(CAST(sum(a_u) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS mean_intra,
+           round(CAST(sum(b_u) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS mean_nearest_other
+    FROM ratio
     GROUP BY label
     """,
     doc="Simplified (centroid-based) silhouette score per label — the "
@@ -674,9 +683,14 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-vector distances are one posexplode-regroup (never an "
     "all-pairs join — the O(n^2) exact silhouette is what this "
     "closed-form variant avoids at 100 TB). Distances are rounded to "
-    "1e-6 BEFORE the nearest-other argmin and the ratio, so "
-    "centroid-average summation noise (~1e-13) cannot flip the min "
-    "across engines.",
+    "1e-6 and carried as exact integer MICRO-UNITS (bigint) from that "
+    "point on: the nearest-other min, the per-vector ratio (itself "
+    "re-quantized to micro-units), and all three final averages are "
+    "integer sums divided by count once — integer addition is "
+    "associative, so the result is invariant to partial-aggregation "
+    "order (a float avg over the rounded doubles flipped the 6th "
+    "decimal of label 9's mean_nearest_other between 16- and 32-core "
+    "runs at sf0.01: the true mean sits on a 5e-7 rounding boundary).",
 )
 def sim_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
@@ -694,20 +708,31 @@ def sim_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label", "clabel")
         .agg(
             F.round(
-                F.sqrt(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")))),
-                6,
-            ).alias("d")
+                F.sqrt(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("d_u")
         )
     )
     ab = dist.groupBy("vec_id", "label").agg(
-        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias("a"),
-        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d"))).alias("b"),
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d_u"))).alias("a_u"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d_u"))).alias("b_u"),
     )
-    return ab.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
+    ratio = ab.withColumn(
+        "s_u",
         F.round(
-            F.avg((F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))), 6
-        ).alias("silhouette"),
-        F.round(F.avg("a"), 6).alias("mean_intra"),
-        F.round(F.avg("b"), 6).alias("mean_nearest_other"),
+            (F.col("b_u") - F.col("a_u"))
+            * F.lit(1000000.0)
+            / F.greatest(F.col("a_u"), F.col("b_u"))
+        ).cast("bigint"),
+    )
+    micro_mean = lambda c: F.round(  # noqa: E731 — integer sum / count / 1e6
+        F.sum(c).cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+    )
+    return ratio.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        micro_mean("s_u").alias("silhouette"),
+        micro_mean("a_u").alias("mean_intra"),
+        micro_mean("b_u").alias("mean_nearest_other"),
     )
