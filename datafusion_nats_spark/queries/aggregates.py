@@ -27,7 +27,8 @@ from datafusion_nats_spark.tables import load, register_views
       round(sum(l_quantity), 2)                  AS sum_qty,
       round(min(l_extendedprice), 2)             AS min_price,
       round(max(l_extendedprice), 2)             AS max_price,
-      round(avg(l_extendedprice), 6)             AS avg_price,
+      round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+            / count(*) / 100.0, 6)               AS avg_price,
       round(stddev_samp(l_quantity), 6)          AS sd_qty,
       round(var_samp(l_quantity), 6)             AS var_qty,
       round(stddev_pop(l_discount), 6)           AS sdp_disc,
@@ -48,7 +49,16 @@ def agg_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        # exact cents sum: avg over the 2-decimal money column must not
+        # depend on the float partial-aggregation order (FP playbook)
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+            / F.lit(100.0),
+            6,
+        ).alias("avg_price"),
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
         F.round(F.stddev_pop("l_discount"), 6).alias("sdp_disc"),

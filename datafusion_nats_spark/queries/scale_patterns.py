@@ -23,8 +23,10 @@ N_SALTS = 16
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total,
-           round(avg(value), 6) AS mean
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS total,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 100.0, 6) AS mean
     FROM events
     GROUP BY event_type
     """,
@@ -32,21 +34,26 @@ N_SALTS = 16
     "phase 1 groups by (key, salt) — 16-way spread of each hot key — "
     "phase 2 merges partials per key. Same answer as the naive groupBy "
     "(the oracle), but no single reducer ever owns a whole hot key. "
-    "avg is recomposed from (sum, count), never averaged-of-averages.",
+    "avg is recomposed from (sum, count), never averaged-of-averages; "
+    "value is exact cents, so the partials are int64 cent sums — the "
+    "salted recomposition is bit-identical to the naive plan no matter "
+    "how the salt spreads the rows (FP playbook).",
 )
 def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     salted = ev.withColumn("salt", (F.col("event_id") % N_SALTS).cast("int"))
     partial = salted.groupBy("event_type", "salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum("value").alias("psum"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("psum_c"),
     )
     return (
         partial.groupBy("event_type")
         .agg(
             F.sum("pn").alias("n"),
-            F.round(F.sum("psum"), 2).alias("total"),
-            F.round(F.sum("psum") / F.sum("pn"), 6).alias("mean"),
+            F.round(F.sum("psum_c").cast("double") / F.lit(100.0), 2).alias("total"),
+            F.round(
+                F.sum("psum_c").cast("double") / F.sum("pn") / F.lit(100.0), 6
+            ).alias("mean"),
         )
     )
 

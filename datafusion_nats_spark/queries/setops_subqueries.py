@@ -125,9 +125,12 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
     FROM orders
-    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 2
+          * (SELECT CAST(count(*) AS BIGINT) FROM orders)
+        > 3 * (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) FROM orders)
     """,
-    doc="Uncorrelated scalar subquery in a predicate.",
+    doc="Uncorrelated scalar subquery in a predicate. The price > 1.5x-mean membership test runs as 2*cents*count > 3*sum(cents) in exact int64 (two scalar subqueries), so an order that ties the threshold cannot flip with the float partial-sum order (FP playbook).",
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
@@ -135,7 +138,10 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         FROM orders
-        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 2
+          * (SELECT CAST(count(*) AS BIGINT) FROM orders)
+        > 3 * (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) FROM orders)
         """
     )
 

@@ -459,8 +459,10 @@ def timeseries_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataF
     SELECT user_id,
            count(*)                             AS n_segments,
            CAST(sum(dt) AS BIGINT)              AS total_dt_us,
-           round(sum(value * dt) / sum(dt), 6)  AS twa,
-           round(avg(value), 6)                 AS plain_avg
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT) * dt) AS DOUBLE)
+                 / CAST(sum(dt) AS DOUBLE) / 100.0, 6) AS twa,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 100.0, 6)         AS plain_avg
     FROM seg WHERE dt IS NOT NULL
     GROUP BY user_id
     """,
@@ -479,11 +481,24 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = ev.withColumn(
         "dt", F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
     ).filter(F.col("dt").isNotNull())
+    # events.value is exact cents: carry it as bigint cents so every sum
+    # is an associative integer sum — the float-partial-sum path put the
+    # per-user means on 5e-7 rounding boundaries that flip with the
+    # partial-aggregation tree (same class as the sim_silhouette fix).
+    # Headroom: cents*dt_us <= ~1e5 * 2.6e12 per user-month << 2^63.
+    v_c = F.round(F.col("value") * 100).cast("bigint")
     return seg.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum("dt").cast("bigint").alias("total_dt_us"),
-        F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("twa"),
-        F.round(F.avg("value"), 6).alias("plain_avg"),
+        F.round(
+            F.sum(v_c * F.col("dt")).cast("double")
+            / F.sum("dt").cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("twa"),
+        F.round(
+            F.sum(v_c).cast("double") / F.count(F.lit(1)) / F.lit(100.0), 6
+        ).alias("plain_avg"),
     )
 
 

@@ -25,39 +25,79 @@ from datafusion_nats_spark.tables import load
 @query(
     "q1_pricing_summary",
     oracle="""
+    WITH u AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity) AS BIGINT)           AS q_i,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+             CAST(round(l_discount * 100) AS BIGINT)      AS d_c,
+             CAST(round(l_tax * 100) AS BIGINT)           AS t_c
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT
       l_returnflag,
       l_linestatus,
-      round(sum(l_quantity), 2)                                        AS sum_qty,
-      round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-      round(avg(l_quantity), 6)                                        AS avg_qty,
-      round(avg(l_extendedprice), 6)                                   AS avg_price,
-      round(avg(l_discount), 6)                                        AS avg_disc,
-      count(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      round(CAST(sum(q_i) AS DOUBLE), 2)                             AS sum_qty,
+      round(CAST(sum(ep_c) AS DOUBLE) / 100.0, 2)                    AS sum_base_price,
+      round(CAST(sum(ep_c * (100 - d_c)) AS DOUBLE) / 10000.0, 2)    AS sum_disc_price,
+      round(CAST(sum(ep_c * (100 - d_c) * (100 + t_c)) AS DOUBLE)
+            / 1000000.0, 2)                                          AS sum_charge,
+      round(CAST(sum(q_i) AS DOUBLE) / count(*), 6)                  AS avg_qty,
+      round(CAST(sum(ep_c) AS DOUBLE) / count(*) / 100.0, 6)         AS avg_price,
+      round(CAST(sum(d_c) AS DOUBLE) / count(*) / 100.0, 6)          AS avg_disc,
+      count(*)                                                       AS count_order
+    FROM u
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1: scan → pushed filter → partial/final hash agg → sort.",
+    doc="TPC-H Q1: scan → pushed filter → partial/final hash agg → sort. "
+    "Money/quantity/discount are exact decimals, so all sums run in "
+    "integer cents units (bigint — long adds are as fast as double adds "
+    "in codegen and associative, so the result is invariant to the "
+    "partial-aggregation tree; a float sum puts the 4/6-decimal product "
+    "sums on round(.,2) midpoints by luck of the data). Headroom: the "
+    "charge sum in 1e-6-dollar units is ~3e16 at sf0.1, ~300x below "
+    "int64; beyond that swap the sums to decimal(38,0) (ANSI mode "
+    "errors loudly on overflow rather than wrapping).",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    q_i = F.round(F.col("l_quantity")).cast("bigint")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    d_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    t_c = F.round(F.col("l_tax") * 100).cast("bigint")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus", q_i.alias("q_i"),
+                ep_c.alias("ep_c"), d_c.alias("d_c"), t_c.alias("t_c"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum("q_i").cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum("ep_c").cast("double") / F.lit(100.0), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(F.col("ep_c") * (F.lit(100) - F.col("d_c"))).cast("double")
+                / F.lit(10000.0),
+                2,
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("ep_c")
+                    * (F.lit(100) - F.col("d_c"))
+                    * (F.lit(100) + F.col("t_c"))
+                ).cast("double")
+                / F.lit(1000000.0),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.sum("q_i").cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum("ep_c").cast("double") / n / F.lit(100.0), 6).alias(
+                "avg_price"
+            ),
+            F.round(F.sum("d_c").cast("double") / n / F.lit(100.0), 6).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -723,11 +763,16 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q22_global_sales_opportunity",
     oracle="""
+    WITH thr AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pos,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_c
+      FROM customer WHERE c_acctbal > 0
+    )
     SELECT c_nationkey,
            count(*) AS numcust,
            round(sum(c_acctbal), 2) AS totacctbal
-    FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    FROM customer, thr
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_c
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
@@ -736,19 +781,27 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q22 (adapted: nationkey as country code, recency window "
     "instead of no-orders-ever): above-average balance customers with no "
-    "recent orders — scalar subquery + anti join.",
+    "recent orders — scalar subquery + anti join. The above-average "
+    "membership test is cents*count > sum(cents) in exact int64, so a "
+    "balance that ties the mean cannot flip in or out with the float "
+    "partial-sum order (bal > avg(bal) over 2-decimal data is exactly "
+    "the boundary class the FP playbook bans). totacctbal stays a float "
+    "sum: cents land on the 0.01 grid, so round(.,2) midpoints are "
+    "0.005 away — unreachable by summation noise.",
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
     )
-    avg_bal_df = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+        F.sum(bal_c).alias("sum_c"),
     )
     return (
-        c.crossJoin(F.broadcast(avg_bal_df))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        c.crossJoin(F.broadcast(thr))
+        .filter(bal_c * F.col("n_pos") > F.col("sum_c"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
@@ -899,9 +952,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'ASIA'
       GROUP BY l_partkey
     )
+    , thr AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(CAST(val * 10000 AS BIGINT)) AS BIGINT) AS sum_u
+      FROM v
+    )
     SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
-    FROM v
-    WHERE CAST(val AS DOUBLE) > 2 * (SELECT avg(CAST(val AS DOUBLE)) FROM v)
+    FROM v, thr
+    WHERE CAST(val * 10000 AS BIGINT) * n_parts > 2 * sum_u
     ORDER BY part_value DESC, l_partkey
     """,
     doc="TPC-H Q11 (adapted): parts representing a significant share of "
@@ -933,10 +991,17 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("val")
         )
     )
-    total = v.agg(F.avg(F.col("val").cast("double")).alias("tot"))
+    # exact ">2x mean" membership: val is an exact decimal, so compare
+    # u*n > 2*sum(u) in 1e-4-dollar int64 units — a part whose value ties
+    # the threshold cannot flip with the float partial-sum order
+    u = (F.col("val") * 10000).cast("bigint")
+    thr = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(u).alias("sum_u"),
+    )
     return (
-        v.crossJoin(F.broadcast(total))
-        .filter(F.col("val").cast("double") > 2 * F.col("tot"))
+        v.crossJoin(F.broadcast(thr))
+        .filter(u * F.col("n_parts") > 2 * F.col("sum_u"))
         .select("l_partkey", F.round("val", 2).cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )
