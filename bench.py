@@ -15,6 +15,12 @@ SPARK_GRAFT_MULTIFILE=<n> explicitly instead runs ONLY that layout
 
 Execution is driven through the noop sink so we measure plan execution,
 not driver-side row materialization.
+
+SPARK_GRAFT_BENCH_RUNS=<n> (default 1) times every query n times in
+interleaved full sweeps and adds per-query {min, median, max, runs}
+under "queries_stats" (and multifile8.queries_stats); "queries" then
+carries the per-query MEDIAN, so round-over-round diffs compare
+medians instead of n=1 samples inside the ±40% in-sequence noise.
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -76,21 +83,43 @@ def _multifile_copy(spark, sf_dir: str, n_files: int) -> str:
     return out_root
 
 
-def _run_pass(spark, queries, sf_dir: str) -> dict[str, float]:
+def _run_pass(spark, queries, sf_dir: str, runs: int = 1):
+    """Time each headline query ``runs`` times (interleaved by full
+    sweeps, not back-to-back per query, so a transient GC/compilation
+    stall cannot poison all of one query's samples). Returns
+    (medians, stats): medians is the BENCH-shape {name: sec} dict the
+    driver diffs round-over-round; stats adds {name: {min, median,
+    max, runs}} so a regression can be judged against the in-sequence
+    noise (±40% single-run swings, PERFORMANCE.md) instead of n=1."""
     # Warm the JVM + parquet footers with the cheapest query so the first
     # timed run doesn't pay one-time session costs.
     queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in queries:
-            continue
-        df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-    return timings
+    samples: dict[str, list[float]] = {}
+    for _ in range(max(1, runs)):
+        for name in HEADLINE:
+            if name not in queries:
+                continue
+            df = queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 4)
+            )
+    medians = {
+        name: round(statistics.median(ts), 4) for name, ts in samples.items()
+    }
+    stats = {
+        name: {
+            "min": min(ts),
+            "median": medians[name],
+            "max": max(ts),
+            "runs": len(ts),
+        }
+        for name, ts in samples.items()
+    }
+    return medians, stats
 
 
 def main() -> None:
@@ -104,24 +133,37 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
     out: dict = {"metric": "headline_queries_total", "unit": "sec", "sf": sf}
+    if runs > 1:
+        out["runs"] = runs
     multifile = int(os.environ.get("SPARK_GRAFT_MULTIFILE", "0"))
     if multifile > 1:
         # explicit opt-in: time ONLY the requested layout
-        timings = _run_pass(spark, queries, _multifile_copy(spark, sf_dir, multifile))
+        timings, stats = _run_pass(
+            spark, queries, _multifile_copy(spark, sf_dir, multifile), runs
+        )
         out.update(
             value=round(sum(timings.values()), 4),
             queries=timings,
             multifile=multifile,
         )
+        if runs > 1:
+            out["queries_stats"] = stats
     else:
-        timings = _run_pass(spark, queries, sf_dir)
+        timings, stats = _run_pass(spark, queries, sf_dir, runs)
         out.update(value=round(sum(timings.values()), 4), queries=timings)
-        mf_timings = _run_pass(spark, queries, _multifile_copy(spark, sf_dir, 8))
+        if runs > 1:
+            out["queries_stats"] = stats
+        mf_timings, mf_stats = _run_pass(
+            spark, queries, _multifile_copy(spark, sf_dir, 8), runs
+        )
         out["multifile8"] = {
             "value": round(sum(mf_timings.values()), 4),
             "queries": mf_timings,
         }
+        if runs > 1:
+            out["multifile8"]["queries_stats"] = mf_stats
     print(json.dumps(out))
 
 

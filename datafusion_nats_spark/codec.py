@@ -87,16 +87,32 @@ def validate_schema(schema: T.StructType) -> None:
             )
 
 
-# Strict wire grammars — the same regexes decode_lines uses JVM-side, so
-# all three decode paths agree on exotic inputs: Python's int()/float()
-# accept underscores ('1_0' -> 10) and strptime accepts non-zero-padded
-# fields ('2024-1-2'), none of which are valid on this wire. re.ASCII
-# because Python \d otherwise matches Unicode digits (int('٤٢') == 42)
-# that the RE2 (arrow) and JVM rlike paths reject.
+# Strict wire grammars — the same patterns gate all three decode paths
+# (row, JVM rlike, arrow RE2), so they agree on exotic inputs: Python's
+# int()/float() accept underscores ('1_0' -> 10), which is not valid on
+# this wire. re.ASCII because Python \d otherwise matches Unicode digits
+# (int('٤٢') == 42) that the RE2 (arrow) and JVM rlike paths reject.
+#
+# Reference-contract parity (codec/csv.rs:135 parses with
+# f64::from_str, timestamps with chrono parse_from_str):
+# - floats accept the Rust special forms inf/infinity/nan, any case,
+#   optional sign — probed identical in Python float(), Spark's
+#   string->double cast, and arrow's fast_float cast;
+# - timestamp/date fields accept non-zero-padded month/day/hour/min/sec
+#   ('2024-1-2 3:4:5'), like chrono's numeric specifiers — Python
+#   strptime, Spark try_to_timestamp (default flexible parser), and
+#   arrow strptime all accept them. Year stays exactly 4 digits (the
+#   year-0 guard and PySpark's MINYEAR pin rely on a fixed prefix).
+# (?i:...) scoped flags parse identically in Python re, Java regex, and
+# RE2, so one pattern string serves all three engines.
 _INT_RE = re.compile(r"^[+-]?\d+$", re.ASCII)
-_FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$", re.ASCII)
-_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$", re.ASCII)
-_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$", re.ASCII)
+_FLOAT_RE = re.compile(
+    r"^[+-]?((\d+\.?\d*|\.\d+)([eE][+-]?\d+)?|(?i:inf(?:inity)?|nan))$", re.ASCII
+)
+_TS_RE = re.compile(
+    r"^\d{4}-\d{1,2}-\d{1,2} \d{1,2}:\d{1,2}:\d{1,2}$", re.ASCII
+)
+_DATE_RE = re.compile(r"^\d{4}-\d{1,2}-\d{1,2}$", re.ASCII)
 
 
 def _parse_value(value: str, dtype: T.DataType, name: str) -> Any:
@@ -179,8 +195,10 @@ def _decode_expr(raw: Column, dtype: T.DataType) -> Column:
         # reject floats: int parse must consume the whole token
         return F.when(raw.rlike(r"^[+-]?\d+$"), raw.cast("int")).otherwise(F.lit(None))
     if isinstance(dtype, T.DoubleType):
+        # shares _FLOAT_RE verbatim: Spark's string->double cast accepts
+        # the same inf/infinity/nan forms the pattern admits (probed)
         return F.when(
-            raw.rlike(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"), raw.cast("double")
+            raw.rlike(_FLOAT_RE.pattern), raw.cast("double")
         ).otherwise(F.lit(None))
     if isinstance(dtype, T.BooleanType):
         low = F.lower(raw)
@@ -194,14 +212,16 @@ def _decode_expr(raw: Column, dtype: T.DataType) -> Column:
         # Spark's try_to_timestamp accepts '0000-…' but Python's datetime
         # (MINYEAR == 1) does not — and collecting such a row crashes
         # PySpark's deserializer ('ordinal must be >= 1')
+        # formatless try_to_timestamp = Spark's flexible stringToTimestamp,
+        # which (like chrono on the reference side) accepts non-padded
+        # segments; _TS_RE still pins the overall shape
         return F.when(
-            raw.rlike(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$")
-            & ~raw.startswith("0000-"),
-            F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
+            raw.rlike(_TS_RE.pattern) & ~raw.startswith("0000-"),
+            F.try_to_timestamp(raw),
         ).otherwise(F.lit(None).cast("timestamp"))
     if isinstance(dtype, T.DateType):
         return F.when(
-            raw.rlike(r"^\d{4}-\d{2}-\d{2}$") & ~raw.startswith("0000-"),
+            raw.rlike(_DATE_RE.pattern) & ~raw.startswith("0000-"),
             F.to_date(raw),
         ).otherwise(F.lit(None))
     return raw  # StringType

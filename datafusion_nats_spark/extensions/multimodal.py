@@ -2,12 +2,14 @@
 as opaque ``binary`` columns with typed metadata; decode / feature-extract
 run as Arrow-batched pandas transforms over ``mapInPandas``.
 
-The container has no image/audio libraries, so the *decode* step is a
-deterministic fake behind the same interface (and ``decode_image`` raises
-``NotImplementedError`` exactly where a real decoder would plug in) — but
-everything Spark-side is real and tested: the binary+metadata schema, the
-partitioning, the mapInPandas batch shape, and the feature extraction over
-raw bytes.
+PNG payloads decode FOR REAL via the pure-stdlib codec in
+``extensions.png`` (``decode_image`` / ``png_feature_extract``); other
+media formats (JPEG/audio/video) need native libraries absent from this
+container, so ``decode_image`` raises ``NotImplementedError`` for them
+exactly where PIL/libjpeg would plug in. The registry queries keep the
+deterministic fake decoder because it has an exact DuckDB oracle twin;
+the real-PNG path runs through the identical mapInPandas plumbing and is
+pinned by ``tests/test_png_decode.py``.
 
 Scale design: binary payloads never pass through a shuffle — metadata is
 projected out first and the heavy bytes stay in map-only stages;
@@ -25,15 +27,53 @@ from datafusion_nats_spark.registry import query
 from datafusion_nats_spark.tables import load
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Real image decode (PIL/libjpeg) — not available in this container.
+def decode_image(payload: bytes) -> tuple[int, int, int, float]:
+    """Real image decode → (width, height, channels, mean pixel value).
 
-    The Spark-side plumbing (binary column → mapInPandas → feature rows)
-    is identical for a real decoder; swap this function's body.
+    PNG decodes for real via the pure-stdlib codec in
+    ``extensions.png`` (zlib inflate + all five scanline unfilters,
+    8-bit gray/GA/RGB/RGBA). Other formats (JPEG/WebP/audio/video)
+    need native libraries absent from this container and raise
+    ``NotImplementedError`` — swap this body for PIL/libjpeg with the
+    identical mapInPandas plumbing. mean is an integer-sum / count
+    division, bit-exact everywhere.
     """
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; use fake_decode_features for the deterministic stand-in"
+    from datafusion_nats_spark.extensions.png import PNG_SIG, decode_png
+
+    if payload[:8] != PNG_SIG:
+        raise NotImplementedError(
+            "only PNG is decodable without native imaging libraries; "
+            "use fake_decode_features for the deterministic stand-in"
+        )
+    width, height, channels, px = decode_png(payload)
+    return width, height, channels, (sum(px) / len(px)) if px else 0.0
+
+
+def png_feature_extract(images: DataFrame) -> DataFrame:
+    """REAL-decoder twin of ``mm_feature_extract``: Arrow-batched
+    mapInPandas over an (image_id long, payload binary) frame, decoding
+    actual PNG bytes per row. Same partitioning/batch shape as the fake
+    path — the tests drive generated PNGs through this to prove the
+    plumbing carries real media."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "channels": [f[2] for f in feats],
+                    "mean_px": [f[3] for f in feats],
+                }
+            )
+
+    return images.mapInPandas(
+        extract,
+        schema="image_id long, width int, height int, channels int, mean_px double",
     )
 
 

@@ -406,3 +406,24 @@ def subject_matches(pattern: str, subject: str) -> bool:
         if i >= len(st) or (tok != "*" and tok != st[i]):
             return False
     return len(st) == len(pt)
+
+
+def subjects_overlap(a: str, b: str) -> bool:
+    """True iff SOME concrete subject matches both patterns — the test a
+    real nats-server runs at STREAM.CREATE time to refuse two streams
+    binding overlapping subject spaces (err_code 10065). Token walk:
+    '>' in either pattern swallows the (non-empty) rest, '*' matches any
+    single token, literals must agree; both must exhaust together."""
+    ta, tb = a.split("."), b.split(".")
+    i = 0
+    while True:
+        a_end, b_end = i == len(ta), i == len(tb)
+        if not a_end and ta[i] == ">":
+            return not b_end  # '>' needs at least one more token
+        if not b_end and tb[i] == ">":
+            return not a_end
+        if a_end or b_end:
+            return a_end and b_end
+        if ta[i] != "*" and tb[i] != "*" and ta[i] != tb[i]:
+            return False
+        i += 1

@@ -43,7 +43,7 @@ import socket
 import threading
 from urllib.parse import urlparse
 
-from datafusion_nats_spark.sources.broker import subject_matches
+from datafusion_nats_spark.sources.broker import subject_matches, subjects_overlap
 
 MAX_PAYLOAD = 1024 * 1024  # the nats-server default
 
@@ -718,8 +718,29 @@ class MiniNatsServer:
                     cfg = dict(body) if isinstance(body, dict) else {}
                     cfg.setdefault("name", name)
                     cfg.setdefault("subjects", [name])
-                    self._js[name] = {"config": cfg, "messages": [], "first_seq": 1}
-                resp = self._js_info_obj(name)
+                    # real JetStream refuses overlapping subject bindings
+                    # (two streams may not both own a subject) — without
+                    # this, _js_capture could double-store a message while
+                    # PubAck'ing only the first match
+                    clash = any(
+                        subjects_overlap(pa, pb)
+                        for st in self._js.values()
+                        for pa in cfg["subjects"]
+                        for pb in st["config"].get("subjects", [])
+                    )
+                    if clash:
+                        resp = self._js_error(
+                            400, 10065, "subjects overlap with an existing stream"
+                        )
+                    else:
+                        self._js[name] = {
+                            "config": cfg,
+                            "messages": [],
+                            "first_seq": 1,
+                        }
+                        resp = self._js_info_obj(name)
+                else:
+                    resp = self._js_info_obj(name)
             elif op.startswith("STREAM.INFO."):
                 name = op[len("STREAM.INFO."):]
                 resp = (

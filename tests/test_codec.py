@@ -126,6 +126,10 @@ def test_no_quoting_bare_split():
 GOOD = [
     "1,apple,true,1.5,2025-07-25 15:42:35,2025-07-25",
     "2,banana,0,2.5,2024-01-01 00:00:00,2024-01-01",
+    # reference contract (csv.rs f64::from_str / chrono): float special
+    # forms and non-zero-padded temporal fields are valid on the wire
+    "8,grape,false,inf,2024-1-2 3:4:5,2024-1-2",
+    "9,plum,true,-Infinity,2024-01-02 03:04:05,2024-01-02",
 ]
 BAD = [
     "",  # empty
@@ -158,8 +162,10 @@ def test_decode_lines_rejects_year_zero_and_loose_shapes(spark):
     """Self-review regression: Spark's to_date/try_to_timestamp accept
     proleptic year 0 ('0000-01-01') that the row and arrow paths reject —
     and collecting such a Date32 row crashes PySpark's deserializer
-    ('ordinal must be >= 1'). The JVM decode must drop those rows (and
-    non-zero-padded temporals) exactly like the other two paths."""
+    ('ordinal must be >= 1'). The JVM decode must drop those rows exactly
+    like the other two paths. Non-zero-padded temporals are VALID (the
+    reference parses with chrono, whose numeric fields accept 1-2
+    digits) — reference-parity since round 5."""
     from pyspark.sql import types as T
 
     from datafusion_nats_spark.codec import decode_lines
@@ -178,7 +184,8 @@ def test_decode_lines_rejects_year_zero_and_loose_shapes(spark):
         "0001-07-01 00:00:00,0001-07-01",
         "0000-01-01 00:00:00,2024-01-02",  # year-0 timestamp
         "2024-01-02 03:04:05,0000-01-01",  # year-0 date
-        "2024-1-2 03:04:05,2024-01-02",    # non-zero-padded (JVM lenient)
+        "2024-1-2 3:4:5,2024-1-2",         # non-padded: VALID (chrono parity)
+        "2024-01-02T03:04:05,2024/01/02",  # wrong separators: still rejected
     ]
     df = spark.createDataFrame([(l,) for l in lines], "value string")
     rows = decode_lines(df, schema).collect()  # must not crash on collect
@@ -187,5 +194,6 @@ def test_decode_lines_rejects_year_zero_and_loose_shapes(spark):
     got = sorted((r.t, r.d) for r in rows)
     assert got == [
         (datetime.datetime(1, 7, 1, 0, 0), datetime.date(1, 7, 1)),
+        (datetime.datetime(2024, 1, 2, 3, 4, 5), datetime.date(2024, 1, 2)),
         (datetime.datetime(2024, 1, 2, 3, 4, 5), datetime.date(2024, 1, 2)),
     ]

@@ -269,17 +269,21 @@ def test_arrow_decode_rejects_line_endings_up_front():
 def test_strict_wire_grammar_parity_all_paths():
     """Exotic encodings Python's int()/float()/strptime would accept but
     the wire grammar forbids must be rejected by BOTH decode paths:
-    underscores in numbers, whitespace padding, non-zero-padded temporal
-    fields, out-of-Int32-range integers."""
+    underscores in numbers, whitespace padding, malformed temporal
+    shapes, out-of-Int32-range integers. Reference-parity forms the
+    grammar ACCEPTS (csv.rs parses with f64::from_str and chrono):
+    inf/infinity/nan any case with optional sign, and non-zero-padded
+    month/day/hour/minute/second — pinned value-identical across paths
+    below."""
     import pytest
 
     from datafusion_nats_spark.codec import decode_payloads_arrow
 
     cases = [
         (T.IntegerType(), ["1_0", " 5", "5 ", "+ 1", "0x10", "2147483648", "-2147483649", "99999999999999999999"]),
-        (T.DoubleType(), ["1_0.5", " 1.5", "1,5", "nan", "inf", "1.5d"]),
-        (T.TimestampType(), ["2024-1-2 03:04:05", "2024-01-02T03:04:05", "2024-01-02 3:04:05"]),
-        (T.DateType(), ["2024-1-2", "2024/01/02", "20240102"]),
+        (T.DoubleType(), ["1_0.5", " 1.5", "1,5", "1.5d", "infi", "na", "+-inf", "nan2"]),
+        (T.TimestampType(), ["2024-01-02T03:04:05", "2024-011-02 03:04:05", "24-01-02 03:04:05", "2024-1-2  3:4:5"]),
+        (T.DateType(), ["2024/01/02", "20240102", "24-1-2", "2024-001-2"]),
     ]
     for dtype, values in cases:
         schema = T.StructType([T.StructField("x", dtype, False)])
@@ -304,6 +308,42 @@ def test_strict_wire_grammar_parity_all_paths():
             CsvCodec(edge).parse_line(v)
         with pytest.raises(ParseError):
             decode_payloads_arrow([v.encode()], edge)
+    # reference-contract special floats: accepted AND value-identical on
+    # the row and arrow paths (Rust f64::from_str semantics)
+    import datetime
+    import math
+
+    dbl = T.StructType([T.StructField("x", T.DoubleType(), False)])
+    specials = ["inf", "-INF", "+Infinity", "INFINITY", "nan", "-NaN", "+nan"]
+    row_vals = [CsvCodec(dbl).parse_line(v)[0] for v in specials]
+    arrow_vals = [
+        r["x"]
+        for b in decode_payloads_arrow([v.encode() for v in specials], dbl)
+        for r in b.to_pylist()
+    ]
+    for v, rv, av in zip(specials, row_vals, arrow_vals):
+        if "nan" in v.lower():
+            assert math.isnan(rv) and math.isnan(av), v
+        else:
+            assert rv == av == float(v), v
+    # chrono-parity non-padded temporals: accepted, identical values
+    ts = T.StructType([T.StructField("t", T.TimestampType(), False)])
+    want_ts = datetime.datetime(2024, 1, 2, 3, 4, 5)
+    assert CsvCodec(ts).parse_line("2024-1-2 3:4:5")[0] == want_ts
+    got_ts = [
+        r["t"]
+        for b in decode_payloads_arrow([b"2024-1-2 3:4:5"], ts)
+        for r in b.to_pylist()
+    ]
+    assert got_ts == [want_ts]
+    dt = T.StructType([T.StructField("d", T.DateType(), False)])
+    assert CsvCodec(dt).parse_line("2024-1-2")[0] == datetime.date(2024, 1, 2)
+    got_d = [
+        r["d"]
+        for b in decode_payloads_arrow([b"2024-1-2"], dt)
+        for r in b.to_pylist()
+    ]
+    assert got_d == [datetime.date(2024, 1, 2)]
 
 
 def test_arrow_decode_indexed_permissive_and_dlq():

@@ -204,3 +204,61 @@ def test_broker_contract_differential_log_vs_jetstream_wire():
         )
         log.clear()
         js.clear()
+
+
+def test_subjects_overlap_token_algebra():
+    """Pattern-vs-pattern overlap (the STREAM.CREATE admission test):
+    literals, '*' single-token, '>' tail wildcards."""
+    from datafusion_nats_spark.sources.broker import subjects_overlap
+
+    yes = [
+        ("orders.eu", "orders.eu"),
+        ("orders.*", "orders.eu"),
+        ("orders.*", "*.eu"),
+        ("orders.>", "orders.eu.west"),
+        ("orders.>", "orders.*"),
+        (">", "anything.at.all"),
+        ("a.*.c", "a.b.>"),
+    ]
+    no = [
+        ("orders.eu", "orders.us"),
+        ("orders.*", "orders"),          # '*' needs exactly one token
+        ("orders.*", "orders.eu.west"),  # length mismatch
+        ("orders.>", "orders"),          # '>' needs at least one token
+        ("a.*.c", "a.*.d"),
+        ("a.b", "a.b.c"),
+    ]
+    for a, b in yes:
+        assert subjects_overlap(a, b) and subjects_overlap(b, a), (a, b)
+    for a, b in no:
+        assert not subjects_overlap(a, b) and not subjects_overlap(b, a), (a, b)
+
+
+def test_stream_create_rejects_overlapping_subjects():
+    """Real JetStream refuses two streams binding overlapping subject
+    spaces (err_code 10065); the mini server must too, or _js_capture
+    could double-store a message while PubAck'ing only the first match."""
+    from datafusion_nats_spark.sources.nats_wire import (
+        JetStreamWireClient,
+        MiniNatsServer,
+        NatsWireError,
+    )
+
+    with MiniNatsServer(jetstream=True) as srv:
+        js = JetStreamWireClient(srv.url)
+        js.create_stream("A", ["orders.*"])
+        with pytest.raises(NatsWireError, match="10065"):
+            js.create_stream("B", ["orders.eu"])       # literal under A's '*'
+        with pytest.raises(NatsWireError, match="10065"):
+            js.create_stream("C", ["orders.>"])        # tail over A's space
+        js.create_stream("D", ["orders"])               # fewer tokens: disjoint
+        js.create_stream("E", ["shipments.*.eu"])       # different root
+        # idempotent re-create of an existing stream still answers info
+        js.create_stream("A", ["orders.*"])
+        assert js.stream_info("A") is not None
+        # exactly one stream ever owns a publish: the ack seq advances on
+        # A alone and the message is stored once
+        seq1 = js.publish("orders.eu", b"m1")
+        seq2 = js.publish("orders.eu", b"m2")
+        assert (seq1, seq2) == (1, 2)
+        assert js.get_msg("A", 1) == b"m1"
