@@ -67,15 +67,17 @@ class LocalLogBroker:
             finally:
                 os.close(fd)
 
-    def _lines(self, subject: str) -> list[bytes]:
+    def size(self, subject: str) -> int:
+        # chunked newline count: size() runs once per streaming trigger
+        # (latestOffset), so it must not split the whole log into a list
+        n = 0
         try:
             with open(self._path(subject), "rb") as f:
-                return f.read().splitlines()
+                while chunk := f.read(1 << 20):
+                    n += chunk.count(b"\n")
         except FileNotFoundError:
-            return []
-
-    def size(self, subject: str) -> int:
-        return len(self._lines(subject))
+            return 0
+        return n
 
     def list_subjects(self) -> list[str]:
         """All subjects with at least one published message (sorted — the
@@ -85,10 +87,23 @@ class LocalLogBroker:
         )
 
     def fetch(self, subject: str, start: int, end: int | None = None) -> list[bytes]:
-        """Messages [start, end) of the subject log."""
-        lines = self._lines(subject)
-        sliced = lines[start : len(lines) if end is None else end]
-        return [base64.b64decode(line) for line in sliced]
+        """Messages [start, end) of the subject log. Streams the file and
+        stops at ``end`` instead of materializing every line: an
+        executor-ingest offset-range task fetching [0, N/16) must not
+        read and split the whole log (a real JetStream get_range is a
+        server-side range read; the file twin should cost O(end), not
+        O(log))."""
+        out: list[bytes] = []
+        try:
+            with open(self._path(subject), "rb") as f:
+                for i, line in enumerate(f):
+                    if end is not None and i >= end:
+                        break
+                    if i >= start:
+                        out.append(base64.b64decode(line.rstrip(b"\n")))
+        except FileNotFoundError:
+            return []
+        return out
 
     def clear(self, subject: str | None = None) -> None:
         if subject is not None:

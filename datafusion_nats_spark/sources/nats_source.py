@@ -687,7 +687,16 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
             self._raw_col = _raw_line_field(schema)
         else:
             self.codec = CsvCodec(schema)
+        # 0 = unbounded admission (drain everything available per
+        # trigger). The 1000 default mirrors the reference's
+        # batch_size=1000 (batch_buffer.rs:24), but the per-epoch fixed
+        # cost is ~0.5 s (PERFORMANCE.md §streaming-epoch-budget), so a
+        # capped stream tops out at cap/0.5s rows/s — throughput-bound
+        # consumers should set 0 (or a large cap) and let epoch size
+        # amortize the trigger machinery.
         self.max_per_batch = int(self._opt("maxmessagesperbatch", "1000"))
+        if self.max_per_batch < 0:
+            raise CodecError("maxMessagesPerBatch must be >= 0 (0 = unbounded)")
         mb = self._opt("maxbytesperbatch")
         self.max_bytes_per_batch = int(mb) if mb is not None else None
         if not self.replayable:
@@ -727,7 +736,7 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
         # burst of large messages can overrun one micro-batch there).
         size = self._size()
         start = getattr(self, "_last_end", 0)
-        end = min(size, start + self.max_per_batch)
+        end = size if self.max_per_batch == 0 else min(size, start + self.max_per_batch)
         if self.max_bytes_per_batch is not None and end > start:
             from datafusion_nats_spark.sources.broker import get_broker
 

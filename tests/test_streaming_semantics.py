@@ -170,6 +170,46 @@ def test_available_now_trigger_drains_and_terminates(spark, broker):
     assert spark.sql("SELECT count(*) n FROM avnow_out").collect()[0].n == 7
 
 
+def test_unbounded_admission_drains_in_one_epoch(spark, broker):
+    """maxMessagesPerBatch=0 = unbounded admission: one trigger admits
+    the whole backlog. This is the throughput mode — the per-epoch fixed
+    cost (~0.5 s of offset/commit/task machinery,
+    PERFORMANCE.md §streaming-epoch-budget) makes a small cap the
+    bottleneck, e.g. the default 1000 tops out near 2k rows/s no matter
+    how fast the decode is."""
+    n = 2500  # > default 1000 cap so the distinction is observable
+    for i in range(n):
+        broker.publish("unb", f"2024-01-01 10:00:{i % 60:02d},k{i}".encode())
+    q = (
+        _stream(spark, "unb", maxMessagesPerBatch="0")
+        .writeStream.format("memory")
+        .queryName("unb_out")
+        .outputMode("append")
+        .trigger(availableNow=True)  # snapshots latestOffset() ONCE
+        .start()
+    )
+    q.awaitTermination(60)
+    assert not q.isActive
+    # one unbounded admission window covered the entire backlog
+    assert spark.sql("SELECT count(*) n FROM unb_out").collect()[0].n == n
+    # negative cap rejected at reader construction (the query-side error
+    # surfaces asynchronously, so pin the validation on the class itself)
+    import pytest
+
+    from datafusion_nats_spark.codec import CodecError
+    from datafusion_nats_spark.sources.nats_source import NatsStreamReader
+
+    with pytest.raises(CodecError, match="maxMessagesPerBatch"):
+        NatsStreamReader(
+            EVT_SCHEMA,
+            {
+                "url": "memory://stream_sem",
+                "subject": "unb",
+                "maxMessagesPerBatch": "-1",
+            },
+        )
+
+
 def test_transform_with_state_user_stats(spark):
     """Spark 4.x stateful-v2 operator (StatefulProcessor + ValueState).
     Skipped where the protobuf package (required by the TWS state-server
