@@ -33,6 +33,7 @@ def _run(script: str, timeout: int = 240) -> str:
         ("batch_analytics.py", "count_order"),  # Q1 header
         ("corpus_curation.py", "survivors:"),  # collapse stage ran
         ("headers_tracing.py", "trace=req-2"),  # durable header replay
+        ("multimodal_png.py", "decoded 5 real PNGs"),  # stdlib PNG decode
     ],
 )
 def test_example_runs_clean(script, marker):
