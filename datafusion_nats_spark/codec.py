@@ -195,11 +195,24 @@ def _decode_expr(raw: Column, dtype: T.DataType) -> Column:
         # reject floats: int parse must consume the whole token
         return F.when(raw.rlike(r"^[+-]?\d+$"), raw.cast("int")).otherwise(F.lit(None))
     if isinstance(dtype, T.DoubleType):
-        # shares _FLOAT_RE verbatim: Spark's string->double cast accepts
-        # the same inf/infinity/nan forms the pattern admits (probed)
-        return F.when(
-            raw.rlike(_FLOAT_RE.pattern), raw.cast("double")
-        ).otherwise(F.lit(None))
+        # numeric shapes go through the cast; the Rust special forms map
+        # to explicit literals because Spark's cast accepts "NaN"/"-NaN"
+        # but REJECTS "+nan" (probed) — the other two paths (Python
+        # float(), arrow fast_float) accept all signed forms
+        low = F.lower(raw)
+        return (
+            F.when(
+                raw.rlike(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"),
+                raw.cast("double"),
+            )
+            .when(low.isin("nan", "+nan", "-nan"), F.lit(float("nan")))
+            .when(
+                low.isin("inf", "+inf", "infinity", "+infinity"),
+                F.lit(float("inf")),
+            )
+            .when(low.isin("-inf", "-infinity"), F.lit(float("-inf")))
+            .otherwise(F.lit(None))
+        )
     if isinstance(dtype, T.BooleanType):
         low = F.lower(raw)
         return (
@@ -260,6 +273,11 @@ def decode_lines(
         _decode_expr(F.element_at(parts, i + 1), field.dataType).alias(field.name)
         for i, field in enumerate(schema.fields)
     ]
+    # OR-reduce, not F.greatest(*flags): greatest demands >= 2 columns,
+    # so a single-field schema used to crash here
+    any_null = F.lit(False)
+    for f in schema.fields:
+        any_null = any_null | F.col(f.name).isNull()
     out = df.select(F.col(line_col), *decoded).withColumn(
         "_corrupt",
         ~(
@@ -267,7 +285,7 @@ def decode_lines(
             & F.coalesce(no_empty, F.lit(False))
             & F.lit(True)
         )
-        | F.greatest(*[F.col(f.name).isNull() for f in schema.fields]),
+        | any_null,
     )
     if mode == "permissive-skip":
         return out.filter(~F.col("_corrupt")).select(*[f.name for f in schema.fields])

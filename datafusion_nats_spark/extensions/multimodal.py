@@ -2,14 +2,16 @@
 as opaque ``binary`` columns with typed metadata; decode / feature-extract
 run as Arrow-batched pandas transforms over ``mapInPandas``.
 
-PNG payloads decode FOR REAL via the pure-stdlib codec in
-``extensions.png`` (``decode_image`` / ``png_feature_extract``); other
-media formats (JPEG/audio/video) need native libraries absent from this
-container, so ``decode_image`` raises ``NotImplementedError`` for them
-exactly where PIL/libjpeg would plug in. The registry queries keep the
-deterministic fake decoder because it has an exact DuckDB oracle twin;
-the real-PNG path runs through the identical mapInPandas plumbing and is
-pinned by ``tests/test_png_decode.py``.
+PNG images decode FOR REAL via the pure-stdlib codec in
+``extensions.png`` (``decode_image`` / ``png_feature_extract``), and PCM
+WAV audio via the stdlib ``wave`` wrapper in ``extensions.wav``
+(``decode_audio`` / ``wav_feature_extract``). Formats that need native
+libraries (JPEG/WebP, MP3/Opus, video containers) raise
+``NotImplementedError`` exactly where PIL/libjpeg/soundfile would plug
+in. The registry queries keep the deterministic fake decoder because it
+has an exact DuckDB oracle twin; the real-media paths run through the
+identical Arrow-batched mapInPandas plumbing and are pinned by
+``tests/test_png_decode.py`` and ``tests/test_wav_decode.py``.
 
 Scale design: binary payloads never pass through a shuffle — metadata is
 projected out first and the heavy bytes stay in map-only stages;
@@ -47,6 +49,75 @@ def decode_image(payload: bytes) -> tuple[int, int, int, float]:
         )
     width, height, channels, px = decode_png(payload)
     return width, height, channels, (sum(px) / len(px)) if px else 0.0
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int, float, float]:
+    """Real audio decode → (n_channels, sample_rate, n_frames, rms,
+    zero_crossing_rate).
+
+    PCM WAV decodes for real via the stdlib codec in ``extensions.wav``;
+    compressed formats (MP3/Opus/FLAC) need native libraries absent from
+    this container and raise ``NotImplementedError`` at the same plug-in
+    boundary as non-PNG images. rms = sqrt(sum(s^2)/n) over exact
+    integer samples; zcr = sign flips / (n-1) — both integer-derived,
+    bit-exact everywhere.
+    """
+    from datafusion_nats_spark.extensions.wav import WAV_MAGIC, decode_wav
+
+    if payload[:4] != WAV_MAGIC:
+        raise NotImplementedError(
+            "only PCM WAV is decodable without native audio libraries; "
+            "compressed formats plug in here (soundfile/librosa)"
+        )
+    nch, rate, nframes, samples = decode_wav(payload)
+    n = len(samples)
+    if n == 0:
+        return nch, rate, nframes, 0.0, 0.0
+    rms = (sum(s * s for s in samples) / n) ** 0.5
+    flips = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
+    )
+    zcr = flips / (n - 1) if n > 1 else 0.0
+    return nch, rate, nframes, rms, zcr
+
+
+def wav_feature_extract(audio: DataFrame) -> DataFrame:
+    """Real-decoder audio twin of ``png_feature_extract``: Arrow-batched
+    mapInPandas over an (audio_id long, payload binary) frame decoding
+    actual PCM WAV bytes per row — channels/rate/frames/duration plus
+    RMS loudness and zero-crossing rate (the two classic cheap audio
+    quality/VAD features)."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["audio_id"], pdf["payload"]):
+                nch, rate, nframes, rms, zcr = decode_audio(payload)
+                rows.append(
+                    (int(aid), nch, rate, nframes, nframes / rate, rms, zcr)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id",
+                    "n_channels",
+                    "sample_rate",
+                    "n_frames",
+                    "duration_s",
+                    "rms",
+                    "zcr",
+                ],
+            )
+
+    return audio.mapInPandas(
+        extract,
+        schema=(
+            "audio_id long, n_channels int, sample_rate int, n_frames long, "
+            "duration_s double, rms double, zcr double"
+        ),
+    )
 
 
 def png_feature_extract(images: DataFrame) -> DataFrame:

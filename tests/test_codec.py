@@ -158,6 +158,24 @@ def test_decode_lines_marked_mode(spark):
     assert out.count() == len(GOOD) + len(BAD)
 
 
+def test_decode_lines_nan_parity_with_row_path(spark):
+    """NaN can't ride the GOOD-list equality check (NaN != NaN), so the
+    JVM path's Rust-special-form parity for it is pinned here: the
+    rlike-gated cast must yield a real NaN double, exactly like the row
+    codec's float('nan')."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from datafusion_nats_spark.codec import CsvCodec, decode_lines
+
+    schema = T.StructType([T.StructField("x", T.DoubleType(), False)])
+    df = spark.createDataFrame([("nan",), ("-NaN",), ("+nan",)], "value string")
+    got = [r.x for r in decode_lines(df, schema).collect()]
+    assert len(got) == 3 and all(math.isnan(v) for v in got)
+    assert math.isnan(CsvCodec(schema).parse_line("nan")[0])
+
+
 def test_decode_lines_rejects_year_zero_and_loose_shapes(spark):
     """Self-review regression: Spark's to_date/try_to_timestamp accept
     proleptic year 0 ('0000-01-01') that the row and arrow paths reject —
