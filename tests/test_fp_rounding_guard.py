@@ -167,3 +167,20 @@ def test_no_float_avg_over_decimal_grid_columns():
     assert not offenders, (
         f"float F.avg over exact-decimal money/cents columns: {offenders}"
     )
+
+
+def test_integer_unit_sums_overflow_loudly(spark):
+    """The integer-unit recomposition's documented failure mode: past
+    ~int64 headroom (q1 docstring: ~300x at sf0.1) an ANSI-mode bigint
+    SUM must raise, never wrap silently — a wrapped sum would pass the
+    shape checks while being arbitrarily wrong."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    near_max = (1 << 62) + 7
+    df = spark.createDataFrame([(near_max,), (near_max,), (near_max,)], "u long")
+    with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
+        df.agg(F.sum("u").alias("s")).collect()
+    # and the in-range path is exact to the last unit
+    ok = spark.createDataFrame([(near_max,), (5,)], "u long")
+    assert ok.agg(F.sum("u")).collect()[0][0] == near_max + 5
