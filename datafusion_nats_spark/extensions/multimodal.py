@@ -3,7 +3,9 @@ as opaque ``binary`` columns with typed metadata; decode / feature-extract
 run as Arrow-batched pandas transforms over ``mapInPandas``.
 
 PNG images decode FOR REAL via the pure-stdlib codec in
-``extensions.png`` (``decode_image`` / ``png_feature_extract``), and PCM
+``extensions.png``, GIF via ``extensions.gif`` (LZW + palette +
+interlace) — both behind ``decode_image`` / ``image_feature_extract`` —
+and PCM
 WAV audio via the stdlib ``wave`` wrapper in ``extensions.wav``
 (``decode_audio`` / ``wav_feature_extract``). Formats that need native
 libraries (JPEG/WebP, MP3/Opus, video containers) raise
@@ -32,22 +34,27 @@ from datafusion_nats_spark.tables import load
 def decode_image(payload: bytes) -> tuple[int, int, int, float]:
     """Real image decode → (width, height, channels, mean pixel value).
 
-    PNG decodes for real via the pure-stdlib codec in
-    ``extensions.png`` (zlib inflate + all five scanline unfilters,
-    8-bit gray/GA/RGB/RGBA). Other formats (JPEG/WebP/audio/video)
-    need native libraries absent from this container and raise
-    ``NotImplementedError`` — swap this body for PIL/libjpeg with the
-    identical mapInPandas plumbing. mean is an integer-sum / count
+    PNG decodes via the pure-stdlib codec in ``extensions.png`` (zlib
+    inflate + all five scanline unfilters, 8-bit gray/GA/RGB/RGBA); GIF
+    via ``extensions.gif`` (variable-width LZW, palette, interlace —
+    first frame). Formats that genuinely need native libraries
+    (JPEG/WebP) raise ``NotImplementedError`` — swap in PIL/libjpeg with
+    the identical mapInPandas plumbing. mean is an integer-sum / count
     division, bit-exact everywhere.
     """
+    from datafusion_nats_spark.extensions.gif import GIF_MAGICS, decode_gif
     from datafusion_nats_spark.extensions.png import PNG_SIG, decode_png
 
-    if payload[:8] != PNG_SIG:
+    if payload[:8] == PNG_SIG:
+        width, height, channels, px = decode_png(payload)
+    elif payload[:6] in GIF_MAGICS:
+        width, height, channels, px = decode_gif(payload)
+    else:
         raise NotImplementedError(
-            "only PNG is decodable without native imaging libraries; "
-            "use fake_decode_features for the deterministic stand-in"
+            "only PNG and GIF are decodable without native imaging "
+            "libraries; use fake_decode_features for the deterministic "
+            "stand-in"
         )
-    width, height, channels, px = decode_png(payload)
     return width, height, channels, (sum(px) / len(px)) if px else 0.0
 
 
@@ -82,7 +89,7 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, float, float]:
 
 
 def wav_feature_extract(audio: DataFrame) -> DataFrame:
-    """Real-decoder audio twin of ``png_feature_extract``: Arrow-batched
+    """Real-decoder audio twin of ``image_feature_extract``: Arrow-batched
     mapInPandas over an (audio_id long, payload binary) frame decoding
     actual PCM WAV bytes per row — channels/rate/frames/duration plus
     RMS loudness and zero-crossing rate (the two classic cheap audio
@@ -120,12 +127,13 @@ def wav_feature_extract(audio: DataFrame) -> DataFrame:
     )
 
 
-def png_feature_extract(images: DataFrame) -> DataFrame:
+def image_feature_extract(images: DataFrame) -> DataFrame:
     """REAL-decoder twin of ``mm_feature_extract``: Arrow-batched
     mapInPandas over an (image_id long, payload binary) frame, decoding
-    actual PNG bytes per row. Same partitioning/batch shape as the fake
-    path — the tests drive generated PNGs through this to prove the
-    plumbing carries real media."""
+    actual PNG or GIF bytes per row (``decode_image`` dispatches on the
+    magic). Same partitioning/batch shape as the fake path — the tests
+    drive generated images through this to prove the plumbing carries
+    real media."""
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -146,6 +154,10 @@ def png_feature_extract(images: DataFrame) -> DataFrame:
         extract,
         schema="image_id long, width int, height int, channels int, mean_px double",
     )
+
+
+# back-compat name from the round-5 PNG-only iteration
+png_feature_extract = image_feature_extract
 
 
 def fake_decode_features(payload: bytes) -> tuple[int, int, float]:
