@@ -55,6 +55,31 @@ def main() -> None:
         )
     assert len(feats) == len(shapes)
     print(f"decoded {len(feats)} real PNGs via mapInPandas")
+
+    # the same plumbing carries GIF (LZW+palette+interlace) and PCM WAV
+    from datafusion_nats_spark.extensions.gif import encode_gif
+    from datafusion_nats_spark.extensions.multimodal import wav_feature_extract
+    from datafusion_nats_spark.extensions.wav import encode_wav
+
+    pal = [(i * 16, 255 - i * 16, i * 8) for i in range(16)]
+    gif = encode_gif(
+        20, 12, pal, bytes((x + y) % 16 for y in range(12) for x in range(20)),
+        interlace=True,
+    )
+    gfeat = png_feature_extract(
+        spark.createDataFrame([(0, bytearray(gif))], "image_id long, payload binary")
+    ).collect()[0]
+    print(f"GIF: {gfeat.width}x{gfeat.height}x{gfeat.channels} mean_px={gfeat.mean_px:.2f}")
+
+    tone = [9000 if (i // 40) % 2 == 0 else -9000 for i in range(8000)]
+    wavb = encode_wav(8000, 1, tone)
+    afeat = wav_feature_extract(
+        spark.createDataFrame([(0, bytearray(wavb))], "audio_id long, payload binary")
+    ).collect()[0]
+    print(
+        f"WAV: {afeat.n_channels}ch {afeat.sample_rate}Hz {afeat.duration_s:.1f}s "
+        f"rms={afeat.rms:.0f} zcr={afeat.zcr:.4f}"
+    )
     spark.stop()
 
 
