@@ -2,18 +2,19 @@
 as opaque ``binary`` columns with typed metadata; decode / feature-extract
 run as Arrow-batched pandas transforms over ``mapInPandas``.
 
-PNG images decode FOR REAL via the pure-stdlib codec in
-``extensions.png``, GIF via ``extensions.gif`` (LZW + palette +
-interlace) — both behind ``decode_image`` / ``image_feature_extract`` —
-and PCM
-WAV audio via the stdlib ``wave`` wrapper in ``extensions.wav``
-(``decode_audio`` / ``wav_feature_extract``). Formats that need native
-libraries (JPEG/WebP, MP3/Opus, video containers) raise
-``NotImplementedError`` exactly where PIL/libjpeg/soundfile would plug
-in. The registry queries keep the deterministic fake decoder because it
+Images decode FOR REAL via pure-stdlib codecs — PNG
+(``extensions.png``), GIF (``extensions.gif``, LZW+palette+interlace)
+and baseline JPEG (``extensions.jpeg``, arbitrary DQT/DHT, subsampling,
+restart markers) behind ``decode_image`` / ``image_feature_extract`` —
+and PCM WAV audio via the stdlib ``wave`` wrapper in ``extensions.wav``
+(``decode_audio`` / ``wav_feature_extract``). Formats that genuinely
+need native libraries (WebP, progressive JPEG, MP3/Opus, video
+containers) raise ``NotImplementedError`` exactly where
+PIL/libjpeg/soundfile would plug in. The registry queries keep the deterministic fake decoder because it
 has an exact DuckDB oracle twin; the real-media paths run through the
 identical Arrow-batched mapInPandas plumbing and are pinned by
-``tests/test_png_decode.py`` and ``tests/test_wav_decode.py``.
+``tests/test_png_decode.py``, ``tests/test_gif_decode.py``,
+``tests/test_jpeg_decode.py`` and ``tests/test_wav_decode.py``.
 
 Scale design: binary payloads never pass through a shuffle — metadata is
 projected out first and the heavy bytes stay in map-only stages;
@@ -37,23 +38,27 @@ def decode_image(payload: bytes) -> tuple[int, int, int, float]:
     PNG decodes via the pure-stdlib codec in ``extensions.png`` (zlib
     inflate + all five scanline unfilters, 8-bit gray/GA/RGB/RGBA); GIF
     via ``extensions.gif`` (variable-width LZW, palette, interlace —
-    first frame). Formats that genuinely need native libraries
-    (JPEG/WebP) raise ``NotImplementedError`` — swap in PIL/libjpeg with
+    first frame); baseline JPEG via ``extensions.jpeg`` (arbitrary
+    DQT/DHT, 4:4:4/4:2:2/4:2:0, restart markers). Anything else (WebP,
+    progressive JPEG) raises ``NotImplementedError`` — swap in PIL with
     the identical mapInPandas plumbing. mean is an integer-sum / count
     division, bit-exact everywhere.
     """
     from datafusion_nats_spark.extensions.gif import GIF_MAGICS, decode_gif
+    from datafusion_nats_spark.extensions.jpeg import JPEG_MAGIC, decode_jpeg
     from datafusion_nats_spark.extensions.png import PNG_SIG, decode_png
 
     if payload[:8] == PNG_SIG:
         width, height, channels, px = decode_png(payload)
     elif payload[:6] in GIF_MAGICS:
         width, height, channels, px = decode_gif(payload)
+    elif payload[:2] == JPEG_MAGIC:
+        width, height, channels, px = decode_jpeg(payload)
     else:
         raise NotImplementedError(
-            "only PNG and GIF are decodable without native imaging "
-            "libraries; use fake_decode_features for the deterministic "
-            "stand-in"
+            "only PNG, GIF and baseline JPEG are decodable without "
+            "native imaging libraries; use fake_decode_features for the "
+            "deterministic stand-in"
         )
     return width, height, channels, (sum(px) / len(px)) if px else 0.0
 
@@ -130,7 +135,7 @@ def wav_feature_extract(audio: DataFrame) -> DataFrame:
 def image_feature_extract(images: DataFrame) -> DataFrame:
     """REAL-decoder twin of ``mm_feature_extract``: Arrow-batched
     mapInPandas over an (image_id long, payload binary) frame, decoding
-    actual PNG or GIF bytes per row (``decode_image`` dispatches on the
+    actual PNG/GIF/JPEG bytes per row (``decode_image`` dispatches on the
     magic). Same partitioning/batch shape as the fake path — the tests
     drive generated images through this to prove the plumbing carries
     real media."""

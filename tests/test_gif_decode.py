@@ -94,8 +94,8 @@ def test_decode_image_dispatches_on_magic():
     assert (w, h, c) == (6, 5, 3)
     rgb = b"".join(bytes(pal[i]) for i in _indices(6, 5, 8))
     assert mean == sum(rgb) / len(rgb)
-    with pytest.raises(NotImplementedError, match="PNG and GIF"):
-        decode_image(b"\xff\xd8\xff jpeg-ish")
+    with pytest.raises(NotImplementedError, match="PNG, GIF"):
+        decode_image(b"BM bmp-ish header bytes")
 
 
 def test_mixed_png_and_gif_through_one_mapinpandas(spark):

@@ -101,8 +101,13 @@ def test_malformed_inputs_fail_loudly():
 
 
 def test_decode_image_rejects_non_png_at_plugin_boundary():
+    # WebP-shaped bytes: a format that genuinely needs native libraries
     with pytest.raises(NotImplementedError, match="PNG"):
-        decode_image(b"\xff\xd8\xff\xe0 not a png jpeg-ish header")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # a JPEG magic now dispatches to the real baseline decoder, which
+    # fails loudly on a truncated stream rather than NotImplementedError
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 truncated jpeg header")
 
 
 def test_png_feature_extract_through_mapinpandas(spark):
