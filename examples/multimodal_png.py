@@ -71,6 +71,17 @@ def main() -> None:
     ).collect()[0]
     print(f"GIF: {gfeat.width}x{gfeat.height}x{gfeat.channels} mean_px={gfeat.mean_px:.2f}")
 
+    from datafusion_nats_spark.extensions.jpeg import encode_jpeg
+
+    jpg = encode_jpeg(32, 16, bytes((70, 140, 210)) * (32 * 16), subsample=True)
+    jfeat = png_feature_extract(
+        spark.createDataFrame([(0, bytearray(jpg))], "image_id long, payload binary")
+    ).collect()[0]
+    print(
+        f"JPEG: {jfeat.width}x{jfeat.height}x{jfeat.channels} "
+        f"mean_px={jfeat.mean_px:.2f} (4:2:0, flat-quant)"
+    )
+
     tone = [9000 if (i // 40) % 2 == 0 else -9000 for i in range(8000)]
     wavb = encode_wav(8000, 1, tone)
     afeat = wav_feature_extract(
