@@ -233,9 +233,13 @@ def _decode_expr(raw: Column, dtype: T.DataType) -> Column:
             F.try_to_timestamp(raw),
         ).otherwise(F.lit(None).cast("timestamp"))
     if isinstance(dtype, T.DateType):
+        # try_to_date, NOT to_date: under ANSI mode (Spark 4 default)
+        # to_date THROWS on shaped-but-non-calendar values ('2024-2-30',
+        # day-of-month overflow) instead of nulling the row out like the
+        # row/arrow paths do (ADVICE round 5 parity class)
         return F.when(
             raw.rlike(_DATE_RE.pattern) & ~raw.startswith("0000-"),
-            F.to_date(raw),
+            F.try_to_date(raw),
         ).otherwise(F.lit(None))
     return raw  # StringType
 
@@ -306,6 +310,49 @@ def _arrow_type(dtype: T.DataType):
     if isinstance(dtype, T.DateType):
         return pa.date32()
     return pa.string()
+
+
+def _calendar_fields_match(clean, out, with_time: bool):
+    """True where the parsed temporal ``out`` reproduces exactly the digits
+    written in the wire string ``clean`` (nulls → False).
+
+    pc.strptime follows mktime-style normalization for two classes the
+    shape regexes can't catch: day-of-month overflow ('2024-02-30' →
+    2024-03-01, also non-padded '2024-2-30') and leap-second ':60' (→ the
+    next minute). The row path (Python strptime) raises ValueError and the
+    JVM path (try_to_timestamp) yields NULL for both, so the arrow path
+    must compare every written field against the parsed value instead of
+    trusting strptime's validity (ADVICE round 5). Non-padded digits are
+    handled by extracting the fields numerically rather than
+    round-tripping through strftime's zero-padded text.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if with_time:
+        pat = (
+            r"^(?P<y>\d{4})-(?P<mo>\d{1,2})-(?P<d>\d{1,2})"
+            r" (?P<h>\d{1,2}):(?P<mi>\d{1,2}):(?P<s>\d{1,2})$"
+        )
+        fields = [
+            ("y", pc.year),
+            ("mo", pc.month),
+            ("d", pc.day),
+            ("h", pc.hour),
+            ("mi", pc.minute),
+            ("s", pc.second),
+        ]
+    else:
+        pat = r"^(?P<y>\d{4})-(?P<mo>\d{1,2})-(?P<d>\d{1,2})$"
+        fields = [("y", pc.year), ("mo", pc.month), ("d", pc.day)]
+    groups = pc.extract_regex(clean, pattern=pat)
+    ok = None
+    for name, extractor in fields:
+        written = pc.struct_field(groups, name).cast(pa.int64())
+        parsed = extractor(out).cast(pa.int64())
+        eq = pc.equal(written, parsed)
+        ok = eq if ok is None else pc.and_(ok, eq)
+    return pc.fill_null(ok, False)
 
 
 def decode_payloads_arrow_indexed(
@@ -501,8 +548,17 @@ def decode_payloads_arrow_indexed(
             )
             clean = pc.if_else(shaped, col, pa.scalar(None, pa.string()))
             out = pc.strptime(clean, format="%Y-%m-%d %H:%M:%S", unit="us", error_is_null=True)
-            # regex-shaped but non-calendar values (month 13) null out here
+            # regex-shaped but non-calendar values null out here (month 13,
+            # hour 24) — EXCEPT day-of-month overflow ('2024-02-30' →
+            # 2024-03-01) and leap-second ':60' (→ next minute), which
+            # pc.strptime silently *normalizes*. The row path (Python
+            # strptime raises) and the JVM path (try_to_timestamp → NULL)
+            # both mark those rows corrupt, so reject any parse whose
+            # calendar fields differ from the written digits.
             shaped = pc.and_(shaped, out.is_valid())
+            shaped = pc.and_(
+                shaped, _calendar_fields_match(clean, out, with_time=True)
+            )
             if mode == "failfast" and not pc.all(shaped).as_py():
                 raise ParseError(f"invalid timestamp for field {f.name!r}")
             valid = pc.and_(valid, shaped)
@@ -514,6 +570,10 @@ def decode_payloads_arrow_indexed(
             clean = pc.if_else(shaped, col, pa.scalar(None, pa.string()))
             out = pc.strptime(clean, format="%Y-%m-%d", unit="s", error_is_null=True)
             shaped = pc.and_(shaped, out.is_valid())
+            # day-overflow parity with the row/JVM paths, as above
+            shaped = pc.and_(
+                shaped, _calendar_fields_match(clean, out, with_time=False)
+            )
             if mode == "failfast" and not pc.all(shaped).as_py():
                 raise ParseError(f"invalid date for field {f.name!r}")
             valid = pc.and_(valid, shaped)

@@ -153,6 +153,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # ITU T.81 B.1.1.2: a marker may be preceded by any number of
+        # 0xFF fill bytes — skip them instead of reading a garbage
+        # segment length (ADVICE round 5)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -216,6 +221,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                         cur.append(0xFF)
                         p += 2
                         continue
+                    if nxt == 0xFF:  # T.81 B.1.1.2 fill byte before a marker
+                        p += 1
+                        continue
                     if 0xD0 <= nxt <= 0xD7:
                         segs.append(bytes(cur))
                         cur = bytearray()
@@ -253,7 +261,14 @@ def _decode_scan(frame, scan, qt, huff, segs, restart_interval):
             preds = [0] * len(comps)
         my, mx = divmod(m, mcux)
         for ci, c in enumerate(comps):
-            dc_t, ac_t = scan[c["id"]]
+            sel = scan.get(c["id"])
+            if sel is None:
+                # SOS component ids must cover the SOF components — a
+                # mismatched id is a malformed container, not a KeyError
+                raise ValueError(
+                    f"SOS does not select frame component id {c['id']}"
+                )
+            dc_t, ac_t = sel
             dct = huff.get((0, dc_t))
             act = huff.get((1, ac_t))
             q = qt[c["tq"]]

@@ -37,6 +37,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
             raw = w.readframes(nframes)
     except (wave.Error, EOFError) as e:
         raise ValueError(f"broken WAV container: {e}") from e
+    if rate <= 0:
+        # stdlib wave accepts a fmt chunk with frame rate 0 on read;
+        # downstream duration math (nframes / rate) must see the
+        # documented ValueError, not a ZeroDivisionError in the task
+        raise ValueError("broken WAV container: zero frame rate")
     if width == 1:
         samples = [b - 128 for b in raw]  # unsigned 8-bit -> centered
     elif width == 2:

@@ -740,7 +740,21 @@ class MiniNatsServer:
                         }
                         resp = self._js_info_obj(name)
                 else:
-                    resp = self._js_info_obj(name)
+                    # real JetStream: CREATE of an existing name is
+                    # idempotent ONLY for an identical config; a different
+                    # config answers err_code 10058 instead of silently
+                    # keeping the old one (ADVICE round 5)
+                    cfg = dict(body) if isinstance(body, dict) else {}
+                    cfg.setdefault("name", name)
+                    cfg.setdefault("subjects", [name])
+                    if cfg == self._js[name]["config"]:
+                        resp = self._js_info_obj(name)
+                    else:
+                        resp = self._js_error(
+                            400,
+                            10058,
+                            "stream name already in use with a different configuration",
+                        )
             elif op.startswith("STREAM.INFO."):
                 name = op[len("STREAM.INFO."):]
                 resp = (

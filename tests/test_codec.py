@@ -204,6 +204,12 @@ def test_decode_lines_rejects_year_zero_and_loose_shapes(spark):
         "2024-01-02 03:04:05,0000-01-01",  # year-0 date
         "2024-1-2 3:4:5,2024-1-2",         # non-padded: VALID (chrono parity)
         "2024-01-02T03:04:05,2024/01/02",  # wrong separators: still rejected
+        # day-overflow / leap-second: try_to_timestamp already NULLs these
+        # (the arrow path needed the explicit round-trip check, ADVICE r5)
+        "2024-02-30 00:00:00,2024-01-02",
+        "2024-01-02 03:04:05,2024-2-30",
+        "2024-01-02 03:04:60,2024-01-02",
+        "2024-01-02 03:04:05,2023-02-29",
     ]
     df = spark.createDataFrame([(l,) for l in lines], "value string")
     rows = decode_lines(df, schema).collect()  # must not crash on collect

@@ -282,8 +282,14 @@ def test_strict_wire_grammar_parity_all_paths():
     cases = [
         (T.IntegerType(), ["1_0", " 5", "5 ", "+ 1", "0x10", "2147483648", "-2147483649", "99999999999999999999"]),
         (T.DoubleType(), ["1_0.5", " 1.5", "1,5", "1.5d", "infi", "na", "+-inf", "nan2"]),
-        (T.TimestampType(), ["2024-01-02T03:04:05", "2024-011-02 03:04:05", "24-01-02 03:04:05", "2024-1-2  3:4:5"]),
-        (T.DateType(), ["2024/01/02", "20240102", "24-1-2", "2024-001-2"]),
+        # day-of-month overflow and leap-second ':60' are the values
+        # pc.strptime silently NORMALIZES ('2024-02-30' → 2024-03-01,
+        # ':60' → next minute) — the arrow path must reject them like the
+        # row path does (ADVICE round 5: calendar round-trip check)
+        (T.TimestampType(), ["2024-01-02T03:04:05", "2024-011-02 03:04:05", "24-01-02 03:04:05", "2024-1-2  3:4:5",
+                             "2024-02-30 00:00:00", "2024-2-30 00:00:00", "2024-01-02 03:04:60", "2023-02-29 00:00:00", "2024-04-31 12:00:00"]),
+        (T.DateType(), ["2024/01/02", "20240102", "24-1-2", "2024-001-2",
+                        "2024-02-30", "2024-2-30", "2023-02-29", "2024-04-31"]),
     ]
     for dtype, values in cases:
         schema = T.StructType([T.StructField("x", dtype, False)])
@@ -344,6 +350,21 @@ def test_strict_wire_grammar_parity_all_paths():
         for r in b.to_pylist()
     ]
     assert got_d == [datetime.date(2024, 1, 2)]
+    # real leap-day stays VALID on both paths (the calendar round-trip
+    # check must not over-reject), padded and chrono-non-padded alike
+    leap = datetime.date(2024, 2, 29)
+    for wire in (b"2024-02-29", b"2024-2-29"):
+        assert CsvCodec(dt).parse_line(wire.decode())[0] == leap
+        assert [
+            r["d"] for b in decode_payloads_arrow([wire], dt) for r in b.to_pylist()
+        ] == [leap]
+    leap_ts = datetime.datetime(2024, 2, 29, 3, 4, 5)
+    assert CsvCodec(ts).parse_line("2024-2-29 3:4:5")[0] == leap_ts
+    assert [
+        r["t"]
+        for b in decode_payloads_arrow([b"2024-2-29 3:4:5"], ts)
+        for r in b.to_pylist()
+    ] == [leap_ts]
 
 
 def test_arrow_decode_indexed_permissive_and_dlq():

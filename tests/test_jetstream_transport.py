@@ -256,6 +256,13 @@ def test_stream_create_rejects_overlapping_subjects():
         # idempotent re-create of an existing stream still answers info
         js.create_stream("A", ["orders.*"])
         assert js.stream_info("A") is not None
+        # …but re-create with a DIFFERENT config is err_code 10058
+        # ('stream name already in use with a different configuration'),
+        # not a silent keep-the-old-one (ADVICE round 5)
+        with pytest.raises(NatsWireError, match="10058"):
+            js.create_stream("A", ["orders.us"])
+        # the rejected create must not have mutated the stored config
+        js.create_stream("A", ["orders.*"])
         # exactly one stream ever owns a publish: the ack seq advances on
         # A alone and the message is stored once
         seq1 = js.publish("orders.eu", b"m1")

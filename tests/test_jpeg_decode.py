@@ -96,6 +96,37 @@ def test_malformed_and_unsupported_fail_loudly():
         decode_jpeg(bytes(prog))
 
 
+def test_fill_bytes_before_markers_are_legal():
+    """ITU T.81 B.1.1.2: any marker may be preceded by repeated 0xFF fill
+    bytes. The segment walk must skip them — not read a garbage segment
+    length (ADVICE round 5)."""
+    good = encode_jpeg(8, 8, _smooth(8, 8))
+    want = decode_jpeg(good)
+    # insert fill bytes before SOF0 and before SOS
+    for marker in (b"\xff\xc0", b"\xff\xda"):
+        padded = bytearray(good)
+        idx = padded.find(marker)
+        assert idx > 0
+        padded[idx:idx] = b"\xff\xff\xff"  # fill + the marker's own 0xFF
+        assert decode_jpeg(bytes(padded)) == want
+
+
+def test_sos_component_id_mismatch_is_valueerror():
+    """An SOS whose component ids don't match the SOF frame is a
+    malformed container: documented ValueError, never a KeyError
+    (ADVICE round 5)."""
+    good = encode_jpeg(8, 8, _smooth(8, 8))
+    bad = bytearray(good)
+    idx = bad.find(b"\xff\xda")
+    # SOS layout: FF DA len(2) ns then (component id, tables) pairs —
+    # remap every scan component id to id+7 so none match the SOF ids
+    ns = bad[idx + 4]
+    for i in range(ns):
+        bad[idx + 5 + 2 * i] += 7
+    with pytest.raises(ValueError, match="SOS does not select"):
+        decode_jpeg(bytes(bad))
+
+
 def test_three_formats_through_one_mapinpandas(spark):
     from datafusion_nats_spark.extensions.gif import encode_gif
     from datafusion_nats_spark.extensions.png import encode_png

@@ -59,6 +59,21 @@ def test_plugin_boundary_and_broken_containers():
     # 16-bit flag but odd data length: corrupt the data chunk size path
     with pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+    # fmt chunk with frame rate 0: stdlib wave reads it happily, but the
+    # duration math downstream (nframes / rate) must never see it — the
+    # guard raises the documented ValueError, not ZeroDivisionError
+    # (ADVICE round 5). Build it by patching the rate field of a good WAV:
+    # byteRate (offset 28) = rate * block_align, sampleRate at offset 24.
+    zero_rate = bytearray(good)
+    zero_rate[24:28] = (0).to_bytes(4, "little")
+    zero_rate[28:32] = (0).to_bytes(4, "little")
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(zero_rate)), "rb") as w:
+        assert w.getframerate() == 0  # stdlib accepts it on read
+    with pytest.raises(ValueError, match="zero frame rate"):
+        decode_wav(bytes(zero_rate))
 
 
 def test_wav_feature_extract_through_mapinpandas(spark):
