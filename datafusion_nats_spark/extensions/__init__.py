@@ -3,6 +3,7 @@ north_star): dedup, similarity search, text analysis, multimodal columns.
 Importing this package registers their queries() entries."""
 
 from datafusion_nats_spark.extensions import (  # noqa: F401
+    ann_index,
     bpe,
     contrastive,
     coreset,

