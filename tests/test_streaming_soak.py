@@ -1,0 +1,39 @@
+"""Short-soak regression pin for the sustained streaming path
+(examples/streaming_soak.py is the 30 s artifact run; this keeps a
+fast version in the suite so the soak harness itself cannot rot).
+
+Pins: wildcard multi-subject subscription under continuous production,
+byte-bounded admission actually splitting the backlog across epochs,
+zero row loss (admitted == published after drain), and a sane
+steady-state floor well below the recorded 235-352k rows/s ceiling."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+)
+
+from streaming_soak import run_soak  # noqa: E402
+
+
+def test_short_soak_no_loss_and_multi_epoch(spark):
+    res = run_soak(
+        spark,
+        duration_s=8.0,
+        url="memory://soak_test",
+        max_bytes_per_batch=256 << 10,
+        producer_batch=1000,
+    )
+    assert res["admitted_rows"] == res["published"] > 0  # no loss
+    # byte-bounded admission split the load over multiple epochs
+    assert res["data_epochs"] >= 2
+    # throughput floor: an order of magnitude under the recorded steady
+    # numbers, so noise can't flake it, but a regression to the
+    # 1000-cap-era ~2k rows/s regime fails loudly
+    assert res["rows_per_s_steady"] > 20_000
+    # the epoch budget stays bounded (PERFORMANCE.md: ~0.5 s fixed cost;
+    # generous ceiling for CI noise)
+    assert res["trigger_ms"]["p50"] < 5_000
