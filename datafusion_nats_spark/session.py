@@ -19,6 +19,20 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "datafusion_nats_spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Protobuf-less environments: export the vendored google.protobuf
+    # shim on PYTHONPATH BEFORE the JVM launches, so every python
+    # process the JVM spawns later (executor workers, and the
+    # transformWithStateInPandas *driver worker*, which initializes
+    # before addPyFile-shipped files are visible) can import it. No-op
+    # when a real protobuf wheel is installed.
+    from datafusion_nats_spark.vendor import PBSHIM_DIR, protobuf_is_real
+
+    if not protobuf_is_real():
+        existing = os.environ.get("PYTHONPATH", "")
+        if PBSHIM_DIR not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                PBSHIM_DIR + (os.pathsep + existing if existing else "")
+            )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -360,10 +360,19 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
 
 def tws_available() -> bool:
     """True when ``transformWithStateInPandas`` can actually run: the Spark
-    4.x stateful-v2 API needs the ``protobuf`` Python package for its
-    driver↔worker state-server protocol (absent in some environments —
-    import-gated per the environment rules)."""
+    4.x stateful-v2 API needs a ``google.protobuf`` runtime for its
+    driver↔worker state-server protocol. A real protobuf wheel
+    satisfies this; where none exists, the vendored pure-stdlib shim
+    (``datafusion_nats_spark.vendor.pbshim`` — varint/length-delimited
+    wire format, proto3 presence, oneofs; scope documented in its
+    __init__) is installed instead, so this returns True in the sandbox
+    too. The JVM side parsing our request bytes and us parsing its
+    responses is the authoritative wire-format check
+    (tests/test_streaming_semantics.py::test_transform_with_state_user_stats)."""
     try:
+        from datafusion_nats_spark.vendor import install_protobuf_shim
+
+        install_protobuf_shim()
         from google.protobuf import descriptor  # noqa: F401
 
         return True
@@ -385,6 +394,13 @@ def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is on user_id only — the same bounded-state contract as the
     v1 operator.
     """
+    from datafusion_nats_spark.vendor import install_protobuf_shim
+
+    # no-op where a real protobuf wheel exists; otherwise installs the
+    # vendored shim AND ships it to executor python workers via
+    # addPyFile (they import StateMessage_pb2 in their own processes)
+    install_protobuf_shim(spark)
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
