@@ -705,14 +705,17 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
                 "jetstream) — checkpointed offsets index a durable log; "
                 "core NATS is at-most-once with no offsets"
             )
-        if len(self.subjects) > 1 or any(
+        # Multi-subject / wildcard streaming (round 6): offsets become a
+        # composite {subject: counter} map over the literal subject logs.
+        # Wildcards re-resolve at every latestOffset(), so subjects that
+        # appear mid-query join the stream from offset 0 (their log is
+        # replayable, nothing is missed); a checkpointed restart replays
+        # from the per-subject counters, defaulting unseen subjects to 0.
+        # Single literal subject keeps the legacy {"offset": n} shape for
+        # checkpoint compatibility with queries started before round 6.
+        self._multi = len(self.subjects) > 1 or any(
             "*" in s or ">" in s for s in self.subjects
-        ):
-            raise CodecError(
-                "streaming reads one literal subject per query (offsets "
-                "index one subject log); union streams for multi-subject "
-                "or wildcard reads"
-            )
+        )
         if self.include_metadata:
             raise CodecError(
                 "includeMetadata is a batch-reader option (streaming rows "
@@ -725,9 +728,73 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
         return get_broker(self.url).size(self.subject)
 
     def initialOffset(self) -> dict:
+        if self._multi:
+            # subjects are discovered at the first latestOffset(); an
+            # empty map means "nothing admitted from any log yet"
+            return {"offsets": {}}
         return {"offset": 0}
 
+    @staticmethod
+    def _fair_allocate(avail: dict[str, int], budget: int) -> dict[str, int]:
+        """Deterministic equal-share split of a row budget across subject
+        logs: repeatedly grant each still-hungry subject an equal slice
+        (sorted order breaks remainders), so one hot subject cannot
+        starve the others within a trigger."""
+        alloc = {s: 0 for s in avail}
+        remaining = budget
+        active = sorted(s for s in avail if avail[s] > 0)
+        while remaining > 0 and active:
+            share = max(1, remaining // len(active))
+            for s in active:
+                take = min(share, avail[s] - alloc[s], remaining)
+                alloc[s] += take
+                remaining -= take
+                if remaining == 0:
+                    break
+            active = sorted(s for s in avail if avail[s] > alloc[s])
+        return alloc
+
+    def _latest_offset_multi(self) -> dict:
+        from datafusion_nats_spark.sources.broker import get_broker
+
+        broker = get_broker(self.url)
+        last: dict[str, int] = dict(getattr(self, "_last_ends", {}))
+        # union of everything seen so far and the current resolution —
+        # a subject that stops matching (stream pruned) keeps its
+        # counter so the checkpoint stays monotonic
+        subjects = sorted(set(last) | set(self.resolved_subjects()))
+        sizes = {s: broker.size(s) for s in subjects}
+        starts = {s: last.get(s, 0) for s in subjects}
+        avail = {s: max(0, sizes[s] - starts[s]) for s in subjects}
+        if self.max_per_batch == 0:
+            alloc = dict(avail)
+        else:
+            alloc = self._fair_allocate(avail, self.max_per_batch)
+        ends = {s: starts[s] + alloc[s] for s in subjects}
+        if self.max_bytes_per_batch is not None:
+            # one shared byte budget, spent in subject order (the batch
+            # reader's cap convention), admitting >=1 message overall so
+            # the stream always progresses
+            budget = self.max_bytes_per_batch
+            admitted_any = False
+            for s in subjects:
+                admitted = starts[s]
+                if budget > 0 or not admitted_any:
+                    for payload in broker.fetch(s, starts[s], ends[s]):
+                        budget -= len(payload)
+                        if budget < 0 and (admitted_any or admitted > starts[s]):
+                            break
+                        admitted += 1
+                        admitted_any = True
+                        if budget <= 0:
+                            break
+                ends[s] = admitted
+        self._last_ends = ends
+        return {"offsets": ends}
+
     def latestOffset(self) -> dict:
+        if self._multi:
+            return self._latest_offset_multi()
         # Admission control: never advance more than maxMessagesPerBatch per
         # trigger (the batch_size=1000 analogue, batch_buffer.rs:24), and —
         # when maxBytesPerBatch is set — never admit more payload bytes than
@@ -754,6 +821,32 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
         return {"offset": self._last_end}
 
     def partitions(self, start: dict, end: dict):
+        if self._multi:
+            end_map = end.get("offsets", {})
+            start_map = start.get("offsets", {})
+            spans = [
+                (s, start_map.get(s, 0), e)
+                for s, e in sorted(end_map.items())
+                if e > start_map.get(s, 0)
+            ]
+            if not spans:
+                return [NatsPartition([])]
+            if self.ingest == "executor":
+                per = max(1, self.num_partitions // len(spans))
+                parts = []
+                for s, a, b in spans:
+                    parts.extend(_split_offset_ranges(self.url, s, a, b, per))
+                return parts or [NatsPartition([])]
+            from datafusion_nats_spark.sources.broker import get_broker
+
+            broker = get_broker(self.url)
+            payloads = [
+                p for s, a, b in spans for p in broker.fetch(s, a, b)
+            ]  # subject order, then log order — the batch reader's order
+            return [
+                NatsPartition(p)
+                for p in _split_round_robin_contiguous(payloads, self.num_partitions)
+            ]
         if self.ingest == "executor":
             # Each micro-batch's [start, end) admission window splits into
             # offset-range partitions read directly by executors — per-trigger

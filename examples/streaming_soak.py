@@ -3,11 +3,11 @@ continuously to three subjects while a micro-batch stream drains them
 with byte-bounded admission (``maxBytesPerBatch``) — the artifact
 behind PERFORMANCE.md's steady rows/s claim (round-6 verdict ask #6).
 
-Multi-subject shape: streaming offsets index ONE subject log per query
-by design (nats_source.py streaming guard), so the documented pattern
-for wildcard/multi-subject streaming is a UNION of single-subject
-streams — which is exactly what this soak runs (three subjects, one
-unioned query, per-subject checkpointed offsets).
+Multi-subject shape: ONE query subscribed to the ``orders.*`` wildcard
+— streaming offsets are a composite per-subject counter map since
+round 6 (``NatsStreamReader._latest_offset_multi``), with wildcard
+re-resolution per trigger, fair row-budget allocation across logs, and
+a shared byte budget spent in subject order.
 
 What it measures, from ``StreamingQuery.recentProgress``:
 
@@ -60,6 +60,8 @@ def run_soak(
     url: str = "memory://soak",
     max_bytes_per_batch: int = 1 << 20,
     producer_batch: int = 2000,
+    producer_sleep_s: float = 0.0,
+    drain_timeout_s: float = 120.0,
 ) -> dict:
     from datafusion_nats_spark.sources import get_broker, register
 
@@ -80,24 +82,20 @@ def run_soak(
                 )
                 i += 1
             published[0] = i
+            if producer_sleep_s:
+                time.sleep(producer_sleep_s)
 
     t = threading.Thread(target=produce, daemon=True)
 
-    def one(subject: str):
-        return (
-            spark.readStream.format("nats")
-            .schema(EVT_SCHEMA)
-            .option("url", url)
-            .option("subject", subject)
-            .option("maxMessagesPerBatch", "0")  # unbounded rows …
-            .option("maxBytesPerBatch", str(max_bytes_per_batch))  # … bytes
-            .load()
-        )
-
-    # union of single-subject streams = the documented multi-subject shape
-    stream = one(SUBJECTS[0])
-    for s in SUBJECTS[1:]:
-        stream = stream.union(one(s))
+    stream = (
+        spark.readStream.format("nats")
+        .schema(EVT_SCHEMA)
+        .option("url", url)
+        .option("subject", "orders.*")  # one wildcard query, all subjects
+        .option("maxMessagesPerBatch", "0")  # unbounded rows …
+        .option("maxBytesPerBatch", str(max_bytes_per_batch))  # … bytes bound
+        .load()
+    )
     q = (
         stream.writeStream.format("noop")
         .outputMode("append")
@@ -109,7 +107,7 @@ def run_soak(
     stop.set()
     t.join(timeout=30)
     # drain what's left so published == admitted at the end
-    deadline = time.time() + 60
+    deadline = time.time() + drain_timeout_s
     while time.time() < deadline:
         admitted = sum(p["numInputRows"] for p in q.recentProgress)
         if admitted >= published[0]:

@@ -34,6 +34,7 @@ def _run(script: str, timeout: int = 240) -> str:
         ("corpus_curation.py", "survivors:"),  # collapse stage ran
         ("headers_tracing.py", "trace=req-2"),  # durable header replay
         ("multimodal_png.py", "decoded 5 real PNGs"),  # stdlib PNG decode
+        ("ann_index_probe.py", "partition pruning"),  # persisted-index probe
     ],
 )
 def test_example_runs_clean(script, marker):

@@ -399,26 +399,30 @@ def test_multi_subject_executor_ingest(spark, broker):
     assert sorted(r.id for r in df.collect()) == list(range(10))
 
 
-def test_multi_subject_rejected_for_streaming(spark, broker):
+def test_multi_subject_streaming_reads_both_logs(spark, broker):
+    """Round 6 flipped the old 'one literal subject per query' rejection
+    into support: comma-separated subject lists stream through ONE query
+    with composite per-subject offsets (semantics pinned in
+    test_streaming_semantics.py; this is the source-level smoke)."""
     broker.publish("ms_s", b"1,a")
-    with pytest.raises(Exception, match="one subject"):
-        q = (
-            spark.readStream.format("nats")
-            .schema(KV_SCHEMA)
-            .option("url", "memory://test")
-            .option("subject", "ms_s,other")
-            .load()
-            .writeStream.format("memory")
-            .queryName("ms_out")
-            .start()
-        )
-        try:
-            # the reader is constructed on the stream thread — drive the
-            # query so its failure surfaces here
-            q.processAllAvailable()
-            q.awaitTermination(30)
-        finally:
-            q.stop()
+    broker.publish("ms_other", b"2,b")
+    q = (
+        spark.readStream.format("nats")
+        .schema(KV_SCHEMA)
+        .option("url", "memory://test")
+        .option("subject", "ms_s,ms_other")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ms_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT id, name FROM ms_out").collect()
+        assert sorted((r.id, r.name) for r in rows) == [(1, "a"), (2, "b")]
+    finally:
+        q.stop()
 
 
 @pytest.mark.parametrize("decode", [None, "arrow"])
@@ -762,14 +766,17 @@ def test_metadata_requires_trailing_meta_fields(spark, broker):
         _read(spark, "meta.bad", includeMetadata="true").collect()
 
 
-def test_streaming_rejects_wildcard_subject():
-    # query start is async, so assert at reader construction (where the
-    # stream would fail on its first trigger)
+def test_streaming_reader_option_validation():
     from datafusion_nats_spark.codec import CodecError
     from datafusion_nats_spark.sources.nats_source import NatsStreamReader
 
-    with pytest.raises(CodecError, match="literal subject"):
-        NatsStreamReader(KV_SCHEMA, {"url": "memory://test", "subject": "w.*"})
+    # wildcard subjects are ACCEPTED since round 6 (composite offsets);
+    # the reader flags itself multi and starts from an empty offset map
+    r = NatsStreamReader(KV_SCHEMA, {"url": "memory://test", "subject": "w.*"})
+    assert r._multi and r.initialOffset() == {"offsets": {}}
+    single = NatsStreamReader(KV_SCHEMA, {"url": "memory://test", "subject": "w.a"})
+    # single literal subject keeps the legacy checkpoint-compatible shape
+    assert not single._multi and single.initialOffset() == {"offset": 0}
     with pytest.raises(CodecError, match="includeMetadata"):
         NatsStreamReader(
             KV_SCHEMA,

@@ -170,6 +170,105 @@ def test_available_now_trigger_drains_and_terminates(spark, broker):
     assert spark.sql("SELECT count(*) n FROM avnow_out").collect()[0].n == 7
 
 
+def test_multi_subject_streaming_composite_offsets(spark, broker):
+    """One query over a comma-separated subject list (round 6): offsets
+    are a per-subject counter map, rows arrive from every log."""
+    for i in range(3):
+        broker.publish("ms.a", f"2024-01-01 10:00:0{i},a{i}".encode())
+    for i in range(2):
+        broker.publish("ms.b", f"2024-01-01 11:00:0{i},b{i}".encode())
+    q = (
+        _stream(spark, "ms.a,ms.b")
+        .writeStream.format("memory")
+        .queryName("ms_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT key FROM ms_out").collect()
+    assert sorted(r.key for r in rows) == ["a0", "a1", "a2", "b0", "b1"]
+
+
+def test_wildcard_streaming_discovers_new_subjects(spark, broker):
+    """'orders.*' streaming: wildcards re-resolve per trigger, so a
+    subject that starts publishing MID-QUERY joins from offset 0 —
+    nothing missed, because each subject log is replayable."""
+    broker.publish("wc.eu", b"2024-01-01 10:00:00,eu0")
+    broker.publish("wc.us", b"2024-01-01 10:00:01,us0")
+    q = (
+        _stream(spark, "wc.*")
+        .writeStream.format("memory")
+        .queryName("wc_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = sorted(
+            r.key for r in spark.sql("SELECT key FROM wc_out").collect()
+        )
+        assert got1 == ["eu0", "us0"]
+        # a brand-new subject appears while the query runs
+        broker.publish("wc.apac", b"2024-01-01 10:00:02,ap0")
+        broker.publish("wc.eu", b"2024-01-01 10:00:03,eu1")
+        q.processAllAvailable()
+        got2 = sorted(
+            r.key for r in spark.sql("SELECT key FROM wc_out").collect()
+        )
+        assert got2 == ["ap0", "eu0", "eu1", "us0"]
+    finally:
+        q.stop()
+
+
+def test_multi_subject_row_cap_is_fair():
+    """The per-trigger row budget splits equal-share across hungry
+    subject logs (deterministic; a hot subject cannot starve others)."""
+    from datafusion_nats_spark.sources.nats_source import NatsStreamReader
+
+    alloc = NatsStreamReader._fair_allocate({"a": 100, "b": 3, "c": 100}, 10)
+    assert sum(alloc.values()) == 10
+    assert alloc["b"] == 3  # got everything it had
+    assert abs(alloc["a"] - alloc["c"]) <= 1  # equal share of the rest
+    # budget larger than total available: everything admitted
+    assert NatsStreamReader._fair_allocate({"a": 2, "b": 1}, 10) == {
+        "a": 2,
+        "b": 1,
+    }
+    # zero-available subjects get nothing
+    assert NatsStreamReader._fair_allocate({"a": 0, "b": 5}, 3) == {
+        "a": 0,
+        "b": 3,
+    }
+
+
+def test_multi_subject_caps_split_epochs(spark, broker):
+    """maxMessagesPerBatch applies across the subject set per trigger;
+    the backlog drains over multiple epochs with no row lost."""
+    for i in range(4):
+        broker.publish("cap.a", f"2024-01-01 10:00:0{i},a{i}".encode())
+        broker.publish("cap.b", f"2024-01-01 10:00:0{i},b{i}".encode())
+    q = (
+        _stream(spark, "cap.a,cap.b", maxMessagesPerBatch="3")
+        .writeStream.format("memory")
+        .queryName("cap_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT key FROM cap_out").collect()
+        assert sorted(r.key for r in rows) == [
+            "a0", "a1", "a2", "a3", "b0", "b1", "b2", "b3",
+        ]
+        # 8 rows at <=3 per trigger → at least 3 data epochs
+        data_epochs = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(data_epochs) >= 3
+        assert all(p["numInputRows"] <= 3 for p in data_epochs)
+    finally:
+        q.stop()
+
+
 def test_unbounded_admission_drains_in_one_epoch(spark, broker):
     """maxMessagesPerBatch=0 = unbounded admission: one trigger admits
     the whole backlog. This is the throughput mode — the per-epoch fixed

@@ -20,20 +20,25 @@ from streaming_soak import run_soak  # noqa: E402
 
 
 def test_short_soak_no_loss_and_multi_epoch(spark):
+    # producer throttled (~20k rows/s) so the byte-capped single
+    # wildcard query reaches equilibrium and the post-soak drain
+    # completes deterministically; the CAPACITY numbers live in the 30 s
+    # artifact runs recorded in PERFORMANCE.md
     res = run_soak(
         spark,
         duration_s=8.0,
         url="memory://soak_test",
-        max_bytes_per_batch=256 << 10,
+        max_bytes_per_batch=1 << 20,
         producer_batch=1000,
+        producer_sleep_s=0.05,
     )
     assert res["admitted_rows"] == res["published"] > 0  # no loss
     # byte-bounded admission split the load over multiple epochs
     assert res["data_epochs"] >= 2
-    # throughput floor: an order of magnitude under the recorded steady
-    # numbers, so noise can't flake it, but a regression to the
-    # 1000-cap-era ~2k rows/s regime fails loudly
-    assert res["rows_per_s_steady"] > 20_000
+    # throughput floor: far under the recorded steady numbers so noise
+    # can't flake it, but a regression to the 1000-cap-era ~2k rows/s
+    # regime fails loudly
+    assert res["rows_per_s_steady"] > 10_000
     # the epoch budget stays bounded (PERFORMANCE.md: ~0.5 s fixed cost;
     # generous ceiling for CI noise)
     assert res["trigger_ms"]["p50"] < 5_000
