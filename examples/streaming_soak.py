@@ -87,15 +87,18 @@ def run_soak(
 
     t = threading.Thread(target=produce, daemon=True)
 
-    stream = (
+    reader = (
         spark.readStream.format("nats")
         .schema(EVT_SCHEMA)
         .option("url", url)
         .option("subject", "orders.*")  # one wildcard query, all subjects
-        .option("maxMessagesPerBatch", "0")  # unbounded rows …
-        .option("maxBytesPerBatch", str(max_bytes_per_batch))  # … bytes bound
-        .load()
+        .option("maxMessagesPerBatch", "0")  # unbounded rows
     )
+    if max_bytes_per_batch is not None:
+        # byte-bounded admission walks payload sizes at latestOffset();
+        # pass None to skip that pass entirely (pure-capacity mode)
+        reader = reader.option("maxBytesPerBatch", str(max_bytes_per_batch))
+    stream = reader.load()
     q = (
         stream.writeStream.format("noop")
         .outputMode("append")

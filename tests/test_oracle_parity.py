@@ -23,12 +23,23 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     compare(df, duck, spec.oracle)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(name, spark, sf_dir):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_has_an_oracle():
+    """ROWS_ONLY is empty by construction — the weaker rows-only check
+    exists for genuinely non-SQL-expressible operators, and the registry
+    has none (every entry carries a DuckDB oracle). Asserted positively
+    so the suite reports 0 skips instead of an empty-parameter-set
+    placeholder."""
+    assert ROWS_ONLY == []
+
+
+if ROWS_ONLY:  # pragma: no cover — defined only if an oracle-less op ever lands
+
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_rows_only_query_runs(name, spark, sf_dir):
+        spec = REGISTRY[name]
+        df = spec.fn(spark, sf_dir)
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
 
 
 def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
