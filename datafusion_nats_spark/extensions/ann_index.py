@@ -38,7 +38,7 @@ from __future__ import annotations
 import hashlib
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from datafusion_nats_spark.extensions.dedup import (
@@ -52,7 +52,9 @@ from datafusion_nats_spark.extensions.dedup import (
 from datafusion_nats_spark.extensions.similarity import (
     IVF_ANN_ORACLE,
     N_QUERIES,
+    _dot,
     _emb_double,
+    _norm,
     ivf_centroids,
     ivf_probe_cells,
     ivf_rerank_topk,
@@ -113,6 +115,44 @@ def ivf_index_build(
     with open(done, "w") as f:
         f.write("ok")
     return index_dir
+
+
+def ivf_index_update(
+    spark: SparkSession, index_dir: str, vectors: DataFrame
+) -> None:
+    """Fold new vectors (vec_id, emb array<double>) into the stored IVF
+    index: each is assigned to its NEAREST stored centroid (rounded
+    cosine, ties on cell id — the probe's own ranking convention) and
+    appended to that cell's partition, so subsequent probes of that cell
+    rerank over it. The codebook is NOT recentered here — like any
+    write-optimized index, appends drift the cells slightly until a
+    periodic ``ivf_index_build`` rebuild recomputes the centroids
+    (compaction). Note the assignment is by geometry, not by label: the
+    build seeds cells from labels as its k-means stand-in, but ingested
+    vectors carry no label — nearest-centroid is the production rule."""
+    codebook = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    w = W.partitionBy("vec_id").orderBy(F.desc("cell_sim"), "cell")
+    assigned = (
+        F.broadcast(vectors)
+        .crossJoin(F.broadcast(codebook))
+        .withColumn(
+            "cell_sim",
+            F.round(
+                _dot(F.col("emb"), F.col("centroid"))
+                / (_norm(F.col("emb")) * _norm(F.col("centroid"))),
+                6,
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cell", "vec_id", "emb")
+    )
+    (
+        assigned.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
 
 
 def ivf_index_probe(
@@ -271,6 +311,35 @@ def lsh_index_probe(
         (F.coalesce("n_matches", F.lit(0)) > 0).alias("is_dup"),
         F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
         "first_match",
+    )
+
+
+def lsh_index_update(
+    spark: SparkSession, index_dir: str, accepted_docs: DataFrame
+) -> None:
+    """Fold a screened, ACCEPTED batch into the stored index: its band
+    signatures append to ``bands/`` so every subsequent probe collides
+    against it — the ingest loop's write-back step (probe → keep the
+    non-dups → update → next batch).
+
+    The batch's shingles are capped against the STORED banned list (the
+    same filter the probe applies, so index contents stay consistent
+    with probe-time signatures). The banned list itself is a corpus
+    document-frequency artifact and is NOT refreshed here — as batches
+    accumulate, true df drifts upward, which only makes the cap
+    conservative (fewer shingles banned than a rebuild would ban);
+    refresh it with a periodic ``lsh_index_build`` rebuild, exactly like
+    compaction in any write-optimized index."""
+    banned = spark.read.parquet(os.path.join(index_dir, "banned"))
+    shingled = accepted_docs.select(
+        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+    )
+    (
+        _banded_signatures(shingled.join(F.broadcast(banned), "shingle", "left_anti"))
+        .select("doc_id", "band_id", "band_key")
+        .repartition("band_id", "band_key")
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "bands"))
     )
 
 

@@ -62,6 +62,8 @@ def run_soak(
     producer_batch: int = 2000,
     producer_sleep_s: float = 0.0,
     drain_timeout_s: float = 120.0,
+    ingest: str = "executor",
+    num_partitions: int = 16,
 ) -> dict:
     from datafusion_nats_spark.sources import get_broker, register
 
@@ -93,6 +95,12 @@ def run_soak(
         .option("url", url)
         .option("subject", "orders.*")  # one wildcard query, all subjects
         .option("maxMessagesPerBatch", "0")  # unbounded rows
+        # executor ingest: per-subject offset-range partitions read by
+        # tasks directly — payload bytes never transit the driver, which
+        # is what makes the single wildcard query outrun the 3-stream
+        # union (169k vs 153k rows/s, PERFORMANCE.md)
+        .option("ingest", ingest)
+        .option("numPartitions", str(num_partitions))
     )
     if max_bytes_per_batch is not None:
         # byte-bounded admission walks payload sizes at latestOffset();

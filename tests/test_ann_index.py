@@ -140,6 +140,60 @@ def test_builds_are_idempotent(spark, tmp_path):
     assert mtimes == mtimes2  # second build wrote nothing
 
 
+def test_lsh_index_update_ingest_loop(spark, tmp_path):
+    """The production ingest loop: probe batch 1 (unique doc → not dup),
+    UPDATE the index with it, then probe batch 2 containing a copy —
+    the copy must now collide with the batch-1 doc through the STORED
+    index. Completes the build/probe/update lifecycle."""
+    from datafusion_nats_spark.extensions.ann_index import lsh_index_update
+
+    index_dir = lsh_index_build(spark, SF, str(tmp_path / "lsh_u"))
+    unique_text = " ".join(f"qzj{i} blob token" for i in range(40))
+    batch1 = spark.createDataFrame(
+        [(2000001, unique_text)], "doc_id long, text string"
+    )
+    r1 = lsh_index_probe(spark, index_dir, batch1).collect()
+    assert [(r.doc_id, r.is_dup) for r in r1] == [(2000001, False)]
+    lsh_index_update(spark, index_dir, batch1)  # accepted → write back
+    batch2 = spark.createDataFrame(
+        [(2000002, unique_text)], "doc_id long, text string"
+    )
+    r2 = {r.doc_id: (r.is_dup, r.first_match) for r in lsh_index_probe(
+        spark, index_dir, batch2
+    ).collect()}
+    assert r2[2000002] == (True, 2000001)
+
+
+def test_ivf_index_update_appends_to_nearest_cell(spark, tmp_path):
+    """IVF write-back: a new vector identical to corpus vector 0 lands
+    in a cell the probe of query 0 visits, and — with cosine exactly
+    1.0 — becomes its rank-1 neighbor through the STORED index."""
+    from datafusion_nats_spark.extensions.ann_index import (
+        ivf_index_update,
+    )
+
+    index_dir = ivf_index_build(spark, SF, str(tmp_path / "ivf_u"))
+    q = (
+        load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("query_id"), _emb_double().alias("qe"))
+    )
+    before = {
+        int(r.rn): r.neighbor_id
+        for r in ivf_index_probe(spark, index_dir, q).collect()
+    }
+    assert 900000 not in before.values()
+    clone = (
+        load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.lit(900000).cast("long").alias("vec_id"), _emb_double().alias("emb"))
+    )
+    ivf_index_update(spark, index_dir, clone)
+    after = ivf_index_probe(spark, index_dir, q).collect()
+    top = next(r for r in after if int(r.rn) == 1)
+    assert top.neighbor_id == 900000 and top.cosine == 1.0
+
+
 def test_lsh_probe_arbitrary_id_space(spark, tmp_path):
     """A real ingest batch has arbitrary ids — the probe's side split
     must come from which DataFrame a row arrived in, not from the
