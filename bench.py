@@ -195,6 +195,8 @@ def main() -> None:
         }
         if "multifile8" in out:
             compact["multifile8"] = {"value": out["multifile8"]["value"]}
+        if "multifile" in out:  # explicit single-layout opt-in run
+            compact["multifile"] = out["multifile"]
         print(json.dumps(compact))
     else:
         print(json.dumps(out))
