@@ -70,7 +70,20 @@ INDEX_FORMAT_VERSION = 1
 
 
 def _index_root(kind: str, sf_dir: str) -> str:
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    """Default index location: keyed by source path AND the source
+    parquet's (size, mtime) fingerprint, so a regenerated corpus can
+    never be served by a stale cached index."""
+    src = os.path.join(
+        sf_dir, "embeddings.parquet" if kind == "ivf" else "documents.parquet"
+    )
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        fp = "nosrc"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{fp}".encode()
+    ).hexdigest()[:10]
     return os.path.join(
         "/tmp", f"spark_graft_{kind}_index_v{INDEX_FORMAT_VERSION}_{tag}"
     )
@@ -132,9 +145,11 @@ def ivf_index_update(
     vectors carry no label — nearest-centroid is the production rule."""
     codebook = spark.read.parquet(os.path.join(index_dir, "codebook"))
     w = W.partitionBy("vec_id").orderBy(F.desc("cell_sim"), "cell")
+    # broadcast ONLY the codebook: the incoming batch may be arbitrarily
+    # large (it stays distributed; the per-vector argmax is a window
+    # over vec_id, no shuffle of the cross product beyond that)
     assigned = (
-        F.broadcast(vectors)
-        .crossJoin(F.broadcast(codebook))
+        vectors.crossJoin(F.broadcast(codebook))
         .withColumn(
             "cell_sim",
             F.round(

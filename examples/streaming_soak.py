@@ -117,11 +117,18 @@ def run_soak(
     time.sleep(duration_s)
     stop.set()
     t.join(timeout=30)
-    # drain what's left so published == admitted at the end
+    # drain what's left so published == admitted at the end. Primary
+    # signal: the row count; fallback: the query's own isDataAvailable
+    # (recentProgress keeps only the last ~100 entries, so a run with
+    # very many epochs could under-count through the window alone)
     deadline = time.time() + drain_timeout_s
     while time.time() < deadline:
         admitted = sum(p["numInputRows"] for p in q.recentProgress)
         if admitted >= published[0]:
+            break
+        if len(q.recentProgress) >= 100 and not q.status.get(
+            "isDataAvailable", True
+        ):
             break
         time.sleep(0.5)
     elapsed = time.perf_counter() - t0
