@@ -95,7 +95,10 @@ def _index_root(kind: str, sf_dir: str) -> str:
 
 
 def ivf_index_build(
-    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    rebuild: bool = False,
 ) -> str:
     """Build the persisted IVF index from the embeddings table: writes
     ``codebook/`` (cell, centroid array<double>) and ``vectors/``
@@ -105,11 +108,16 @@ def ivf_index_build(
     values, so the scan prunes whole partition directories (zero I/O for
     unprobed cells) — at 100 TB with a real k-means codebook of ~2^12
     cells, an nprobe=8 query batch reads ~0.2% of the corpus. Idempotent
-    via a ``_DONE`` marker; returns the index directory."""
+    via a ``_DONE`` marker; ``rebuild=True`` ignores the marker and
+    recomputes everything from the current corpus — the compaction step
+    the update operators' docstrings point at (recenters drifted cells).
+    Returns the index directory."""
     index_dir = index_dir or _index_root("ivf", sf_dir)
     done = os.path.join(index_dir, "_DONE")
     if os.path.exists(done):
-        return index_dir
+        if not rebuild:
+            return index_dir
+        os.remove(done)  # invalidate while the overwrite is in flight
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _emb_double().alias("emb")
     )
@@ -229,14 +237,21 @@ def sim_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_index_build(
-    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    rebuild: bool = False,
 ) -> str:
     """Build the persisted LSH dedup index from the EXISTING corpus
     (doc_id % NEW_BATCH_MOD != 0, matching the incremental twin's
     new/old split): writes ``banned/`` (the >MAX_DF shingle list — the
     df-cap is a property of the corpus, so it ships with the index) and
     ``bands/`` (doc_id, band_id, band_key signature rows, hash-clustered
-    by band key). Idempotent via ``_DONE``; returns the index dir.
+    by band key). Idempotent via ``_DONE``; ``rebuild=True`` ignores the
+    marker and recomputes from the current corpus source — the
+    compaction that refreshes the banned list after appended updates
+    (in production the accepted batches live in the corpus table by
+    then). Returns the index dir.
 
     The bands are stored UNCAPPED: the bucket cap ranks by doc_id across
     stored + incoming rows jointly, so it must bind at probe time (see
@@ -245,7 +260,9 @@ def lsh_index_build(
     index_dir = index_dir or _index_root("lsh", sf_dir)
     done = os.path.join(index_dir, "_DONE")
     if os.path.exists(done):
-        return index_dir
+        if not rebuild:
+            return index_dir
+        os.remove(done)  # invalidate while the overwrite is in flight
     d = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % NEW_BATCH_MOD != 0
     )
@@ -298,12 +315,24 @@ def lsh_index_probe(
         shingled_new.join(F.broadcast(banned), "shingle", "left_anti")
     ).select("doc_id", "band_id", "band_key")
     new_ids = new_docs.select("doc_id").distinct()
+    # O(|batch|) pruning BEFORE the cap window: only buckets that contain
+    # a new-batch row can ever produce a collision, so semi-joining the
+    # stored bands down to the batch's bucket keys first is
+    # result-identical (the cap is strictly per-bucket and surviving
+    # buckets keep ALL their rows) while turning the cap's shuffle from
+    # corpus-sized to batch-sized — the advertised per-ingest asymptotics
+    # (round-6 self-review). The batch's key set is small by the ingest
+    # contract, hence broadcastable.
+    new_keys = new_bands.select("band_id", "band_key").distinct()
+    old_relevant = old_bands.join(
+        F.broadcast(new_keys), ["band_id", "band_key"], "left_semi"
+    )
     # tag sides with a literal BEFORE the union: the probe must not
     # assume the registry's doc_id%5 split — any id space works. The tag
     # rides through _cap_buckets (its window touches only the bucket key
     # and doc_id), so the cap still ranks stored+new jointly by doc_id.
     banded = _cap_buckets(
-        old_bands.withColumn("_side", F.lit("old")).unionByName(
+        old_relevant.withColumn("_side", F.lit("old")).unionByName(
             new_bands.withColumn("_side", F.lit("new"))
         )
     )

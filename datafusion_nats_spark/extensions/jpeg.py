@@ -155,11 +155,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"expected marker at {pos}")
         # ITU T.81 B.1.1.2: a marker may be preceded by any number of
         # 0xFF fill bytes — skip them instead of reading a garbage
-        # segment length (ADVICE round 5)
+        # segment length (ADVICE round 5). The skip can advance past the
+        # loop header's bounds check, so re-validate before every read:
+        # truncated fill-padded containers must stay ValueError, never
+        # IndexError/struct.error (round-6 self-review).
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: fill bytes run to end of data")
         marker = data[pos + 1]
         pos += 2
+        if marker != 0xD9 and pos + 2 > len(data):
+            raise ValueError("truncated JPEG segment header")
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])

@@ -772,12 +772,19 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
             alloc = self._fair_allocate(avail, self.max_per_batch)
         ends = {s: starts[s] + alloc[s] for s in subjects}
         if self.max_bytes_per_batch is not None:
-            # one shared byte budget, spent in subject order (the batch
-            # reader's cap convention), admitting >=1 message overall so
-            # the stream always progresses
+            # One shared byte budget, with the single-subject progress
+            # guarantee generalized: the walk STARTS at a rotating
+            # subject each trigger, and the front subject may always
+            # admit its head message even over budget. Without the
+            # rotation, a subject whose head message exceeds the budget
+            # would starve forever behind any earlier-sorted subject
+            # with steady small traffic (round-6 self-review).
+            self._byte_rotation = getattr(self, "_byte_rotation", 0) + 1
+            rot = self._byte_rotation % max(1, len(subjects))
+            walk_order = subjects[rot:] + subjects[:rot]
             budget = self.max_bytes_per_batch
             admitted_any = False
-            for s in subjects:
+            for s in walk_order:
                 admitted = starts[s]
                 if budget > 0 or not admitted_any:
                     for payload in broker.fetch(s, starts[s], ends[s]):
@@ -821,6 +828,20 @@ class NatsStreamReader(DataSourceStreamReader, _OptionsMixin):
         return {"offset": self._last_end}
 
     def partitions(self, start: dict, end: dict):
+        # Restart fast-forward: after a checkpointed restart the
+        # admission counters (_last_end/_last_ends) are fresh zeros while
+        # ``start`` carries the committed offsets — without this, the
+        # pacing counter would crawl from 0 in cap-sized empty batches
+        # until it re-passed the checkpoint (round-6 self-review). The
+        # committed offset is authoritative: never pace below it.
+        if self._multi:
+            ends = getattr(self, "_last_ends", {})
+            for s, off in (start.get("offsets") or {}).items():
+                if ends.get(s, 0) < off:
+                    ends[s] = off
+            self._last_ends = ends
+        else:
+            self._last_end = max(getattr(self, "_last_end", 0), start.get("offset", 0))
         if self._multi:
             end_map = end.get("offsets", {})
             start_map = start.get("offsets", {})

@@ -140,6 +140,35 @@ def test_builds_are_idempotent(spark, tmp_path):
     assert mtimes == mtimes2  # second build wrote nothing
 
 
+def test_rebuild_compacts_after_updates(spark, tmp_path):
+    """rebuild=True is the documented compaction: it ignores _DONE and
+    recomputes from the corpus source, dropping appended update rows
+    (which by then live in the corpus table in production)."""
+    from datafusion_nats_spark.extensions.ann_index import (
+        ivf_index_update,
+    )
+
+    index_dir = ivf_index_build(spark, SF, str(tmp_path / "rb"))
+    clone = (
+        load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.lit(900001).cast("long").alias("vec_id"), _emb_double().alias("emb"))
+    )
+    ivf_index_update(spark, index_dir, clone)
+    vec = spark.read.parquet(f"{index_dir}/vectors")
+    assert vec.filter(F.col("vec_id") == 900001).count() == 1
+    # no-rebuild call is still a no-op…
+    assert ivf_index_build(spark, SF, index_dir) == index_dir
+    assert spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("vec_id") == 900001
+    ).count() == 1
+    # …rebuild recomputes from the corpus: the appended row is compacted away
+    ivf_index_build(spark, SF, index_dir, rebuild=True)
+    rebuilt = spark.read.parquet(f"{index_dir}/vectors")
+    assert rebuilt.filter(F.col("vec_id") == 900001).count() == 0
+    assert rebuilt.count() == load(spark, SF, "embeddings").count()
+
+
 def test_lsh_index_update_ingest_loop(spark, tmp_path):
     """The production ingest loop: probe batch 1 (unique doc → not dup),
     UPDATE the index with it, then probe batch 2 containing a copy —

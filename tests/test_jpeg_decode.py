@@ -111,6 +111,19 @@ def test_fill_bytes_before_markers_are_legal():
         assert decode_jpeg(bytes(padded)) == want
 
 
+def test_truncated_fill_padded_stream_is_valueerror():
+    """Round-6 self-review: the fill-byte skip can advance past the loop
+    header's bounds check — truncated fill-padded containers must stay
+    ValueError, never IndexError/struct.error."""
+    for blob in (
+        b"\xff\xd8" + b"\xff" * 4,          # fill bytes run to EOF
+        b"\xff\xd8\xff\xff\xff\xe0",        # marker id at EOF, no seglen
+        b"\xff\xd8\xff\xff\xff\xe0\x00",    # one byte of seglen only
+    ):
+        with pytest.raises(ValueError, match="truncated JPEG"):
+            decode_jpeg(blob)
+
+
 def test_sos_component_id_mismatch_is_valueerror():
     """An SOS whose component ids don't match the SOF frame is a
     malformed container: documented ValueError, never a KeyError

@@ -269,6 +269,60 @@ def test_multi_subject_caps_split_epochs(spark, broker):
         q.stop()
 
 
+def test_multi_subject_byte_cap_never_starves_oversize_head(broker):
+    """Round-6 self-review repro: with a shared byte budget, a subject
+    whose HEAD message exceeds the budget must still make progress even
+    while an earlier-sorted subject has steady small traffic — the walk
+    order rotates per trigger and the front subject may admit its head
+    over budget."""
+    from datafusion_nats_spark.sources.nats_source import NatsStreamReader
+
+    broker.publish("st.b", b"2024-01-01 10:00:00," + b"x" * 2000)  # oversize
+    r = NatsStreamReader(
+        EVT_SCHEMA,
+        {
+            "url": "memory://stream_sem",
+            "subject": "st.a,st.b",
+            "maxMessagesPerBatch": "0",
+            "maxBytesPerBatch": "100",
+        },
+    )
+    admitted_b = 0
+    for i in range(4):  # 2 subjects → rotation puts st.b in front every 2nd
+        broker.publish("st.a", f"2024-01-01 10:00:0{i},k".encode())
+        off = r.latestOffset()["offsets"]
+        admitted_b = max(admitted_b, off.get("st.b", 0))
+    assert admitted_b == 1, "oversize head message starved behind st.a"
+
+
+def test_multi_subject_restart_fast_forwards_counters(broker):
+    """Round-6 self-review repro: after a checkpointed restart the
+    pacing counters are fresh, but partitions() receives the committed
+    offsets — the counters must fast-forward to them instead of
+    crawling from 0 in cap-sized empty batches."""
+    from datafusion_nats_spark.sources.nats_source import NatsStreamReader
+
+    for i in range(8):
+        broker.publish("rs.a", f"2024-01-01 10:00:0{i},k{i}".encode())
+    r = NatsStreamReader(
+        EVT_SCHEMA,
+        {"url": "memory://stream_sem", "subject": "rs.a,rs.b",
+         "maxMessagesPerBatch": "2"},
+    )
+    committed = {"offsets": {"rs.a": 6}}  # the checkpointed restart state
+    r.partitions(committed, committed)  # Spark replans the last batch first
+    off = r.latestOffset()["offsets"]
+    assert off["rs.a"] == 8  # 6 (fast-forwarded) + cap 2 — NOT 0 + 2
+    # single-subject path fast-forwards identically
+    s = NatsStreamReader(
+        EVT_SCHEMA,
+        {"url": "memory://stream_sem", "subject": "rs.a",
+         "maxMessagesPerBatch": "2"},
+    )
+    s.partitions({"offset": 6}, {"offset": 6})
+    assert s.latestOffset()["offset"] == 8
+
+
 def test_unbounded_admission_drains_in_one_epoch(spark, broker):
     """maxMessagesPerBatch=0 = unbounded admission: one trigger admits
     the whole backlog. This is the throughput mode — the per-epoch fixed
