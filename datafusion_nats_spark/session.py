@@ -19,20 +19,6 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "datafusion_nats_spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # Protobuf-less environments: export the vendored google.protobuf
-    # shim on PYTHONPATH BEFORE the JVM launches, so every python
-    # process the JVM spawns later (executor workers, and the
-    # transformWithStateInPandas *driver worker*, which initializes
-    # before addPyFile-shipped files are visible) can import it. No-op
-    # when a real protobuf wheel is installed.
-    from datafusion_nats_spark.vendor import PBSHIM_DIR, protobuf_is_real
-
-    if not protobuf_is_real():
-        existing = os.environ.get("PYTHONPATH", "")
-        if PBSHIM_DIR not in existing.split(os.pathsep):
-            os.environ["PYTHONPATH"] = (
-                PBSHIM_DIR + (os.pathsep + existing if existing else "")
-            )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -50,9 +36,43 @@ def get_spark(app_name: str = "datafusion_nats_spark") -> SparkSession:
         # Keep parquet scans wide enough to parallelize but bounded so a
         # single task's partition fits executor memory at large SF.
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test-suite overhead); SPARK_GRAFT_UI=1 turns
+        # it on for harnesses that read per-stage metrics (shuffle bytes)
+        # from the status REST API (scale_bench.py)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    spark = builder.getOrCreate()
+    # Protobuf-less environments: export the vendored google.protobuf
+    # shim on PYTHONPATH only WHILE the JVM launches — the JVM snapshots
+    # its environment at launch and passes it to every python process it
+    # spawns later (executor workers, and the transformWithStateInPandas
+    # *driver worker*, which initializes before addPyFile-shipped files
+    # are visible), so the window covers exactly those. Restoring the
+    # variable afterwards keeps the shim OUT of the environment of every
+    # other subprocess this driver spawns (it is a Spark-worker
+    # dependency, not a process-wide one). No-op when a real protobuf
+    # wheel is installed; and on a heterogeneous cluster where executors
+    # DO have a real wheel, the shim's own import defers to it
+    # (pbshim/google/protobuf/__init__._defer_to_real_runtime).
+    from datafusion_nats_spark.vendor import PBSHIM_DIR, protobuf_is_real
+
+    prior = os.environ.get("PYTHONPATH")
+    mutated = False
+    if not protobuf_is_real() and PBSHIM_DIR not in (prior or "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            PBSHIM_DIR + (os.pathsep + prior if prior else "")
+        )
+        mutated = True
+    try:
+        spark = builder.getOrCreate()
+    finally:
+        if mutated:
+            if prior is None:
+                os.environ.pop("PYTHONPATH", None)
+            else:
+                os.environ["PYTHONPATH"] = prior
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -184,3 +184,146 @@ def test_fuzz_roundtrip_repeated(vals, fetch, timers):
     t2 = sm.StateResponseWithTimer()
     t2.ParseFromString(t.SerializeToString())
     assert [(x.key, x.timestampMs) for x in t2.timer] == timers
+
+
+@pytest.mark.skipif(
+    not SHIM_ACTIVE, reason="real protobuf installed — shim-only checks"
+)
+def test_detached_default_mutation_raises_loudly():
+    """Reading an unset singular message field returns a DETACHED default
+    (chained default reads work, matching real protobuf), but mutating
+    it raises instead of silently dropping the write — real protobuf
+    would auto-attach (`msg.sub.f = x` marks `sub` present), and a shim
+    whose contract is loud-NotImplemented must not diverge quietly
+    (round-6 advisory)."""
+    req = sm.StateRequest()
+    spc = req.statefulProcessorCall  # unset → detached default
+    # chained default READS are fine (proto3 default-instance semantics)
+    assert spc.setHandleState.state == 0
+    assert not req.HasField("statefulProcessorCall")
+    for mutate in (
+        lambda: setattr(spc, "setHandleState", sm.SetHandleState(state=2)),
+        lambda: spc.ClearField("setHandleState"),
+        lambda: spc.CopyFrom(sm.StatefulProcessorCall()),
+        lambda: spc.ParseFromString(b""),
+    ):
+        with pytest.raises(AttributeError, match="detached"):
+            mutate()
+    # the write was refused, not dropped: parent still unset
+    assert not req.HasField("statefulProcessorCall")
+    # the supported construction path (what PySpark's client does)
+    req.statefulProcessorCall = sm.StatefulProcessorCall(
+        setHandleState=sm.SetHandleState(state=2)
+    )
+    assert req.statefulProcessorCall.setHandleState.state == 2
+    # and an ATTACHED submessage read back from _values mutates freely
+    req.statefulProcessorCall.setHandleState = sm.SetHandleState(state=3)
+    assert req.statefulProcessorCall.setHandleState.state == 3
+
+
+def test_shim_defers_to_real_protobuf_on_path(tmp_path):
+    """Heterogeneous-deployment guard: when the shim dir rides PYTHONPATH
+    but a real protobuf package exists later on sys.path (marker:
+    descriptor_pb2.py), importing google.protobuf must serve the REAL
+    package, not the shim (round-6 advisory: PYTHONPATH precedes
+    site-packages, so without the probe the shim would shadow a real
+    wheel on executor nodes that have one)."""
+    import os
+    import subprocess
+    import sys
+
+    from datafusion_nats_spark.vendor import PBSHIM_DIR
+
+    fake = tmp_path / "site"
+    (fake / "google" / "protobuf").mkdir(parents=True)
+    (fake / "google" / "__init__.py").write_text(
+        "from pkgutil import extend_path\n"
+        "__path__ = extend_path(__path__, __name__)\n"
+    )
+    (fake / "google" / "protobuf" / "__init__.py").write_text(
+        "__version__ = '9.9.9-fakereal'\n"
+    )
+    (fake / "google" / "protobuf" / "descriptor_pb2.py").write_text("")
+    env = dict(os.environ, PYTHONPATH=f"{PBSHIM_DIR}{os.pathsep}{fake}")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import google.protobuf as gp; print(gp.__version__)"],
+        env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "9.9.9-fakereal"
+    # and with no real package on the path, the shim serves itself
+    env2 = dict(os.environ, PYTHONPATH=PBSHIM_DIR)
+    out2 = subprocess.run(
+        [sys.executable, "-c",
+         "import google.protobuf as gp; print(gp.__version__)"],
+        env=env2, capture_output=True, text=True, timeout=60,
+    )
+    assert out2.returncode == 0, out2.stderr
+    assert out2.stdout.strip() == "0.0.0-pbshim"
+
+
+def test_shim_zip_rewritten_when_tampered(tmp_path, monkeypatch):
+    """The executor-shipped shim zip lives in the per-user 0700 cache dir
+    AND its contents are re-verified against the source digest before
+    every addPyFile — a pre-planted or bit-flipped zip at the expected
+    path is rewritten, never shipped (round-6 advisory, medium)."""
+    import hashlib
+    import os
+    import zipfile as zf_mod
+
+    from datafusion_nats_spark.vendor import (
+        PBSHIM_DIR,
+        _zip_content_matches,
+    )
+
+    sources = sorted(
+        os.path.join(dp, fn)
+        for dp, _dn, fns in os.walk(PBSHIM_DIR)
+        for fn in fns
+        if fn.endswith(".py")
+    )
+    rels = [os.path.relpath(p, PBSHIM_DIR) for p in sources]
+    digest = hashlib.md5()
+    for p in sources:
+        digest.update(open(p, "rb").read())
+    want = digest.hexdigest()
+
+    good = tmp_path / "good.zip"
+    with zf_mod.ZipFile(good, "w") as z:
+        for full, rel in zip(sources, rels):
+            z.write(full, rel)
+    assert _zip_content_matches(str(good), rels, want) is True
+
+    # tampered content under the same names → rejected
+    evil = tmp_path / "evil.zip"
+    with zf_mod.ZipFile(evil, "w") as z:
+        for rel in rels:
+            z.writestr(rel, "import os  # planted\n")
+    assert _zip_content_matches(str(evil), rels, want) is False
+    # extra entry → rejected; missing file → rejected; garbage → rejected
+    extra = tmp_path / "extra.zip"
+    with zf_mod.ZipFile(extra, "w") as z:
+        for full, rel in zip(sources, rels):
+            z.write(full, rel)
+        z.writestr("planted.py", "x = 1\n")
+    assert _zip_content_matches(str(extra), rels, want) is False
+    assert _zip_content_matches(str(tmp_path / "absent.zip"), rels, want) is False
+    bad = tmp_path / "garbage.zip"
+    bad.write_bytes(b"not a zip")
+    assert _zip_content_matches(str(bad), rels, want) is False
+
+
+def test_user_cache_dir_is_private_and_owned():
+    import os
+    import stat
+
+    from datafusion_nats_spark.cache import user_cache_dir
+
+    root = user_cache_dir()
+    st_ = os.stat(root)
+    assert stat.S_IMODE(st_.st_mode) == 0o700
+    if hasattr(os, "getuid"):
+        assert st_.st_uid == os.getuid()
+    # idempotent and stable
+    assert user_cache_dir() == root
