@@ -142,15 +142,22 @@ _LSH_BANDED_DUCK = f"""
 """
 
 
-def _cap_buckets(banded: DataFrame) -> DataFrame:
+def _cap_buckets(banded: DataFrame, extra_order: list | None = None) -> DataFrame:
     """Bound every (band_id, band_key) bucket to its BUCKET_CAP lowest
     doc_ids before the pair join (see the BUCKET_CAP comment): a
     partitioned row_number — partitioned by the bucket key, so no global
     sort — and a filter. The degenerate-bucket guard that keeps candidate
-    generation O(cap²·buckets) instead of O(cluster²) at 100 TB."""
+    generation O(cap²·buckets) instead of O(cluster²) at 100 TB.
+
+    ``extra_order`` appends secondary sort keys after doc_id — the
+    persisted-index probe passes its side tag so a stored row and an
+    incoming row sharing a doc_id break the tie deterministically
+    (stored first) instead of by partitioning order at the cap boundary
+    (round-6 advisory). Default (None) is the in-plan twins' behavior,
+    where doc_ids are unique by construction."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("band_id", "band_key").orderBy("doc_id")
+    w = W.partitionBy("band_id", "band_key").orderBy("doc_id", *(extra_order or []))
     return (
         banded.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= BUCKET_CAP)

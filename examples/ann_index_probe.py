@@ -27,6 +27,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 def main() -> None:
     from datafusion_nats_spark.extensions.ann_index import (
+        current_index_dir,
         ivf_index_build,
         ivf_index_probe,
     )
@@ -40,10 +41,12 @@ def main() -> None:
     spark = get_spark("ann_index_example")
 
     index_dir = ivf_index_build(spark, SF_DIR)
+    vdir = current_index_dir(index_dir)  # resolved CURRENT version
     n_cells = (
-        spark.read.parquet(f"{index_dir}/vectors").select("cell").distinct().count()
+        spark.read.parquet(f"{vdir}/vectors").select("cell").distinct().count()
     )
-    print(f"index at {index_dir}: {n_cells} cells (build is idempotent)")
+    print(f"index at {vdir}: {n_cells} cells (build is idempotent; "
+          "rebuilds publish new versions atomically)")
 
     # a 2-vector query batch against the stored index
     q = (
@@ -73,7 +76,7 @@ def main() -> None:
     n_read = vec_scan.metrics().apply("numFiles").value()
     total = sum(
         1
-        for dp, _, fs in os.walk(f"{index_dir}/vectors")
+        for dp, _, fs in os.walk(f"{vdir}/vectors")
         for f in fs
         if f.endswith(".parquet")
     )
