@@ -550,6 +550,95 @@ def incremental_dedup_apply(index_base: str, results_dir: str):
     return apply
 
 
+def ivf_stream_screen_apply(index_dir: str, results_dir: str):
+    """Build the ``foreachBatch`` function for STREAMING ANN screening
+    against the persisted IVF index — the similarity-family twin of
+    ``incremental_dedup_apply`` (round-6 verdict ask #3): each
+    micro-batch of embeddings (vec_id, emb array<double>) is probed as a
+    query batch against the stored codebook + cell-partitioned vectors
+    PLUS every earlier epoch's ingested delta; per-query top-k verdicts
+    land in a per-epoch results directory; and the batch itself is
+    assigned to its nearest cells and written as THIS epoch's delta — so
+    later batches match against everything already ingested.
+
+    Per-batch cost: the probe inlines the batch's probed cells as
+    literals, so the base-vectors scan partition-prunes exactly like
+    ``ivf_index_probe`` and every delta scan prunes on (epoch, cell)
+    partition directories; ingest is O(|batch|) (one broadcast-codebook
+    assignment + a partitioned append-shaped write). Epoch replay is
+    idempotent: a retried epoch OVERWRITES its own ``epoch=N`` delta and
+    verdict directories and only ever probes deltas with epoch <
+    epoch_id — the same derive-from-epoch_id discipline as the LSH twin.
+    A periodic ``ivf_index_build(rebuild=True)`` compacts deltas into a
+    fresh atomic index version (by then the ingested vectors live in the
+    corpus table), after which the delta root can be cleared.
+    """
+    from datafusion_nats_spark.extensions.ann_index import (
+        _assign_to_codebook,
+        current_index_dir,
+    )
+    from datafusion_nats_spark.extensions.similarity import (
+        ivf_probe_cells,
+        ivf_rerank_topk,
+    )
+
+    deltas_root = os.path.join(index_dir, "stream_deltas")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        vdir = current_index_dir(index_dir)  # consistent version per batch
+        codebook = sp.read.parquet(os.path.join(vdir, "codebook"))
+        q = batch_df.select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+        )
+        pairs = [
+            (r["query_id"], r["cell"])
+            for r in ivf_probe_cells(q, codebook)
+            .select("query_id", "cell")
+            .collect()
+        ]
+        cells = sorted({c for _, c in pairs})
+        base = (
+            sp.read.parquet(os.path.join(vdir, "vectors"))
+            .filter(F.col("cell").isin(cells))  # literal IN → pruning
+            .select("vec_id", F.col("cell").alias("label"), "emb")
+        )
+        corpus = base
+        if os.path.isdir(deltas_root):
+            # earlier epochs only: the current epoch's (possibly partial,
+            # pre-retry) delta must never feed its own probe
+            deltas = (
+                sp.read.option("basePath", deltas_root)
+                .parquet(deltas_root)
+                .filter(
+                    (F.col("epoch") < F.lit(int(epoch_id)))
+                    & F.col("cell").isin(cells)
+                )
+                .select("vec_id", F.col("cell").alias("label"), "emb")
+            )
+            corpus = base.unionByName(deltas)
+        pairs_df = sp.createDataFrame(pairs, "query_id long, cell int")
+        probes = (
+            F.broadcast(q)
+            .join(F.broadcast(pairs_df), "query_id")
+            .select("query_id", "qe", "cell")
+        )
+        hits = ivf_rerank_topk(probes, corpus)
+        # per-epoch dir: replay overwrites, never double-applies
+        hits.write.mode("overwrite").parquet(f"{results_dir}/epoch={epoch_id}")
+        (
+            _assign_to_codebook(codebook, batch_df.select("vec_id", "emb"))
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{deltas_root}/epoch={epoch_id}")
+        )
+
+    return apply
+
+
 @query(
     "stream_ewma_stateful",
     oracle="""
