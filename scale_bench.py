@@ -1,28 +1,35 @@
 """Extension-surface scale-up measurement (round-6 evidence, verdict
-ask #5): replicate the corpus tables 10x key-shifted, run the
-LLM-pipeline headliners at 1x and 10x, and report per-query wall times
-plus the scaling exponent log10(t10/t1) — 1.0 means linear, < 1.0
-sublinear, > 1.0 superlinear (a scale red flag).
+ask #5; extended in round 7 with a second scale point and per-query
+shuffle-byte metrics): replicate the corpus tables key-shifted at each
+requested factor, run the LLM-pipeline headliners at 1x and Nx, and
+report per-query wall times, the scaling exponent log_N(tN/t1) — 1.0
+means linear, < 1.0 sublinear, > 1.0 superlinear (a scale red flag) —
+and the shuffle read/write bytes each query moved (from the Spark
+status REST API), so the sublinear claim rests on how much data
+actually crossed the shuffle, not wall time alone.
 
 Replication: doc_id/vec_id shifted by k*10,000,000 per replica
 (divisible by NEW_BATCH_MOD=5, so the incremental-dedup new/old split
 is preserved); text and embeddings are copied verbatim, which makes
-EVERY document a 10-way duplicate cluster — deliberately the worst case
+EVERY document an N-way duplicate cluster — deliberately the worst case
 for the dedup family (mega-cluster stress of the BUCKET_CAP / df-cap
-paths), and a fixed query set against a 10x corpus for the ANN family.
+paths), and a fixed query set against an Nx corpus for the ANN family.
 Dimension-free: only the tables these queries read (documents,
 embeddings) are replicated; the rest are symlinked unchanged.
 
-Usage:  python scale_bench.py          # sf0.1 base, 10 replicas
-Env:    SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_REPLICAS, SPARK_GRAFT_CPUS
+Usage:  python scale_bench.py          # sf0.1 base, 10x and 30x points
+Env:    SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_REPLICAS (comma list,
+        default "10,30"), SPARK_GRAFT_CPUS
 
 Prints one JSON line:
-{"metric": "extension_scaleup", "replicas": N, "sf": ...,
- "queries": {name: {"t1": s, "tN": s, "ratio": r, "exponent": e}}}
+{"metric": "extension_scaleup", "replicas": [10, 30], "sf_dir": ...,
+ "queries": {name: {"t1": s, "shuffle_mb1": mb,
+                    "t10": s, "exp10": e, "shuffle_mb10": mb,
+                    "t30": s, "exp30": e, "shuffle_mb30": mb}}}
 
 (Replicated-key data, so this run is NOT oracle-checked — correctness
 runs at sf0.001/0.01/0.1; this is purely a scaling measurement.
-See PERFORMANCE.md "Measured 10x scale-up".)
+See PERFORMANCE.md "Measured scale-up".)
 """
 
 from __future__ import annotations
@@ -33,18 +40,19 @@ import math
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 QUERIES = [
-    # dedup family — worst-case 10-way clusters by construction
+    # dedup family — worst-case N-way clusters by construction
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_connected_components",
     "dedup_incremental_new_batch",
     "dedup_index_probe",
-    # similarity family — fixed 5-query batch vs 10x corpus
+    # similarity family — fixed 5-query batch vs Nx corpus
     "sim_ivf_ann",
     "sim_index_probe",
     "sim_bruteforce_topk",
@@ -90,53 +98,109 @@ def _replicate(spark, sf_dir: str, replicas: int) -> str:
     return out_root
 
 
-def _time_queries(spark, queries, sf_dir: str) -> dict[str, float]:
-    out = {}
+class _ShuffleMeter:
+    """Per-query shuffle read+write bytes via the status REST API
+    (SPARK_GRAFT_UI=1 turns the UI on). Stages are attributed to a query
+    by diffing completed stage IDs around it. Degrades to None when the
+    UI is unreachable — the timing columns never depend on it."""
+
+    def __init__(self, spark):
+        self._base = None
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            if ui:
+                self._base = f"{ui}/api/v1/applications/{app}/stages"
+        except Exception:
+            pass
+
+    def _stages(self):
+        if not self._base:
+            return None
+        try:
+            with urllib.request.urlopen(self._base, timeout=10) as r:
+                return {
+                    (s["stageId"], s["attemptId"]): (
+                        s.get("shuffleReadBytes", 0),
+                        s.get("shuffleWriteBytes", 0),
+                    )
+                    for s in json.load(r)
+                    if s.get("status") in ("COMPLETE", "FAILED")
+                }
+        except Exception:
+            return None
+
+    def measure(self, fn):
+        """Run fn(); return (wall_sec, shuffle_mb or None)."""
+        before = self._stages()
+        t0 = time.perf_counter()
+        fn()
+        wall = time.perf_counter() - t0
+        after = self._stages()
+        if before is None or after is None:
+            return wall, None
+        new = {k: v for k, v in after.items() if k not in before}
+        mb = sum(r + w for r, w in new.values()) / (1024 * 1024)
+        return wall, round(mb, 1)
+
+
+def _time_queries(spark, queries, sf_dir: str, meter):
+    times, shuffles = {}, {}
     for name in QUERIES:
         df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+        wall, mb = meter.measure(
+            lambda: df.write.format("noop").mode("overwrite").save()
+        )
+        times[name] = round(wall, 3)
+        shuffles[name] = mb
+    return times, shuffles
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+    replica_points = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10,30").split(",")
+        if x.strip()
+    ]
+
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")  # shuffle metrics need the UI
 
     from datafusion_nats_spark.registry import all_queries
     from datafusion_nats_spark.session import get_spark
 
     spark = get_spark("scale-bench")
     queries = all_queries()
-    big_dir = _replicate(spark, sf_dir, replicas)
+    meter = _ShuffleMeter(spark)
 
     # warm the session once so t1 doesn't pay JVM/footer costs tN skips
     queries["text_token_stats"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    t1 = _time_queries(spark, queries, sf_dir)
-    tn = _time_queries(spark, queries, big_dir)
-    rows = {}
-    for name in QUERIES:
-        ratio = tn[name] / t1[name] if t1[name] else float("nan")
-        rows[name] = {
-            "t1": t1[name],
-            f"t{replicas}": tn[name],
-            "ratio": round(ratio, 2),
-            "exponent": round(math.log(ratio) / math.log(replicas), 2)
-            if ratio > 0
-            else None,
-        }
+    t1, sh1 = _time_queries(spark, queries, sf_dir, meter)
+    rows = {
+        name: {"t1": t1[name], "shuffle_mb1": sh1[name]} for name in QUERIES
+    }
+    totals = {"total_t1": round(sum(t1.values()), 2)}
+    for n in replica_points:
+        big_dir = _replicate(spark, sf_dir, n)
+        tn, shn = _time_queries(spark, queries, big_dir, meter)
+        for name in QUERIES:
+            ratio = tn[name] / t1[name] if t1[name] else float("nan")
+            rows[name][f"t{n}"] = tn[name]
+            rows[name][f"exp{n}"] = (
+                round(math.log(ratio) / math.log(n), 2) if ratio > 0 else None
+            )
+            rows[name][f"shuffle_mb{n}"] = shn[name]
+        totals[f"total_t{n}"] = round(sum(tn.values()), 2)
     print(
         json.dumps(
             {
                 "metric": "extension_scaleup",
-                "replicas": replicas,
+                "replicas": replica_points,
                 "sf_dir": sf_dir,
                 "queries": rows,
-                "total_t1": round(sum(t1.values()), 2),
-                f"total_t{replicas}": round(sum(tn.values()), 2),
+                **totals,
             }
         )
     )
