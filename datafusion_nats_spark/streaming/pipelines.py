@@ -705,3 +705,163 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_completion(out, "update")
+
+
+# --------------------------------------------------------------------------
+# streaming ANN screen — registered, oracle-checked
+# --------------------------------------------------------------------------
+
+_SCREEN_SHIFT = 1_000_000  # streamed clone ids: corpus vec_id + SHIFT
+
+
+def _screen_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the deterministic two-batch embedding 'stream' as two
+    single-file parquet batches: clones of every vec_id % 5 == 0 corpus
+    vector under shifted ids, split by (vec_id div 5) % 2. File mtimes
+    are pinned so the file streaming source admits batch 0 strictly
+    before batch 1 (oldest-first) — the stream content, order, and batch
+    boundaries are all deterministic, which is what lets a streaming
+    pipeline carry a full DuckDB oracle."""
+    import hashlib
+    import shutil as sh
+
+    from datafusion_nats_spark.cache import user_cache_dir
+    from datafusion_nats_spark.extensions.similarity import _emb_double
+    from datafusion_nats_spark.tables import load
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        fp = "nosrc"
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}:v1".encode()).hexdigest()[:10]
+    out = os.path.join(user_cache_dir(), f"screen_stream_{tag}")
+    done = os.path.join(out, "_READY")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    for k in (0, 1):
+        batch = e.filter((F.col("vec_id") / 5).cast("long") % 2 == k).select(
+            (F.col("vec_id") + _SCREEN_SHIFT).cast("long").alias("vec_id"),
+            _emb_double().alias("emb"),
+        )
+        tmp = os.path.join(out, f"_tmp{k}")
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        sh.move(os.path.join(tmp, part), os.path.join(out, f"batch{k}.parquet"))
+        sh.rmtree(tmp)
+        # oldest-first admission: batch 0 gets the earlier mtime
+        os.utime(os.path.join(out, f"batch{k}.parquet"), (1000 + k * 100,) * 2)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _screen_oracle() -> str:
+    from datafusion_nats_spark.extensions.similarity import (
+        _DOT_DUCK,
+        _NORM_DUCK,
+        NPROBE,
+        TOP_K,
+    )
+
+    cos = (
+        f"round({_DOT_DUCK.format(a='{q}', b='{v}')}"
+        f" / ({_NORM_DUCK.format(a='{q}')} * {_NORM_DUCK.format(a='{v}')}), 6)"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS cell, list(m ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, i AS pos, avg(emb[i]) AS m
+        FROM e, range(1, 65) t(i)
+        GROUP BY label, i
+      )
+      GROUP BY label
+    ), stream AS (
+      SELECT CAST(vec_id + {_SCREEN_SHIFT} AS BIGINT) AS sid,
+             CAST((vec_id // 5) % 2 AS INT) AS batch, emb
+      FROM e WHERE vec_id % 5 = 0
+    ), assigned AS (
+      -- ingest rule: nearest stored centroid by rounded cosine, ties on cell
+      SELECT sid, batch, emb, cell FROM (
+        SELECT s.sid, s.batch, s.emb, c.cell,
+               row_number() OVER (
+                 PARTITION BY s.sid
+                 ORDER BY {cos.format(q='s.emb', v='c.centroid')} DESC, c.cell
+               ) AS r
+        FROM stream s, cent c
+      ) WHERE r = 1
+    ), probes AS (
+      SELECT sid, batch, qe, cell FROM (
+        SELECT s.sid, s.batch, s.emb AS qe, c.cell,
+               row_number() OVER (
+                 PARTITION BY s.sid
+                 ORDER BY {cos.format(q='s.emb', v='c.centroid')} DESC, c.cell
+               ) AS cell_rank
+        FROM stream s, cent c
+      ) WHERE cell_rank <= {NPROBE}
+    ), cands AS (
+      -- the stored corpus, partition-pruned to the probed cells…
+      SELECT p.sid AS query_id, p.batch, e.vec_id AS neighbor_id,
+             {cos.format(q='p.qe', v='e.emb')} AS cosine
+      FROM probes p JOIN e ON e.label = p.cell
+      UNION ALL
+      -- …plus every EARLIER batch's ingested vectors in those cells
+      SELECT p.sid, p.batch, a.sid AS neighbor_id,
+             {cos.format(q='p.qe', v='a.emb')} AS cosine
+      FROM probes p JOIN assigned a ON a.cell = p.cell AND a.batch < p.batch
+    )
+    SELECT query_id, CAST(batch AS INT) AS epoch, neighbor_id, cosine,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM cands
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@query(
+    "sim_stream_screen",
+    oracle=_screen_oracle(),
+    doc="STREAMING ANN screen with a full oracle: a deterministic "
+    "two-batch embedding stream (file source, pinned admission order) "
+    "runs through ivf_stream_screen_apply via a real foreachBatch "
+    "query against the persisted IVF index — batch-0 queries rerank "
+    "over the stored cell-partitioned corpus only; batch-1 queries also "
+    "hit batch 0's nearest-centroid-ingested delta. The incremental "
+    "execution must equal the batch SQL (probe cells, progressive "
+    "corpus, rounded-cosine top-k) — the streaming twin of "
+    "sim_index_probe, completing the similarity family's ingest loop.",
+)
+def sim_stream_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_nats_spark.extensions.ann_index import ivf_index_build
+
+    index_dir = ivf_index_build(spark, sf_dir)
+    results = os.path.join(index_dir, "stream_screen_results")
+    apply_fn = ivf_stream_screen_apply(index_dir, results)
+    stream = (
+        spark.readStream.schema("vec_id long, emb array<double>")
+        .option("maxFilesPerTrigger", "1")  # one pinned batch per trigger
+        .parquet(_screen_stream_dir(spark, sf_dir))
+    )
+    q = stream.writeStream.foreachBatch(apply_fn).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.option("basePath", results).parquet(results)
+    return out.select(
+        "query_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        "neighbor_id",
+        "cosine",
+        "rn",
+    )

@@ -86,6 +86,16 @@ ALLOWLIST: dict[str, str] = {
         "once, parquet round-trip exact); downstream cosines rounded to "
         "1e-6"
     ),
+    "sim_index_probe_kmeans": (
+        "persisted-index twin of sim_kmeans_ann: same Lloyd centroid avg "
+        "(built once, parquet round-trip exact); downstream cosines "
+        "rounded to 1e-6"
+    ),
+    "sim_stream_screen": (
+        "persisted-index probe per micro-batch: same centroid avg as "
+        "sim_index_probe (built once, parquet round-trip exact); probe "
+        "ranks, ingest assignment and rerank all round cosines to 1e-6"
+    ),
     "sim_ivf_ann": "centroid intermediate; distances rounded to 1e-6",
     "sim_kmeans_ann": "centroid intermediate; distances rounded to 1e-6",
     "sim_pairwise_label_stats": (
