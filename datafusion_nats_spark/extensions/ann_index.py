@@ -86,7 +86,9 @@ from datafusion_nats_spark.tables import load
 # bump when the on-disk layout or signature arithmetic changes: the tag
 # is part of the default index path, so stale cached artifacts from an
 # older format can never satisfy a newer probe's version resolution
-INDEX_FORMAT_VERSION = 2
+# (v3: versions carry a _FLAVOR marker so a mismatched-codebook build
+# request fails loudly instead of silently serving the wrong index)
+INDEX_FORMAT_VERSION = 3
 
 
 def _index_root(kind: str, sf_dir: str, variant: str = "") -> str:
@@ -153,6 +155,23 @@ def current_index_dir(index_dir: str) -> str:
             f"no published index version under {index_dir} — run the build first"
         )
     return _version_dir(index_dir, v)
+
+
+def _write_flavor(vdir: str, flavor: str) -> None:
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "_FLAVOR"), "w") as f:
+        f.write(flavor)
+
+
+def _read_flavor(vdir: str) -> str | None:
+    """The codebook flavor a version was built with ('label' /
+    'kmeans:<n>'), recorded so a later build request against the same
+    index_dir can verify it is not about to serve the wrong codebook."""
+    try:
+        with open(os.path.join(vdir, "_FLAVOR")) as f:
+            return f.read().strip()
+    except OSError:
+        return None
 
 
 def gc_index_versions(index_dir: str, keep: int = 2) -> list[str]:
@@ -226,15 +245,35 @@ def ivf_index_build(
     the index directory (resolve with ``current_index_dir``)."""
     if codebook not in ("label", "kmeans"):
         raise ValueError(f"unknown codebook {codebook!r}")
-    variant = "" if codebook == "label" else f"kmeans{n_cells or 0}"
-    index_dir = index_dir or _index_root("ivf", sf_dir, variant)
+    if codebook == "kmeans":
+        if n_cells is None:
+            from datafusion_nats_spark.extensions.ml_variants import K_CELLS
+
+            n_cells = K_CELLS
+        if n_cells <= 0:
+            raise ValueError(f"n_cells must be positive, got {n_cells}")
+        flavor = f"kmeans:{n_cells}"
+    else:
+        flavor = "label"
+    index_dir = index_dir or _index_root(
+        "ivf", sf_dir, "" if codebook == "label" else flavor
+    )
     cur = _current_version(index_dir)
     if cur is not None and not rebuild:
+        stored = _read_flavor(_version_dir(index_dir, cur))
+        if stored != flavor:
+            # serving a different codebook than requested would be a
+            # silent wrong-index probe — fail loudly (round-7 review)
+            raise ValueError(
+                f"index at {index_dir} is published with codebook "
+                f"{stored!r} but the build requested {flavor!r}; pass "
+                f"rebuild=True to replace it or use a different index_dir"
+            )
         return index_dir
     version = (cur or 0) + 1
     vdir = _version_dir(index_dir, version)
     if codebook == "kmeans":
-        vectors, cents = _kmeans_cells(spark, sf_dir, n_cells or 8)
+        vectors, cents = _kmeans_cells(spark, sf_dir, n_cells)
     else:
         e = load(spark, sf_dir, "embeddings").select(
             "vec_id", "label", _emb_double().alias("emb")
@@ -251,6 +290,7 @@ def ivf_index_build(
         .partitionBy("cell")
         .parquet(os.path.join(vdir, "vectors"))
     )
+    _write_flavor(vdir, flavor)
     _publish_version(index_dir, version)  # the atomic commit
     return index_dir
 
@@ -324,7 +364,20 @@ def ivf_index_probe(
     ``sim_kmeans_ann``, per the build's codebook flavor) by
     construction: same centroid arithmetic, same rounded probe ranking,
     same rerank."""
-    vdir = current_index_dir(index_dir)
+    return _pruned_probe(spark, current_index_dir(index_dir), q)
+
+
+def _pruned_probe(
+    spark: SparkSession, vdir: str, q: DataFrame, extra_vectors=None
+) -> DataFrame:
+    """The ONE probe pipeline (codebook consult → literal-IN pruned base
+    scan → exact rerank), shared by ``ivf_index_probe`` and the
+    streaming screen (streaming/pipelines.ivf_stream_screen_apply) so
+    the probe semantics — rounding, tie rules, pruning contract — can
+    never drift between the batch and streaming paths (round-7 review).
+    ``extra_vectors``: optional callable(cells) returning an additional
+    (vec_id, label, emb) corpus slice restricted to the probed cells
+    (the streaming screen's earlier-epoch deltas), or None."""
     codebook = spark.read.parquet(os.path.join(vdir, "codebook"))
     pairs = [
         (r["query_id"], r["cell"])
@@ -336,6 +389,10 @@ def ivf_index_probe(
         .filter(F.col("cell").isin(cells))  # literal IN → partition pruning
         .select("vec_id", F.col("cell").alias("label"), "emb")
     )
+    if extra_vectors is not None:
+        extra = extra_vectors(cells)
+        if extra is not None:
+            vectors = vectors.unionByName(extra)
     pairs_df = spark.createDataFrame(pairs, "query_id long, cell int")
     probes = F.broadcast(q).join(F.broadcast(pairs_df), "query_id").select(
         "query_id", "qe", "cell"

@@ -575,11 +575,8 @@ def ivf_stream_screen_apply(index_dir: str, results_dir: str):
     """
     from datafusion_nats_spark.extensions.ann_index import (
         _assign_to_codebook,
+        _pruned_probe,
         current_index_dir,
-    )
-    from datafusion_nats_spark.extensions.similarity import (
-        ivf_probe_cells,
-        ivf_rerank_topk,
     )
 
     deltas_root = os.path.join(index_dir, "stream_deltas")
@@ -593,23 +590,13 @@ def ivf_stream_screen_apply(index_dir: str, results_dir: str):
         q = batch_df.select(
             F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
         )
-        pairs = [
-            (r["query_id"], r["cell"])
-            for r in ivf_probe_cells(q, codebook)
-            .select("query_id", "cell")
-            .collect()
-        ]
-        cells = sorted({c for _, c in pairs})
-        base = (
-            sp.read.parquet(os.path.join(vdir, "vectors"))
-            .filter(F.col("cell").isin(cells))  # literal IN → pruning
-            .select("vec_id", F.col("cell").alias("label"), "emb")
-        )
-        corpus = base
-        if os.path.isdir(deltas_root):
+
+        def earlier_deltas(cells):
             # earlier epochs only: the current epoch's (possibly partial,
             # pre-retry) delta must never feed its own probe
-            deltas = (
+            if not os.path.isdir(deltas_root):
+                return None
+            return (
                 sp.read.option("basePath", deltas_root)
                 .parquet(deltas_root)
                 .filter(
@@ -618,14 +605,10 @@ def ivf_stream_screen_apply(index_dir: str, results_dir: str):
                 )
                 .select("vec_id", F.col("cell").alias("label"), "emb")
             )
-            corpus = base.unionByName(deltas)
-        pairs_df = sp.createDataFrame(pairs, "query_id long, cell int")
-        probes = (
-            F.broadcast(q)
-            .join(F.broadcast(pairs_df), "query_id")
-            .select("query_id", "qe", "cell")
-        )
-        hits = ivf_rerank_topk(probes, corpus)
+
+        # the ONE shared probe pipeline (ann_index._pruned_probe) — batch
+        # and streaming paths cannot drift
+        hits = _pruned_probe(sp, vdir, q, extra_vectors=earlier_deltas)
         # per-epoch dir: replay overwrites, never double-applies
         hits.write.mode("overwrite").parquet(f"{results_dir}/epoch={epoch_id}")
         (
@@ -741,6 +724,20 @@ def _screen_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
+    # id-space guard (round-7 review): the rerank excludes
+    # vec_id == query_id but the oracle has no such exclusion, so a
+    # corpus id reaching the shifted clone range would silently diverge
+    # the two — refuse instead of diverging
+    max_id = (
+        load(spark, sf_dir, "embeddings").agg(F.max("vec_id").alias("m")).first().m
+    )
+    if max_id is not None and max_id >= _SCREEN_SHIFT:
+        raise ValueError(
+            f"embeddings vec_id reaches {max_id} >= the streamed-clone id "
+            f"shift {_SCREEN_SHIFT}; sim_stream_screen's clone ids would "
+            f"collide with corpus ids and its oracle would diverge — "
+            f"raise _SCREEN_SHIFT above the corpus id space"
+        )
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     for k in (0, 1):
         batch = e.filter((F.col("vec_id") / 5).cast("long") % 2 == k).select(

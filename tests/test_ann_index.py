@@ -456,3 +456,25 @@ def test_banned_list_drift_is_conservative_until_rebuild(spark, tmp_path):
         spark, index_dir, dup
     ).collect()}
     assert fresh_verdict[8_000_001] is True
+
+
+def test_build_rejects_mismatched_codebook_flavor(spark, tmp_path):
+    """Round-7 review: a build request against an index_dir published
+    with a DIFFERENT codebook must raise, not silently serve the wrong
+    index; rebuild=True explicitly replaces it. n_cells is validated."""
+    index_dir = ivf_index_build(spark, SF, str(tmp_path / "fl"))  # label
+    with pytest.raises(ValueError, match="codebook 'label'"):
+        ivf_index_build(spark, SF, index_dir, codebook="kmeans", n_cells=8)
+    with pytest.raises(ValueError, match="n_cells"):
+        ivf_index_build(
+            spark, SF, str(tmp_path / "fl2"), codebook="kmeans", n_cells=0
+        )
+    # same-flavor re-request is the normal idempotent path
+    assert ivf_index_build(spark, SF, index_dir) == index_dir
+    # rebuild=True may change the flavor — and records the new one
+    ivf_index_build(spark, SF, index_dir, rebuild=True, codebook="kmeans", n_cells=8)
+    from datafusion_nats_spark.extensions.ann_index import _read_flavor
+
+    assert _read_flavor(current_index_dir(index_dir)) == "kmeans:8"
+    with pytest.raises(ValueError, match="kmeans:8"):
+        ivf_index_build(spark, SF, index_dir, codebook="label")

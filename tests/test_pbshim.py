@@ -285,8 +285,10 @@ def test_shim_zip_rewritten_when_tampered(tmp_path, monkeypatch):
     )
     rels = [os.path.relpath(p, PBSHIM_DIR) for p in sources]
     digest = hashlib.md5()
-    for p in sources:
-        digest.update(open(p, "rb").read())
+    contents = [open(p, "rb").read() for p in sources]
+    for rel, data in zip(rels, contents):
+        digest.update(f"{rel}\x00{len(data)}\x00".encode())
+        digest.update(data)
     want = digest.hexdigest()
 
     good = tmp_path / "good.zip"
@@ -312,6 +314,18 @@ def test_shim_zip_rewritten_when_tampered(tmp_path, monkeypatch):
     bad = tmp_path / "garbage.zip"
     bad.write_bytes(b"not a zip")
     assert _zip_content_matches(str(bad), rels, want) is False
+    # byte redistribution across adjacent entries (same names, same
+    # total byte stream) must be caught by the per-entry framing
+    shifted = tmp_path / "shifted.zip"
+    with zf_mod.ZipFile(shifted, "w") as z:
+        for i, rel in enumerate(rels):
+            data = contents[i]
+            if i == 0:
+                data = data[:-3]  # move 3 tail bytes…
+            elif i == 1:
+                data = contents[0][-3:] + data  # …to the next entry's head
+            z.writestr(rel, data)
+    assert _zip_content_matches(str(shifted), rels, want) is False
 
 
 def test_user_cache_dir_is_private_and_owned():
@@ -327,3 +341,26 @@ def test_user_cache_dir_is_private_and_owned():
         assert st_.st_uid == os.getuid()
     # idempotent and stable
     assert user_cache_dir() == root
+
+
+@pytest.mark.skipif(
+    not SHIM_ACTIVE, reason="real protobuf installed — shim-only checks"
+)
+def test_detached_default_repeated_field_mutation_raises():
+    """Appending to a REPEATED field of a detached default instance must
+    raise too (round-7 review): real protobuf would auto-attach the
+    parent; silently dropping the append is the same quiet divergence as
+    scalar assignment."""
+    call = sm.ListStateCall()
+    put = call.listStatePut  # unset → detached default
+    assert len(put.value) == 0 and list(put.value) == []  # reads fine
+    with pytest.raises(AttributeError, match="detached"):
+        put.value.append(b"x")
+    with pytest.raises(AttributeError, match="detached"):
+        put.value.extend([b"x"])
+    assert not call.HasField("listStatePut")
+    assert call.SerializeToString() == b""
+    # attached instances keep the live-list behavior
+    call.listStatePut = sm.ListStatePut()
+    call.listStatePut.value.append(b"x")
+    assert list(call.listStatePut.value) == [b"x"]
