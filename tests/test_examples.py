@@ -35,6 +35,7 @@ def _run(script: str, timeout: int = 240) -> str:
         ("headers_tracing.py", "trace=req-2"),  # durable header replay
         ("multimodal_png.py", "decoded 5 real PNGs"),  # stdlib PNG decode
         ("ann_index_probe.py", "partition pruning"),  # persisted-index probe
+        ("streaming_ann_screen.py", "index accumulates"),  # streaming screen
     ],
 )
 def test_example_runs_clean(script, marker):
