@@ -530,7 +530,21 @@ def lsh_index_probe(
     ``dedup_incremental_new_batch`` by construction (the registry
     fixture's id spaces are disjoint, so the tie rule never fires
     there)."""
-    vdir = current_index_dir(index_dir)
+    return _lsh_screen(spark, current_index_dir(index_dir), new_docs)
+
+
+def _lsh_screen(
+    spark: SparkSession, vdir: str, new_docs: DataFrame, extra_old=None
+) -> DataFrame:
+    """The ONE LSH screening pipeline (sign the batch → prune stored
+    bands to the batch's bucket keys → cap stored+new jointly → collision
+    join), shared by ``lsh_index_probe`` and the streaming screen
+    (streaming/pipelines.lsh_stream_screen_apply) so the batch and
+    streaming paths can never drift. ``extra_old``: optional
+    callable(new_keys) returning additional old-side
+    (doc_id, band_id, band_key) rows — the streaming screen's
+    earlier-epoch deltas; they are key-pruned here exactly like the
+    stored bands."""
     banned = spark.read.parquet(os.path.join(vdir, "banned"))
     old_bands = spark.read.parquet(os.path.join(vdir, "bands")).select(
         "doc_id", "band_id", "band_key"
@@ -554,6 +568,14 @@ def lsh_index_probe(
     old_relevant = old_bands.join(
         F.broadcast(new_keys), ["band_id", "band_key"], "left_semi"
     )
+    if extra_old is not None:
+        extra = extra_old(new_keys)
+        if extra is not None:
+            old_relevant = old_relevant.unionByName(
+                extra.select("doc_id", "band_id", "band_key").join(
+                    F.broadcast(new_keys), ["band_id", "band_key"], "left_semi"
+                )
+            )
     # tag sides with a literal BEFORE the union: the probe must not
     # assume the registry's doc_id%5 split — any id space works, even one
     # that COLLIDES with stored ids: the cap window tie-breaks equal

@@ -690,6 +690,75 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_completion(out, "update")
 
 
+def lsh_stream_screen_apply(index_dir: str, results_dir: str):
+    """Build the ``foreachBatch`` function for streaming dedup screening
+    against the PERSISTED LSH index (extensions/ann_index.py) — the
+    versioned-artifact counterpart of ``incremental_dedup_apply``, which
+    rewrites its whole raw-band index every epoch (fine for the small
+    epochs it documents, O(index) per batch). This one never rewrites
+    the corpus artifact: each micro-batch of documents (doc_id, text) is
+    screened through ``_lsh_screen`` against the stored banned list +
+    bands PLUS every earlier epoch's delta, verdicts land in a per-epoch
+    results dir, and the batch's own banned-filtered signatures become
+    THIS epoch's delta — per-batch cost O(|batch|) with the corpus-sized
+    pass amortized into the one-time build.
+
+    Epoch replay is idempotent (a retried epoch overwrites its own
+    ``epoch=N`` delta and verdict dirs and only probes deltas with
+    epoch < epoch_id); a periodic ``lsh_index_build(rebuild=True)``
+    compacts deltas into a fresh atomic index version (by then the
+    ingested docs live in the corpus table), refreshing the banned list
+    exactly like the batch family's compaction."""
+    from datafusion_nats_spark.extensions.ann_index import (
+        _lsh_screen,
+        current_index_dir,
+    )
+    from datafusion_nats_spark.extensions.dedup import (
+        _banded_signatures,
+        _shingles_spark,
+    )
+
+    deltas_root = os.path.join(index_dir, "stream_deltas")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        vdir = current_index_dir(index_dir)  # consistent version per batch
+
+        def earlier_deltas(_new_keys):
+            # earlier epochs only — the current epoch's (possibly
+            # partial, pre-retry) delta must never feed its own probe;
+            # key pruning happens inside _lsh_screen
+            if not os.path.isdir(deltas_root):
+                return None
+            return (
+                sp.read.option("basePath", deltas_root)
+                .parquet(deltas_root)
+                .filter(F.col("epoch") < F.lit(int(epoch_id)))
+                .select("doc_id", "band_id", "band_key")
+            )
+
+        docs = batch_df.select("doc_id", "text")
+        verdicts = _lsh_screen(sp, vdir, docs, extra_old=earlier_deltas)
+        # per-epoch dirs: replay overwrites, never double-applies
+        verdicts.write.mode("overwrite").parquet(f"{results_dir}/epoch={epoch_id}")
+        banned = sp.read.parquet(os.path.join(vdir, "banned"))
+        shingled = docs.select(
+            "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+        )
+        (
+            _banded_signatures(
+                shingled.join(F.broadcast(banned), "shingle", "left_anti")
+            )
+            .select("doc_id", "band_id", "band_key")
+            .write.mode("overwrite")
+            .parquet(f"{deltas_root}/epoch={epoch_id}")
+        )
+
+    return apply
+
+
 # --------------------------------------------------------------------------
 # streaming ANN screen — registered, oracle-checked
 # --------------------------------------------------------------------------

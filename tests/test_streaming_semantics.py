@@ -1092,3 +1092,57 @@ def test_streaming_ann_screen_via_foreachbatch_stream(spark, broker, tmp_path):
     # the streamed-in 6001 is now index content: identical embedding,
     # guaranteed in the probe's top cell → rank 1 at cosine exactly 1.0
     assert top.neighbor_id == 6001 and top.cosine == 1.0
+
+
+def test_streaming_lsh_screen_against_persisted_index(spark, tmp_path):
+    """The persisted-LSH streaming screen (round 7): micro-batches are
+    screened against the stored banned list + bands PLUS earlier-epoch
+    deltas, and fold their own signatures as this epoch's delta. Batch 1
+    catches a dup of the PRE-EXISTING corpus; batch 2 catches a dup of a
+    BATCH-1 doc through the delta; epoch replay is idempotent. Unlike
+    incremental_dedup_apply, the corpus artifact is never rewritten —
+    per-batch cost is O(|batch|)."""
+    from datafusion_nats_spark.extensions.ann_index import lsh_index_build
+    from datafusion_nats_spark.streaming.pipelines import lsh_stream_screen_apply
+    from datafusion_nats_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    index_dir = lsh_index_build(spark, sf, str(tmp_path / "lshs"))
+    results = str(tmp_path / "verdicts")
+    apply_fn = lsh_stream_screen_apply(index_dir, results)
+
+    corpus_text = (
+        load(spark, sf, "documents").filter(F.col("doc_id") == 3).first().text
+    )
+    fresh_text = " ".join(f"qv{i} streaming words here" for i in range(30))
+    b1 = spark.createDataFrame(
+        [(3000001, corpus_text), (3000002, fresh_text)],
+        "doc_id long, text string",
+    )
+    apply_fn(b1, 0)
+    v0 = {r.doc_id: (r.is_dup, r.first_match) for r in spark.read.parquet(
+        f"{results}/epoch=0"
+    ).collect()}
+    assert v0[3000001] == (True, 3)       # caught against the stored corpus
+    assert v0[3000002] == (False, None)
+
+    b2 = spark.createDataFrame(
+        [(3000003, fresh_text)], "doc_id long, text string"
+    )
+    apply_fn(b2, 1)
+    v1 = {r.doc_id: (r.is_dup, r.first_match) for r in spark.read.parquet(
+        f"{results}/epoch=1"
+    ).collect()}
+    assert v1[3000003] == (True, 3000002)  # caught through the epoch-0 delta
+
+    # replay: identical verdicts, delta not duplicated
+    apply_fn(b2, 1)
+    v1b = {r.doc_id: (r.is_dup, r.first_match) for r in spark.read.parquet(
+        f"{results}/epoch=1"
+    ).collect()}
+    assert v1b == v1
+    deltas = spark.read.option("basePath", f"{index_dir}/stream_deltas").parquet(
+        f"{index_dir}/stream_deltas"
+    )
+    per_doc_band = deltas.groupBy("doc_id", "band_id").count()
+    assert per_doc_band.filter("count > 1").count() == 0
