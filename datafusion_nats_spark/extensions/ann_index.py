@@ -534,7 +534,11 @@ def lsh_index_probe(
 
 
 def _lsh_screen(
-    spark: SparkSession, vdir: str, new_docs: DataFrame, extra_old=None
+    spark: SparkSession,
+    vdir: str,
+    new_docs: DataFrame,
+    extra_old=None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """The ONE LSH screening pipeline (sign the batch → prune stored
     bands to the batch's bucket keys → cap stored+new jointly → collision
@@ -544,17 +548,22 @@ def _lsh_screen(
     callable(new_keys) returning additional old-side
     (doc_id, band_id, band_key) rows — the streaming screen's
     earlier-epoch deltas; they are key-pruned here exactly like the
-    stored bands."""
+    stored bands. ``new_bands``: optionally the batch's ALREADY-SIGNED
+    (doc_id, band_id, band_key) rows, banned-filtered against this
+    version's list — the streaming screen persists one signing pass and
+    shares it between the probe and its delta write instead of paying
+    the shingle+minhash cost twice."""
     banned = spark.read.parquet(os.path.join(vdir, "banned"))
     old_bands = spark.read.parquet(os.path.join(vdir, "bands")).select(
         "doc_id", "band_id", "band_key"
     )
-    shingled_new = new_docs.select(
-        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
-    )
-    new_bands = _banded_signatures(
-        shingled_new.join(F.broadcast(banned), "shingle", "left_anti")
-    ).select("doc_id", "band_id", "band_key")
+    if new_bands is None:
+        shingled_new = new_docs.select(
+            "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+        )
+        new_bands = _banded_signatures(
+            shingled_new.join(F.broadcast(banned), "shingle", "left_anti")
+        ).select("doc_id", "band_id", "band_key")
     new_ids = new_docs.select("doc_id").distinct()
     # O(|batch|) pruning BEFORE the cap window: only buckets that contain
     # a new-batch row can ever produce a collision, so semi-joining the

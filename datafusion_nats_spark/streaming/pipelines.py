@@ -569,9 +569,18 @@ def ivf_stream_screen_apply(index_dir: str, results_dir: str):
     idempotent: a retried epoch OVERWRITES its own ``epoch=N`` delta and
     verdict directories and only ever probes deltas with epoch <
     epoch_id — the same derive-from-epoch_id discipline as the LSH twin.
-    A periodic ``ivf_index_build(rebuild=True)`` compacts deltas into a
-    fresh atomic index version (by then the ingested vectors live in the
-    corpus table), after which the delta root can be cleared.
+
+    Deltas live INSIDE the resolved index version directory
+    (``v{N}/stream_deltas``), so the documented compaction is
+    self-cleaning: ``ivf_index_build(rebuild=True)`` publishes a fresh
+    version with an empty delta root (the ingested vectors live in the
+    corpus table by then) and ``gc_index_versions`` reclaims the old
+    version together with its stale deltas — a post-rebuild probe can
+    never double-count a compacted delta row (round-7 review). A guard
+    refuses an epoch that arrives while LATER epochs' deltas exist,
+    which only happens when a stream restarts without its checkpoint —
+    silently overwriting epoch 0 would drop earlier ingests from the
+    screen.
     """
     from datafusion_nats_spark.extensions.ann_index import (
         _assign_to_codebook,
@@ -579,13 +588,13 @@ def ivf_stream_screen_apply(index_dir: str, results_dir: str):
         current_index_dir,
     )
 
-    deltas_root = os.path.join(index_dir, "stream_deltas")
-
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
         vdir = current_index_dir(index_dir)  # consistent version per batch
+        deltas_root = os.path.join(vdir, "stream_deltas")
+        _guard_epoch_monotonic(deltas_root, epoch_id)
         codebook = sp.read.parquet(os.path.join(vdir, "codebook"))
         q = batch_df.select(
             F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
@@ -620,6 +629,30 @@ def ivf_stream_screen_apply(index_dir: str, results_dir: str):
         )
 
     return apply
+
+
+def _guard_epoch_monotonic(deltas_root: str, epoch_id: int) -> None:
+    """Refuse an epoch write while LATER epochs' deltas exist: a genuine
+    same-epoch retry never sees later epochs on disk (Spark replays only
+    the last uncommitted epoch), so this state means the stream was
+    restarted WITHOUT its checkpoint — overwriting epoch 0 would
+    silently drop every earlier ingest from the screening index. Resume
+    with the original checkpointLocation, or rebuild the index (which
+    starts a fresh version with an empty delta root)."""
+    if not os.path.isdir(deltas_root):
+        return
+    later = [
+        n
+        for n in os.listdir(deltas_root)
+        if n.startswith("epoch=") and int(n.split("=", 1)[1]) > int(epoch_id)
+    ]
+    if later:
+        raise ValueError(
+            f"epoch {epoch_id} arrived while later deltas exist "
+            f"({sorted(later)[:3]}…) under {deltas_root} — the stream was "
+            f"restarted without its checkpoint; resume with the original "
+            f"checkpointLocation or rebuild the index"
+        )
 
 
 @query(
@@ -690,25 +723,46 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_completion(out, "update")
 
 
-def lsh_stream_screen_apply(index_dir: str, results_dir: str):
+def lsh_stream_screen_apply(index_dir: str, results_dir: str, ingest: str = "all"):
     """Build the ``foreachBatch`` function for streaming dedup screening
     against the PERSISTED LSH index (extensions/ann_index.py) — the
     versioned-artifact counterpart of ``incremental_dedup_apply``, which
     rewrites its whole raw-band index every epoch (fine for the small
     epochs it documents, O(index) per batch). This one never rewrites
     the corpus artifact: each micro-batch of documents (doc_id, text) is
-    screened through ``_lsh_screen`` against the stored banned list +
-    bands PLUS every earlier epoch's delta, verdicts land in a per-epoch
-    results dir, and the batch's own banned-filtered signatures become
-    THIS epoch's delta — per-batch cost O(|batch|) with the corpus-sized
-    pass amortized into the one-time build.
+    signed ONCE (the persisted pass is shared between the probe and the
+    delta write), screened through ``_lsh_screen`` against the stored
+    banned list + bands PLUS every earlier epoch's delta, and its
+    signatures become THIS epoch's delta — per-batch cost O(|batch|)
+    with the corpus-sized pass amortized into the one-time build.
 
-    Epoch replay is idempotent (a retried epoch overwrites its own
-    ``epoch=N`` delta and verdict dirs and only probes deltas with
-    epoch < epoch_id); a periodic ``lsh_index_build(rebuild=True)``
-    compacts deltas into a fresh atomic index version (by then the
-    ingested docs live in the corpus table), refreshing the banned list
-    exactly like the batch family's compaction."""
+    ``ingest`` picks the write-back policy:
+
+    - ``"all"`` (default, matching ``incremental_dedup_apply``): every
+      screened doc's signatures enter the delta, so transitive chains
+      are caught (A≈B≈C where C collides only with B) — at the cost
+      that ``first_match`` may name a doc that was itself flagged a dup
+      and later dropped from the corpus;
+    - ``"unique"`` (the batch family's ``lsh_index_update`` contract:
+      probe → keep the non-dups → update): only docs the screen just
+      cleared are folded, so the delta matches what compaction will
+      find in the corpus table — rebuilds reproduce the same verdicts.
+
+    Deltas live INSIDE the resolved index version directory
+    (``v{N}/stream_deltas``), so the documented compaction is
+    self-cleaning: ``lsh_index_build(rebuild=True)`` publishes a fresh
+    version with an empty delta root and ``gc_index_versions`` reclaims
+    the old version together with its stale deltas — a post-rebuild
+    probe can never double-count a compacted delta row or mix
+    banned-list generations (round-7 review). Epoch replay is
+    idempotent (per-epoch overwrite; the probe only reads deltas with
+    epoch < epoch_id), and the epoch-monotonic guard refuses a stream
+    restarted without its checkpoint. The per-epoch delta read does list
+    every earlier epoch's files before the key semi-join prunes rows —
+    periodic compaction is what bounds stream age, same as any
+    write-optimized index."""
+    if ingest not in ("all", "unique"):
+        raise ValueError(f"unknown ingest policy {ingest!r}")
     from datafusion_nats_spark.extensions.ann_index import (
         _lsh_screen,
         current_index_dir,
@@ -718,13 +772,27 @@ def lsh_stream_screen_apply(index_dir: str, results_dir: str):
         _shingles_spark,
     )
 
-    deltas_root = os.path.join(index_dir, "stream_deltas")
-
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
         vdir = current_index_dir(index_dir)  # consistent version per batch
+        deltas_root = os.path.join(vdir, "stream_deltas")
+        _guard_epoch_monotonic(deltas_root, epoch_id)
+        docs = batch_df.select("doc_id", "text")
+        banned = sp.read.parquet(os.path.join(vdir, "banned"))
+        shingled = docs.select(
+            "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+        )
+        # ONE signing pass, persisted: the probe and the delta write
+        # share it instead of re-shingling the batch
+        new_bands = (
+            _banded_signatures(
+                shingled.join(F.broadcast(banned), "shingle", "left_anti")
+            )
+            .select("doc_id", "band_id", "band_key")
+            .persist()
+        )
 
         def earlier_deltas(_new_keys):
             # earlier epochs only — the current epoch's (possibly
@@ -739,22 +807,27 @@ def lsh_stream_screen_apply(index_dir: str, results_dir: str):
                 .select("doc_id", "band_id", "band_key")
             )
 
-        docs = batch_df.select("doc_id", "text")
-        verdicts = _lsh_screen(sp, vdir, docs, extra_old=earlier_deltas)
+        verdicts = _lsh_screen(
+            sp, vdir, docs, extra_old=earlier_deltas, new_bands=new_bands
+        )
         # per-epoch dirs: replay overwrites, never double-applies
         verdicts.write.mode("overwrite").parquet(f"{results_dir}/epoch={epoch_id}")
-        banned = sp.read.parquet(os.path.join(vdir, "banned"))
-        shingled = docs.select(
-            "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
-        )
-        (
-            _banded_signatures(
-                shingled.join(F.broadcast(banned), "shingle", "left_anti")
+        fold = new_bands
+        if ingest == "unique":
+            accepted = (
+                sp.read.parquet(f"{results_dir}/epoch={epoch_id}")
+                .filter(~F.col("is_dup"))
+                .select("doc_id")
             )
-            .select("doc_id", "band_id", "band_key")
+            fold = new_bands.join(F.broadcast(accepted), "doc_id", "left_semi")
+        (
+            fold
+            # cluster by the probe join key, matching lsh_index_update
+            .repartition("band_id", "band_key")
             .write.mode("overwrite")
             .parquet(f"{deltas_root}/epoch={epoch_id}")
         )
+        new_bands.unpersist()
 
     return apply
 
@@ -908,10 +981,22 @@ def _screen_oracle() -> str:
     "sim_index_probe, completing the similarity family's ingest loop.",
 )
 def sim_stream_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datafusion_nats_spark.extensions.ann_index import ivf_index_build
+    import shutil as sh
+
+    from datafusion_nats_spark.extensions.ann_index import (
+        current_index_dir,
+        ivf_index_build,
+    )
 
     index_dir = ivf_index_build(spark, sf_dir)
     results = os.path.join(index_dir, "stream_screen_results")
+    # each run replays the SAME deterministic two-epoch stream from a
+    # fresh checkpoint, so clear the previous run's deltas + verdicts —
+    # otherwise the epoch-monotonic restart guard (correctly) refuses
+    # epoch 0 while a previous run's epoch-1 delta exists
+    sh.rmtree(os.path.join(current_index_dir(index_dir), "stream_deltas"),
+              ignore_errors=True)
+    sh.rmtree(results, ignore_errors=True)
     apply_fn = ivf_stream_screen_apply(index_dir, results)
     stream = (
         spark.readStream.schema("vec_id long, emb array<double>")

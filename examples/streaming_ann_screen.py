@@ -54,6 +54,8 @@ def main() -> None:
     base = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") == 7).select(
         _emb_double().alias("emb")
     )
+    assert base.count() == 1, f"no vec_id 7 in {SF_DIR}/embeddings.parquet"
+    hits = []
     for epoch, new_id in enumerate((5001, 5002)):
         batch = base.select(F.lit(new_id).cast("long").alias("vec_id"), "emb")
         screen(batch, epoch)
@@ -68,11 +70,15 @@ def main() -> None:
             f"({len(hits)} candidates from the pruned cells)"
         )
 
-    top2 = sorted(
-        spark.read.parquet(f"{results}/epoch=1").collect(),
-        key=lambda r: int(r.rn),
-    )[0]
-    assert top2.neighbor_id == 5001 and top2.cosine == 1.0
+    # the guaranteed property: 5001 was ingested into epoch 1's top probe
+    # cell (same argmax rule as the probe), so the epoch-1 clone finds it
+    # at cosine exactly 1.0 within the top 2 — the original corpus vector
+    # can legitimately tie at 1.0 and win the ascending-id tie-break on
+    # fixtures where its label cell is also probed
+    assert any(
+        r.neighbor_id == 5001 and r.cosine == 1.0 and int(r.rn) <= 2
+        for r in hits
+    )
     print(
         "batch-2 clone matched the batch-1 INGESTED vector at cosine 1.0 "
         "— the index accumulates across micro-batches"

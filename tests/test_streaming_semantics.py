@@ -5,6 +5,8 @@ never delivered (SURVEY §4.1)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1014,9 +1016,10 @@ def test_streaming_ann_screen_accumulates_index(spark, tmp_path):
     # epoch replay: rewrites, never double-ingests (5001 appears once in
     # the epoch-0 delta, and the verdicts are unchanged)
     apply_fn(b2, 1)
-    deltas = spark.read.option("basePath", f"{index_dir}/stream_deltas").parquet(
-        f"{index_dir}/stream_deltas"
-    )
+    from datafusion_nats_spark.extensions.ann_index import current_index_dir
+
+    droot = f"{current_index_dir(index_dir)}/stream_deltas"
+    deltas = spark.read.option("basePath", droot).parquet(droot)
     assert deltas.filter(F.col("vec_id") == 5001).count() == 1
     h1b = spark.read.parquet(f"{results}/epoch=1").collect()
     assert sorted((r.query_id, int(r.rn), r.neighbor_id) for r in h1b) == sorted(
@@ -1141,8 +1144,82 @@ def test_streaming_lsh_screen_against_persisted_index(spark, tmp_path):
         f"{results}/epoch=1"
     ).collect()}
     assert v1b == v1
-    deltas = spark.read.option("basePath", f"{index_dir}/stream_deltas").parquet(
-        f"{index_dir}/stream_deltas"
-    )
+    from datafusion_nats_spark.extensions.ann_index import current_index_dir
+
+    droot = f"{current_index_dir(index_dir)}/stream_deltas"
+    deltas = spark.read.option("basePath", droot).parquet(droot)
     per_doc_band = deltas.groupBy("doc_id", "band_id").count()
     assert per_doc_band.filter("count > 1").count() == 0
+
+
+def test_stream_screen_restart_guard_and_compaction_scoping(spark, tmp_path):
+    """Round-7 review pins: (1) an epoch arriving while LATER epochs'
+    deltas exist means the stream restarted without its checkpoint —
+    both screens refuse instead of silently overwriting epoch 0;
+    (2) deltas are scoped INSIDE the index version, so the documented
+    rebuild compaction starts a clean slate (no double-counting of
+    compacted rows and no banned-list generation mixing)."""
+    from datafusion_nats_spark.extensions.ann_index import (
+        current_index_dir,
+        lsh_index_build,
+    )
+    from datafusion_nats_spark.streaming.pipelines import lsh_stream_screen_apply
+
+    sf = "/root/testdata/sf0.001"
+    index_dir = lsh_index_build(spark, sf, str(tmp_path / "lshg"))
+    results = str(tmp_path / "v")
+    apply_fn = lsh_stream_screen_apply(index_dir, results)
+    text_a = " ".join(f"ga{i} guard words now" for i in range(30))
+    text_b = " ".join(f"gb{i} guard words now" for i in range(30))
+    apply_fn(spark.createDataFrame([(1, text_a)], "doc_id long, text string"), 0)
+    apply_fn(spark.createDataFrame([(2, text_b)], "doc_id long, text string"), 1)
+    v1 = current_index_dir(index_dir)
+    assert os.path.isdir(f"{v1}/stream_deltas/epoch=1")
+    # (1) restart without checkpoint → epoch 0 again → loud refusal
+    with pytest.raises(ValueError, match="without its checkpoint"):
+        apply_fn(
+            spark.createDataFrame([(3, text_a)], "doc_id long, text string"), 0
+        )
+    # …a genuine same-epoch retry (latest epoch) is still fine
+    apply_fn(spark.createDataFrame([(2, text_b)], "doc_id long, text string"), 1)
+    # (2) rebuild publishes a fresh version whose delta root is empty —
+    # the old version keeps its deltas (a live probe can finish), the
+    # new one starts clean and epoch 0 is accepted again
+    lsh_index_build(spark, sf, index_dir, rebuild=True)
+    v2 = current_index_dir(index_dir)
+    assert v2 != v1
+    assert not os.path.isdir(f"{v2}/stream_deltas")
+    assert os.path.isdir(f"{v1}/stream_deltas/epoch=1")
+    apply_fn(spark.createDataFrame([(4, text_a)], "doc_id long, text string"), 0)
+    assert os.path.isdir(f"{v2}/stream_deltas/epoch=0")
+
+
+def test_lsh_stream_screen_unique_ingest_policy(spark, tmp_path):
+    """ingest='unique' follows the batch family's accepted-only
+    contract: a doc flagged dup is NOT folded into the delta, so a later
+    copy matches the ORIGINAL (still-ingested) doc, never the rejected
+    one — verdicts agree with what a post-compaction rebuild would say."""
+    from datafusion_nats_spark.extensions.ann_index import lsh_index_build
+    from datafusion_nats_spark.streaming.pipelines import lsh_stream_screen_apply
+
+    sf = "/root/testdata/sf0.001"
+    index_dir = lsh_index_build(spark, sf, str(tmp_path / "lshu"))
+    results = str(tmp_path / "v")
+    apply_fn = lsh_stream_screen_apply(index_dir, results, ingest="unique")
+    fresh = " ".join(f"uq{i} policy words here" for i in range(30))
+    apply_fn(spark.createDataFrame([(10, fresh)], "doc_id long, text string"), 0)
+    # epoch 1: a dup of doc 10 — flagged, and NOT ingested
+    apply_fn(spark.createDataFrame([(11, fresh)], "doc_id long, text string"), 1)
+    v1 = {r.doc_id: (r.is_dup, r.first_match) for r in spark.read.parquet(
+        f"{results}/epoch=1"
+    ).collect()}
+    assert v1[11] == (True, 10)
+    # epoch 2: another dup — its first_match must still be 10 (the
+    # accepted doc), proving 11 never entered the delta
+    apply_fn(spark.createDataFrame([(12, fresh)], "doc_id long, text string"), 2)
+    v2 = {r.doc_id: (r.is_dup, r.first_match) for r in spark.read.parquet(
+        f"{results}/epoch=2"
+    ).collect()}
+    assert v2[12] == (True, 10)
+    with pytest.raises(ValueError, match="ingest policy"):
+        lsh_stream_screen_apply(index_dir, results, ingest="bogus")
