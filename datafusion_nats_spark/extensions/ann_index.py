@@ -97,7 +97,8 @@ def _index_root(kind: str, sf_dir: str, variant: str = "") -> str:
     so a regenerated corpus can never be served by a stale cached index
     (and no other local user can pre-plant one — round-6 advisory)."""
     src = os.path.join(
-        sf_dir, "embeddings.parquet" if kind == "ivf" else "documents.parquet"
+        sf_dir,
+        "embeddings.parquet" if kind in ("ivf", "pq") else "documents.parquet",
     )
     try:
         st = os.stat(src)
@@ -450,6 +451,100 @@ def sim_index_probe_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), _emb_double().alias("qe"))
     )
     return ivf_index_probe(spark, index_dir, q)
+
+
+# --------------------------------------------------------------------------
+# PQ: per-subspace codebook + corpus codes (compressed-domain ANN)
+# --------------------------------------------------------------------------
+
+
+def pq_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    rebuild: bool = False,
+) -> str:
+    """Build the persisted product-quantization index: writes
+    ``codebook/`` (j, m, cent — M*KSUB = 64 rows, broadcast everywhere)
+    and ``codes/`` (vec_id, m, code, cnorm2 — M small integers + one
+    double per vector, the 256-byte-per-vector story that makes PQ the
+    standard billion-scale ANN representation) into a fresh version
+    directory, atomically published like the IVF/LSH families. The
+    encode pass (extensions/pq.pq_encode) touches the full-precision
+    corpus exactly ONCE; every later probe scans the CODES. Idempotent
+    once published; ``rebuild=True`` publishes a recomputed version."""
+    from datafusion_nats_spark.extensions.pq import pq_codebook, pq_encode
+
+    index_dir = index_dir or _index_root("pq", sf_dir)
+    cur = _current_version(index_dir)
+    if cur is not None and not rebuild:
+        stored = _read_flavor(_version_dir(index_dir, cur))
+        if stored != "pq":
+            raise ValueError(
+                f"index at {index_dir} is published with flavor {stored!r}, "
+                f"not 'pq' — pass rebuild=True or use a different index_dir"
+            )
+        return index_dir
+    version = (cur or 0) + 1
+    vdir = _version_dir(index_dir, version)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double().alias("emb")
+    )
+    cb = pq_codebook(e)
+    cb.write.mode("overwrite").parquet(os.path.join(vdir, "codebook"))
+    pq_encode(e, cb).write.mode("overwrite").parquet(os.path.join(vdir, "codes"))
+    _write_flavor(vdir, "pq")
+    _publish_version(index_dir, version)  # the atomic commit
+    return index_dir
+
+
+def pq_index_probe(
+    spark: SparkSession, index_dir: str, q: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Probe the persisted PQ index with a query batch ``q``
+    (query_id, qemb): resolve the CURRENT version once (rebuild-safe),
+    build the ADC lookup table against the stored codebook, score every
+    stored code row (a scan of integers, never of vectors), and exactly
+    rerank the top-RERANK candidates per query against ``corpus``
+    (vec_id, emb) — at 100 TB the candidate-id equi-join touches
+    RERANK×|queries| full-precision rows, not the corpus. Results are
+    identical to ``sim_pq_ann`` by construction: same codebook seeds,
+    same rounded argmin encode (parquet round-trips doubles exactly),
+    same ordered ADC sums, same rerank."""
+    from datafusion_nats_spark.extensions.pq import pq_adc_rerank
+
+    vdir = current_index_dir(index_dir)
+    cb = spark.read.parquet(os.path.join(vdir, "codebook"))
+    enc = spark.read.parquet(os.path.join(vdir, "codes"))
+    return pq_adc_rerank(q, cb, enc, corpus)
+
+
+def _pq_probe_oracle() -> str:
+    from datafusion_nats_spark.extensions.pq import _pq_oracle
+
+    return _pq_oracle()
+
+
+@query(
+    "sim_index_probe_pq",
+    oracle=_pq_probe_oracle(),
+    doc="Persisted-index ANN probe over PQ codes — the compressed-domain "
+    "100 TB shape: the build encodes the corpus ONCE into M integer "
+    "codes per vector (stored with the 64-row codebook, atomic "
+    "versioned publish); each probe scans only the stored codes via a "
+    "broadcast ADC lookup table and exactly reranks the top candidates "
+    "against full-precision vectors fetched by id. Same oracle as "
+    "sim_pq_ann — results identical by construction.",
+)
+def sim_index_probe_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = pq_index_build(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double().alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    return pq_index_probe(spark, index_dir, q, e)
 
 
 # --------------------------------------------------------------------------

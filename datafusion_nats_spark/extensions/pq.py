@@ -164,35 +164,56 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
     )
-    # --- codebook: KSUB md5-order seed vectors, sliced into M subspaces
+    cb = pq_codebook(e)
+    enc = pq_encode(e, cb)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    return pq_adc_rerank(q, cb, enc, e)
+
+
+def _sqd(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def pq_codebook(e: DataFrame) -> DataFrame:
+    """(j, m, cent) — KSUB md5-order seed vectors sliced into M
+    subspaces. Shared between the in-plan sim_pq_ann and the persisted
+    build (extensions/ann_index.pq_index_build) so the two can never
+    drift; M*KSUB = 64 rows, localCheckpointed (truncates the window
+    lineage)."""
     seeds = (
         e.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "emb")
         .orderBy("h", "vec_id")
         .limit(KSUB)
     )
-    cb = (
+    return (
         seeds.withColumn("j", (F.row_number().over(W.orderBy("h", "vec_id")) - 1))
         .select("j", F.posexplode(_subvectors(F.col("emb"))).alias("m", "cent"))
-        .localCheckpoint()  # M*KSUB = 64 rows; truncates the window lineage
+        .localCheckpoint()
     )
 
-    def sqd(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, v: s + v
-        )
 
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-
-    def norm(a):
-        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
-
-    # --- encode: one pass over the corpus, argmin centroid per subspace
+def pq_encode(e: DataFrame, cb: DataFrame) -> DataFrame:
+    """One pass over the corpus: argmin centroid per (vector, subspace)
+    → (vec_id, m, code, cnorm2). This is the persisted index's stored
+    artifact — M small integer codes per vector, the 100 TB memory
+    story."""
     esub = e.select("vec_id", F.posexplode(_subvectors(F.col("emb"))).alias("m", "sub"))
     enc_w = W.partitionBy("vec_id", "m").orderBy("d", "j")
-    enc = (
+    return (
         esub.join(F.broadcast(cb), "m")
-        .withColumn("d", F.round(sqd(F.col("sub"), F.col("cent")), 6))
+        .withColumn("d", F.round(_sqd(F.col("sub"), F.col("cent")), 6))
         .withColumn("r", F.row_number().over(enc_w))
         .filter(F.col("r") == 1)
         .select(
@@ -202,19 +223,27 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.col("cent"), F.lit(0.0), lambda s, v: s + v * v).alias("cnorm2"),
         )
     )
-    # --- ADC lookup table: query subvector x codebook dot products
-    q = e.filter(F.col("vec_id") < N_QUERIES)
+
+
+def pq_adc_rerank(
+    q: DataFrame, cb: DataFrame, enc: DataFrame, e: DataFrame
+) -> DataFrame:
+    """ADC scoring + exact rerank, shared by the in-plan and persisted
+    paths: build the query LUT against ``cb``, score every stored code
+    row in ``enc`` (the scan is of CODES, never vectors), keep the top
+    RERANK approximate candidates per query, exactly rescore them
+    against the full-precision corpus ``e`` (vec_id, emb). ``q`` is
+    (query_id, qemb)."""
     qsub = q.select(
-        F.col("vec_id").alias("query_id"),
-        F.posexplode(_subvectors(F.col("emb"))).alias("m", "qsub"),
+        "query_id", F.posexplode(_subvectors(F.col("qemb"))).alias("m", "qsub")
     )
     qlut = qsub.join(F.broadcast(cb), "m").select(
         "query_id",
         F.col("m").alias("lm"),
         F.col("j").alias("lj"),
-        dot(F.col("qsub"), F.col("cent")).alias("pdot"),
+        _dot(F.col("qsub"), F.col("cent")).alias("pdot"),
     )
-    qn = q.select(F.col("vec_id").alias("query_id"), norm(F.col("emb")).alias("qnorm"))
+    qn = q.select("query_id", _norm(F.col("qemb")).alias("qnorm"))
     # --- ADC score from codes alone: scan of enc, broadcast LUT
     adc = (
         enc.join(
@@ -239,7 +268,7 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     # --- exact rerank of the candidate set only
-    qe = q.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    qe = q.select("query_id", "qemb")
     ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
     rer = (
         cand.join(F.broadcast(qe), "query_id")
@@ -248,8 +277,8 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qemb"), F.col("nemb"))
-                / (norm(F.col("qemb")) * norm(F.col("nemb"))),
+                _dot(F.col("qemb"), F.col("nemb"))
+                / (_norm(F.col("qemb")) * _norm(F.col("nemb"))),
                 6,
             ).alias("cosine"),
         )

@@ -478,3 +478,36 @@ def test_build_rejects_mismatched_codebook_flavor(spark, tmp_path):
     assert _read_flavor(current_index_dir(index_dir)) == "kmeans:8"
     with pytest.raises(ValueError, match="kmeans:8"):
         ivf_index_build(spark, SF, index_dir, codebook="label")
+
+
+def test_pq_probe_equals_in_plan_twin(spark, tmp_path):
+    """The persisted PQ index (compressed-domain ANN) reproduces
+    sim_pq_ann exactly through stored codes: same codebook seeds, same
+    rounded argmin encode (parquet round-trips doubles exactly), same
+    ordered ADC sums, same rerank. Build is idempotent and
+    flavor-guarded like the other families."""
+    from datafusion_nats_spark.extensions.ann_index import (
+        _read_flavor,
+        pq_index_build,
+        pq_index_probe,
+        sim_index_probe_pq,
+    )
+    from datafusion_nats_spark.extensions.pq import sim_pq_ann
+    from datafusion_nats_spark.extensions.similarity import N_QUERIES
+
+    assert _rows(sim_index_probe_pq(spark, SF)) == _rows(sim_pq_ann(spark, SF))
+    index_dir = pq_index_build(spark, SF, str(tmp_path / "pq"))
+    assert _read_flavor(current_index_dir(index_dir)) == "pq"
+    assert pq_index_build(spark, SF, index_dir) == index_dir  # idempotent
+    with pytest.raises(ValueError, match="'pq'"):
+        ivf_index_build(spark, SF, index_dir)
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", _emb_double().alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 2).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    got = pq_index_probe(spark, index_dir, q, e)
+    want = sim_pq_ann(spark, SF).filter(F.col("query_id") == 2)
+    assert _rows(got) == _rows(want)
+    assert N_QUERIES > 2  # the single-query restriction is a real subset
