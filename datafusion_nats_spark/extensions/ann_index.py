@@ -519,6 +519,33 @@ def pq_index_probe(
     return pq_adc_rerank(q, cb, enc, corpus)
 
 
+def pq_index_update(
+    spark: SparkSession, index_dir: str, vectors: DataFrame
+) -> None:
+    """Fold new vectors (vec_id, emb array<double>) into the CURRENT
+    PQ index version: each is encoded against the STORED codebook (the
+    same rounded-argmin pass the build ran — ``pq_encode`` is shared, so
+    index contents stay consistent with probe-time arithmetic) and its
+    M integer codes append to ``codes/``, so every subsequent ADC scan
+    scores it. Appends are add-only parquet files — a concurrent probe
+    sees the pre- or post-append listing, never a torn file. The
+    codebook is NOT relearned here (appends quantize against drifting
+    centroids, like any write-optimized index) — a periodic
+    ``pq_index_build(rebuild=True)`` publishes a recomputed version.
+    The caller's rerank ``corpus`` must cover the appended ids (at
+    100 TB the full-precision vectors live in the corpus table; the
+    index stores only codes)."""
+    from datafusion_nats_spark.extensions.pq import pq_encode
+
+    vdir = current_index_dir(index_dir)
+    cb = spark.read.parquet(os.path.join(vdir, "codebook"))
+    (
+        pq_encode(vectors, cb)
+        .write.mode("append")
+        .parquet(os.path.join(vdir, "codes"))
+    )
+
+
 def _pq_probe_oracle() -> str:
     from datafusion_nats_spark.extensions.pq import _pq_oracle
 

@@ -511,3 +511,38 @@ def test_pq_probe_equals_in_plan_twin(spark, tmp_path):
     want = sim_pq_ann(spark, SF).filter(F.col("query_id") == 2)
     assert _rows(got) == _rows(want)
     assert N_QUERIES > 2  # the single-query restriction is a real subset
+
+def test_pq_index_update_ingest_loop(spark, tmp_path):
+    """PQ write-back completes the family's build/probe/update
+    lifecycle: a new vector identical to corpus vector 0 is encoded
+    against the STORED codebook and appended to codes/; the next probe's
+    ADC scan scores it (identical codes -> identical approx cosine as
+    vector 0 itself, which the ADC ranks first among non-self ids) and
+    the exact rerank — fed a corpus that covers the appended id, per the
+    update contract — surfaces it at rank 1 with cosine exactly 1.0."""
+    from datafusion_nats_spark.extensions.ann_index import (
+        pq_index_build,
+        pq_index_probe,
+        pq_index_update,
+    )
+
+    index_dir = pq_index_build(spark, SF, str(tmp_path / "pq_u"))
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", _emb_double().alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    before = {
+        int(r.rn): r.neighbor_id
+        for r in pq_index_probe(spark, index_dir, q, e).collect()
+    }
+    assert 900000 not in before.values()
+    clone = e.filter(F.col("vec_id") == 0).select(
+        F.lit(900000).cast("long").alias("vec_id"), "emb"
+    )
+    pq_index_update(spark, index_dir, clone)
+    corpus = e.unionByName(clone)  # rerank corpus covers the appended id
+    after = pq_index_probe(spark, index_dir, q, corpus).collect()
+    top = next(r for r in after if int(r.rn) == 1)
+    assert top.neighbor_id == 900000 and top.cosine == 1.0
