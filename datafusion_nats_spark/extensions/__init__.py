@@ -12,11 +12,13 @@ from datafusion_nats_spark.extensions import (  # noqa: F401
     dsir,
     graph,
     layout,
+    logreg,
     ml_variants,
     mmr,
     multimodal,
     pipeline,
     pq,
+    retrieval,
     semdedup,
     similarity,
     text,

@@ -60,6 +60,9 @@ QUERIES = [
     "text_span_dedup",
     "text_token_stats",
     "curation_sequence_packing",
+    # retrieval family — fixed query workload vs Nx corpus
+    "search_bm25_topk",
+    "search_hybrid_rrf",
 ]
 
 REPLICATED = {"documents": ["doc_id"], "embeddings": ["vec_id"]}

@@ -1,0 +1,56 @@
+"""In-engine logistic-regression training (extensions/logreg.py):
+the exact trajectory is pinned by the unrolled-CTE DuckDB oracle in the
+sweep; these tests pin the LEARNING claims — loss falls, the student
+beats the majority class on the fixture, and the GD machinery drives a
+separable synthetic problem to perfect accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.extensions.logreg import (
+    ITERS,
+    _eval_pass,
+    _metrics_row,
+    _next_weights,
+    curation_quality_logreg,
+    quality_features,
+)
+from datafusion_nats_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_logloss_falls_and_beats_majority(spark):
+    rows = sorted(curation_quality_logreg(spark, SF).collect(), key=lambda r: r.it)
+    assert [r.it for r in rows] == list(range(ITERS + 1))
+    lls = [r.logloss for r in rows]
+    assert all(a > b for a, b in zip(lls, lls[1:])), f"logloss not falling: {lls}"
+    feats = quality_features(
+        load(spark, SF, "documents").select("doc_id", "text", "lang")
+    )
+    pos = feats.agg(F.avg("y")).first()[0]
+    majority = max(pos, 1 - pos)
+    assert rows[0].accuracy <= majority + 1e-9  # w=0 predicts one class
+    assert rows[-1].accuracy > majority + 0.05, (
+        f"trained accuracy {rows[-1].accuracy} does not beat majority {majority}"
+    )
+
+
+def test_gd_machinery_solves_separable_problem(spark):
+    """A linearly separable synthetic set (y decided by x2's sign,
+    margin 1): three lr=2 GD steps must reach accuracy 1.0 — the
+    optimizer itself works, independent of the fixture's teacher."""
+    feats = spark.createDataFrame(
+        [(float(y), 0.0, x2, 0.0) for x2, y in
+         [(-1.0, 0), (-1.2, 0), (-0.8, 0), (1.0, 1), (1.1, 1), (0.9, 1)]],
+        "y double, x1 double, x2 double, x3 double",
+    )
+    w = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
+    )
+    for t in range(ITERS):
+        w = _next_weights(_eval_pass(feats, w)).localCheckpoint()
+    final = _metrics_row(_eval_pass(feats, w), ITERS).first()
+    assert final.accuracy == 1.0
+    assert final.w_len > 0  # weight on the separating feature
