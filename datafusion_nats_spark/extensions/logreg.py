@@ -43,6 +43,8 @@ train-the-filter-in-the-engine primitive its pipelines assume exists.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -160,16 +162,21 @@ def _next_weights(ev: DataFrame) -> DataFrame:
     )
 
 
-def _logreg_oracle() -> str:
+def _training_blocks() -> list[str]:
+    """The shared unrolled-CTE training prefix: feats, it0..it{ITERS},
+    ev0..ev{ITERS} — composed by the trajectory oracle AND the
+    persisted-model scoring oracle so the two can never drift."""
     feats = f"""
     raw AS (
-      SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
              CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                           t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE) AS n_stop,
              CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq
       FROM documents
     ), feats AS (
-      SELECT CAST(least(n_tok / 100, 1.0) * 0.5
+      SELECT doc_id,
+             CAST(least(n_tok / 100, 1.0) * 0.5
                   + least(n_stop / n_tok * 5, 1.0) * 0.5
                   >= {QUALITY_THRESHOLD} AS DOUBLE) AS y,
              round(n_stop / n_tok, 6) AS x1,
@@ -207,6 +214,11 @@ def _logreg_oracle() -> str:
              round(w3 - {LR} * (CAST(s3 AS DOUBLE) / {_MU} / n), 6) AS w3
       FROM ev{t}
     )""")
+    return blocks
+
+
+def _logreg_oracle() -> str:
+    blocks = _training_blocks()
     selects = [
         f"""SELECT {t} AS it, w0 AS w_bias, w1 AS w_stop, w2 AS w_len, w3 AS w_ttr,
                round(CAST(sll AS DOUBLE) / {_MU} / n, 6) AS logloss,
@@ -253,3 +265,120 @@ def curation_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             # growing lineage exactly like the Lloyd codebook loop
             w = _next_weights(ev).localCheckpoint()
     return out
+
+# --------------------------------------------------------------------------
+# persisted model: train once, atomic versioned publish, score many
+# --------------------------------------------------------------------------
+
+
+def quality_model_build(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    rebuild: bool = False,
+) -> str:
+    """Train the quality classifier ONCE and publish the 1-row weight
+    relation as a versioned on-disk artifact, exactly like the
+    ANN/LSH index families (fresh ``v{N}/`` directory, atomic CURRENT
+    pointer swap, flavor marker, ``gc_index_versions`` reclamation):
+    at 100 TB training is a many-pass corpus job you amortize, scoring
+    is a cheap map you run per ingest batch — the same
+    build-once/probe-many economics as the indexes, so it shares their
+    publish machinery. Idempotent once published; ``rebuild=True``
+    retrains on the current corpus and publishes a new version while
+    live scorers keep their resolved version."""
+    from datafusion_nats_spark.extensions.ann_index import (
+        _current_version,
+        _index_root,
+        _publish_version,
+        _read_flavor,
+        _version_dir,
+        _write_flavor,
+    )
+
+    index_dir = index_dir or _index_root("logreg", sf_dir)
+    cur = _current_version(index_dir)
+    if cur is not None and not rebuild:
+        stored = _read_flavor(_version_dir(index_dir, cur))
+        if stored != "logreg":
+            raise ValueError(
+                f"artifact at {index_dir} is published with flavor "
+                f"{stored!r}, not 'logreg' — pass rebuild=True or use a "
+                f"different index_dir"
+            )
+        return index_dir
+    version = (cur or 0) + 1
+    vdir = _version_dir(index_dir, version)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = quality_features(docs)
+    w = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
+    )
+    for _ in range(ITERS):
+        w = _next_weights(_eval_pass(feats, w)).localCheckpoint()
+    w.write.mode("overwrite").parquet(os.path.join(vdir, "model"))
+    _write_flavor(vdir, "logreg")
+    _publish_version(index_dir, version)  # the atomic commit
+    return index_dir
+
+
+def quality_model_score(
+    spark: SparkSession, index_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Score a document batch (doc_id, text) against the CURRENT
+    published model version: one narrow map — features, broadcast
+    1-row weights, sigmoid — emitting (doc_id, score, keep). The
+    filter every ingest batch runs; resolve-once semantics make it
+    safe against a concurrent retrain publish."""
+    from datafusion_nats_spark.extensions.ann_index import current_index_dir
+
+    vdir = current_index_dir(index_dir)
+    w = spark.read.parquet(os.path.join(vdir, "model"))
+    feats = quality_features(docs)
+    z = (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    return (
+        feats.crossJoin(F.broadcast(w))
+        .select(
+            "doc_id",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+            (z >= 0).alias("keep"),
+        )
+    )
+
+
+def _scored_oracle() -> str:
+    blocks = _training_blocks()
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + f"""
+    SELECT f.doc_id,
+           round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+                                    + w.w3 * f.x3))), 6) AS score,
+           (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) >= 0 AS keep
+    FROM feats f CROSS JOIN it{ITERS} w
+    """
+    )
+
+
+@query(
+    "curation_quality_model_score",
+    oracle=_scored_oracle(),
+    doc="Persisted-model corpus scoring: the trained quality classifier "
+    "is published once as a versioned on-disk artifact (same atomic "
+    "CURRENT-pointer machinery as the ANN/LSH indexes) and every "
+    "document is scored by a single narrow map against the broadcast "
+    "1-row weights — train-once/score-many, the economics a 100 TB "
+    "quality filter actually runs under. Oracle re-derives the same "
+    "weights via the shared unrolled training CTEs and scores "
+    "identically — results equal by construction.",
+)
+def curation_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = quality_model_build(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_model_score(spark, index_dir, docs)

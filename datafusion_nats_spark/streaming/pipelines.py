@@ -1016,3 +1016,148 @@ def sim_stream_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "rn",
     )
+
+
+# --------------------------------------------------------------------------
+# streaming quality screen against the persisted classifier model
+# --------------------------------------------------------------------------
+
+_QSCREEN_SHIFT = 2_000_000  # streamed doc clone ids: corpus doc_id + SHIFT
+
+
+def quality_stream_screen_apply(index_dir: str, results_dir: str):
+    """Build the ``foreachBatch`` function for STREAMING quality
+    filtering against the persisted classifier model — the
+    curation-family twin of the LSH/IVF stream screens, and the
+    STATELESS member of the trio: the model does not grow with the
+    stream, so each micro-batch of documents (doc_id, text) is scored
+    by one narrow map (features → broadcast 1-row weights → sigmoid)
+    and its verdicts land in a per-epoch results directory. Epoch
+    replay is idempotent (a retried epoch overwrites its own
+    ``epoch=N`` verdicts); the model version is resolved per batch, so
+    a concurrent retrain publish flips batches atomically, never
+    mid-batch."""
+    from datafusion_nats_spark.extensions.logreg import quality_model_score
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        scored = quality_model_score(
+            sp, index_dir, batch_df.select("doc_id", "text")
+        )
+        scored.write.mode("overwrite").parquet(f"{results_dir}/epoch={epoch_id}")
+
+    return apply
+
+
+def _qscreen_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The deterministic two-batch DOCUMENT 'stream': clones of every
+    doc_id % 5 == 0 corpus document under shifted ids, split by
+    (doc_id div 5) % 2, with pinned file mtimes so the file source
+    admits batch 0 strictly first — deterministic content, order, and
+    boundaries, which is what lets the streaming screen carry a full
+    DuckDB oracle."""
+    import hashlib
+    import shutil as sh
+
+    from datafusion_nats_spark.cache import user_cache_dir
+    from datafusion_nats_spark.tables import load
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        fp = "nosrc"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{fp}:q1".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(user_cache_dir(), f"qscreen_stream_{tag}")
+    done = os.path.join(out, "_READY")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    for k in (0, 1):
+        batch = d.filter((F.col("doc_id") / 5).cast("long") % 2 == k).select(
+            (F.col("doc_id") + _QSCREEN_SHIFT).cast("long").alias("doc_id"),
+            "text",
+        )
+        tmp = os.path.join(out, f"_tmp{k}")
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        sh.move(os.path.join(tmp, part), os.path.join(out, f"batch{k}.parquet"))
+        sh.rmtree(tmp)
+        os.utime(os.path.join(out, f"batch{k}.parquet"), (1000 + k * 100,) * 2)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _qscreen_oracle() -> str:
+    from datafusion_nats_spark.extensions.logreg import (
+        ITERS,
+        _training_blocks,
+    )
+
+    blocks = _training_blocks()
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + f""", stream AS (
+      SELECT CAST(doc_id + {_QSCREEN_SHIFT} AS BIGINT) AS sid,
+             CAST((doc_id // 5) % 2 AS INT) AS epoch,
+             doc_id AS src_id
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT s.sid AS doc_id, s.epoch,
+           round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+                                    + w.w3 * f.x3))), 6) AS score,
+           (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3) >= 0 AS keep
+    FROM stream s
+    JOIN feats f ON f.doc_id = s.src_id
+    CROSS JOIN it{ITERS} w
+    """
+    )
+
+
+@query(
+    "stream_quality_screen",
+    oracle=_qscreen_oracle(),
+    doc="STREAMING quality filter with a full oracle: a deterministic "
+    "two-batch document stream (file source, pinned admission order) "
+    "runs through quality_stream_screen_apply via a real foreachBatch "
+    "query — every micro-batch is scored against the persisted "
+    "classifier model (trained once, atomic versioned publish) by one "
+    "narrow map and lands per-epoch verdicts. The streaming execution "
+    "must equal the batch scoring SQL (shared unrolled training CTEs + "
+    "identical sigmoid scoring) — the curation-family twin of the "
+    "LSH/IVF stream screens, completing the screen trio.",
+)
+def stream_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as sh
+
+    from datafusion_nats_spark.extensions.logreg import quality_model_build
+
+    index_dir = quality_model_build(spark, sf_dir)
+    results = os.path.join(index_dir, "stream_screen_results")
+    sh.rmtree(results, ignore_errors=True)
+    apply_fn = quality_stream_screen_apply(index_dir, results)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")  # one pinned batch per trigger
+        .parquet(_qscreen_stream_dir(spark, sf_dir))
+    )
+    q = stream.writeStream.foreachBatch(apply_fn).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.option("basePath", results).parquet(results)
+    return out.select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        "score",
+        "keep",
+    )

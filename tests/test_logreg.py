@@ -54,3 +54,60 @@ def test_gd_machinery_solves_separable_problem(spark):
     final = _metrics_row(_eval_pass(feats, w), ITERS).first()
     assert final.accuracy == 1.0
     assert final.w_len > 0  # weight on the separating feature
+
+def test_persisted_model_lifecycle(spark, tmp_path):
+    """Train-once/score-many: the published model artifact is
+    idempotent (second build returns without retraining), flavor-
+    guarded against another family claiming the directory, versioned
+    (rebuild publishes v2 while v1 stays on disk), and its scores
+    equal the registry query's output by construction."""
+    import pytest
+    from datafusion_nats_spark.extensions.ann_index import (
+        _current_version,
+        ivf_index_build,
+    )
+    from datafusion_nats_spark.extensions.logreg import (
+        curation_quality_model_score,
+        quality_model_build,
+        quality_model_score,
+    )
+
+    index_dir = quality_model_build(spark, SF, str(tmp_path / "m"))
+    assert _current_version(index_dir) == 1
+    assert quality_model_build(spark, SF, index_dir) == index_dir
+    assert _current_version(index_dir) == 1  # idempotent, no retrain
+    with pytest.raises(ValueError, match="'logreg'"):
+        ivf_index_build(spark, SF, index_dir)
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    got = sorted(
+        tuple(r) for r in quality_model_score(spark, index_dir, docs).collect()
+    )
+    want = sorted(tuple(r) for r in curation_quality_model_score(spark, SF).collect())
+    assert got == want
+    quality_model_build(spark, SF, index_dir, rebuild=True)
+    assert _current_version(index_dir) == 2
+
+def test_stream_quality_screen_epochs_and_replay(spark):
+    """The screen's two pinned batches land as two epochs covering the
+    full streamed id set, and re-running the whole stream (fresh
+    checkpoint, overwrite-per-epoch verdicts) reproduces identical
+    results — the idempotent-replay contract."""
+    from datafusion_nats_spark.streaming.pipelines import (
+        _QSCREEN_SHIFT,
+        stream_quality_screen,
+    )
+
+    first = stream_quality_screen(spark, SF).collect()
+    epochs = {r.epoch for r in first}
+    assert epochs == {0, 1}
+    assert all(r.doc_id >= _QSCREEN_SHIFT for r in first)
+    expected = {
+        r.doc_id + _QSCREEN_SHIFT
+        for r in load(spark, SF, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert {r.doc_id for r in first} == expected
+    second = stream_quality_screen(spark, SF).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
