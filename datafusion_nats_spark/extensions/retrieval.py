@@ -440,3 +440,222 @@ def search_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_at_k"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# phrase (positional) search + per-arm quality report
+# --------------------------------------------------------------------------
+
+# the phrase workload: adjacent-token sequences, broadcast like BM25's
+PHRASE_QUERIES: list[tuple[int, str, str]] = [
+    (0, "hash", "join"),
+    (1, "window", "sort"),
+    (2, "stream", "batch"),
+    (3, "table", "scan"),
+]
+
+
+@query(
+    "search_phrase_match",
+    oracle=f"""
+    WITH p AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({q}, '{a}', '{b}')" for q, a, b in PHRASE_QUERIES)}
+      ) v(query_id, term_a, term_b)
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents
+    ), hits AS (
+      SELECT p.query_id, t.doc_id,
+             list_filter(range(1, len(t.arr)),
+                         i -> t.arr[i] = p.term_a AND t.arr[i+1] = p.term_b)
+               AS pos
+      FROM toks t CROSS JOIN p
+    )
+    SELECT query_id, doc_id,
+           CAST(len(pos) AS INT) AS n_occurrences,
+           CAST(pos[1] AS INT) AS first_pos
+    FROM hits WHERE len(pos) > 0
+    """,
+    doc="Positional phrase search: each (term_a, term_b) phrase query "
+    "finds documents where the terms are ADJACENT tokens, with "
+    "occurrence count and first position — entirely as a zero-shuffle "
+    "map over the corpus (higher-order filter over token positions, "
+    "broadcast phrase workload); the sequential-scan complement of "
+    "text_inverted_index's indexed lookups. At 100 TB this is the "
+    "shape of a regex/phrase sweep: embarrassingly parallel, "
+    "no shuffle at all before the (tiny) result.",
+)
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    phrases = spark.createDataFrame(
+        PHRASE_QUERIES, "query_id int, term_a string, term_b string"
+    )
+    return phrase_match(docs, phrases)
+
+
+def phrase_match(docs: DataFrame, phrases: DataFrame) -> DataFrame:
+    """Adjacent-token phrase matches of every (query_id, term_a, term_b)
+    phrase against (doc_id, text) → (query_id, doc_id, n_occurrences,
+    first_pos), matching docs only. Zero shuffle: a higher-order filter
+    over 1-based token positions per (doc, phrase) row, phrases
+    broadcast."""
+    toks = tokens(F.col("text"))
+    # positions i (1-based) with arr[i] = term_a and arr[i+1] = term_b;
+    # sequence is ascending, so the filtered list stays ordered and its
+    # head is the first occurrence
+    pos = F.filter(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: (F.element_at(toks, i) == F.col("term_a"))
+        & (F.element_at(toks, i + 1) == F.col("term_b")),
+    )
+    return (
+        docs.crossJoin(F.broadcast(phrases))
+        .select("query_id", "doc_id", pos.alias("pos"))
+        .filter(F.size("pos") > 0)
+        .select(
+            "query_id",
+            "doc_id",
+            F.size("pos").cast("int").alias("n_occurrences"),
+            F.element_at("pos", 1).cast("int").alias("first_pos"),
+        )
+    )
+
+
+@query(
+    "search_eval_arms_report",
+    oracle=f"""
+    WITH {_HYBRID_BM25_BLOCK}, kw AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM bm25
+      ) WHERE rank <= {ARM_K}
+    ), e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), vec AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(
+                   list_sum(list_transform(list_zip(q.emb, c.emb), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c.emb, x -> x * x)))), 6) DESC,
+                 c.vec_id) AS rank
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_Q_HYBRID}
+      ) WHERE rank <= {ARM_K}
+    ), fused AS (
+      SELECT coalesce(kw.query_id, vec.query_id) AS query_id,
+             coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+             round(coalesce(1.0 / ({RRF_K} + kw.rank), 0.0)
+                   + coalesce(1.0 / ({RRF_K} + vec.rank), 0.0), 6) AS rrf_score
+      FROM kw FULL OUTER JOIN vec USING (query_id, doc_id)
+    ), fused_rank AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    ), arms AS (
+      SELECT 'kw' AS arm, query_id, doc_id, rank FROM kw
+      UNION ALL
+      SELECT 'vec' AS arm, query_id, doc_id, rank FROM vec
+      UNION ALL
+      SELECT 'rrf' AS arm, query_id, doc_id, rank
+      FROM fused_rank WHERE rank <= {ARM_K}
+    ), labeled AS (
+      SELECT a.arm, a.query_id, a.rank,
+             (n.label = q.label) AS is_rel
+      FROM arms a
+      JOIN e q ON q.vec_id = a.query_id
+      JOIN e n ON n.vec_id = a.doc_id
+    )
+    SELECT arm, query_id,
+           CAST(min(CASE WHEN is_rel THEN rank END) AS INT) AS first_rel_rank,
+           round(coalesce(1.0 / min(CASE WHEN is_rel THEN rank END), 0.0), 6)
+             AS mrr,
+           CAST(count(CASE WHEN is_rel AND rank <= {TOP_K} THEN 1 END) AS INT)
+             AS n_rel_topk
+    FROM labeled
+    GROUP BY arm, query_id
+    """,
+    doc=f"Per-arm retrieval-quality report for the hybrid stack: the "
+    "BM25 keyword arm, the vector arm, and their RRF fusion are each "
+    "graded per query against the label-cohort relevance set "
+    f"(first-relevant rank, MRR, relevant-in-top-{TOP_K}) — the A/B "
+    "table that justifies (or vetoes) fusion before it ships, as one "
+    "relational query over the same rank-relations the hybrid search "
+    "consumes.",
+)
+def search_eval_arms_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    qdocs = docs.filter(F.col("doc_id") < N_Q_HYBRID)
+    terms = qdocs.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+    )
+    kw_scores = bm25_scores(docs, terms).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    w_kw = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    kw = (
+        kw_scores.withColumn("rank", F.row_number().over(w_kw))
+        .filter(F.col("rank") <= ARM_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _emb_double().alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_Q_HYBRID).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    cos = F.round(
+        _dot(F.col("qe"), F.col("emb")) / (_norm(F.col("qe")) * _norm(F.col("emb"))), 6
+    )
+    w_vec = W.partitionBy("query_id").orderBy(F.desc("cosine"), "doc_id")
+    vec = (
+        F.broadcast(q)
+        .join(e, e.vec_id != q.query_id)
+        .select("query_id", F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_vec))
+        .filter(F.col("rank") <= ARM_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    w_f = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    fused = (
+        rrf_fuse([kw, vec])
+        .withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= ARM_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    arms = (
+        kw.select(F.lit("kw").alias("arm"), "query_id", "doc_id", "rank")
+        .unionByName(
+            vec.select(F.lit("vec").alias("arm"), "query_id", "doc_id", "rank")
+        )
+        .unionByName(
+            fused.select(F.lit("rrf").alias("arm"), "query_id", "doc_id", "rank")
+        )
+    )
+    qlab = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    nlab = e.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("nlabel"))
+    labeled = arms.join(F.broadcast(qlab), "query_id").join(nlab, "doc_id")
+    rel_rank = F.min(
+        F.when(F.col("nlabel") == F.col("qlabel"), F.col("rank"))
+    )
+    return labeled.groupBy("arm", "query_id").agg(
+        rel_rank.cast("int").alias("first_rel_rank"),
+        F.round(F.coalesce(F.lit(1.0) / rel_rank, F.lit(0.0)), 6).alias("mrr"),
+        F.count(
+            F.when(
+                (F.col("nlabel") == F.col("qlabel")) & (F.col("rank") <= TOP_K),
+                F.lit(1),
+            )
+        )
+        .cast("int")
+        .alias("n_rel_topk"),
+    )

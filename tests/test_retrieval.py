@@ -174,3 +174,57 @@ def test_eval_mrr_matches_python_model(spark):
         assert r.precision_at_k == pytest.approx(
             len(rel_ranks) / TOP_K, abs=1e-6
         )
+
+def test_phrase_match_adjacency_and_positions(spark):
+    """Phrase semantics on a planted corpus: adjacency is strict (a gap
+    breaks the phrase), overlapping repeats each count, 1-based first
+    position, end-of-document phrases match, non-matching docs are
+    absent."""
+    from datafusion_nats_spark.extensions.retrieval import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta gamma"),
+            (2, "alpha gamma beta"),
+            (3, "x y alpha beta"),
+            (4, "alpha alpha alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(0, "alpha", "beta"), (1, "alpha", "alpha")],
+        "query_id int, term_a string, term_b string",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.n_occurrences, r.first_pos)
+        for r in phrase_match(docs, phrases).collect()
+    }
+    assert got == {
+        (0, 1): (2, 1),   # two occurrences, first at token 1
+        (0, 3): (1, 3),   # phrase at end of document
+        (1, 4): (2, 1),   # overlapping self-phrase counts both starts
+    }
+
+
+def test_arms_report_covers_all_arms_and_queries(spark):
+    """The A/B report grades every arm for every hybrid query, MRR is
+    exactly 1/first_rel_rank on the 6-decimal grid (0 when no relevant
+    doc reached the arm's pool), and hits within top-k never exceed
+    the pool."""
+    from datafusion_nats_spark.extensions.retrieval import (
+        ARM_K,
+        N_Q_HYBRID,
+        search_eval_arms_report,
+    )
+
+    rows = search_eval_arms_report(spark, SF).collect()
+    assert {(r.arm, r.query_id) for r in rows} == {
+        (a, q) for a in ("kw", "vec", "rrf") for q in range(N_Q_HYBRID)
+    }
+    for r in rows:
+        if r.first_rel_rank is None:
+            assert r.mrr == 0.0
+        else:
+            assert 1 <= r.first_rel_rank <= ARM_K
+            assert abs(r.mrr - 1.0 / r.first_rel_rank) < 2e-6
+        assert 0 <= r.n_rel_topk <= TOP_K
