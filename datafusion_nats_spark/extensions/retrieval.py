@@ -503,12 +503,19 @@ def phrase_match(docs: DataFrame, phrases: DataFrame) -> DataFrame:
     toks = tokens(F.col("text"))
     # positions i (1-based) with arr[i] = term_a and arr[i+1] = term_b;
     # sequence is ascending, so the filtered list stays ordered and its
-    # head is the first occurrence
-    pos = F.filter(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: (F.element_at(toks, i) == F.col("term_a"))
-        & (F.element_at(toks, i + 1) == F.col("term_b")),
-    )
+    # head is the first occurrence. The single-token guard matters:
+    # sequence(1, 0) would generate DESCENDING [1, 0] (Spark's step is
+    # inferred) and element_at(toks, 0) errors — while the oracle's
+    # end-exclusive range(1, 1) is just empty. CASE branches evaluate
+    # lazily per row, so the guarded sequence never runs on short docs.
+    pos = F.when(
+        F.size(toks) >= 2,
+        F.filter(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: (F.element_at(toks, i) == F.col("term_a"))
+            & (F.element_at(toks, i + 1) == F.col("term_b")),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     return (
         docs.crossJoin(F.broadcast(phrases))
         .select("query_id", "doc_id", pos.alias("pos"))
