@@ -36,6 +36,7 @@ def _run(script: str, timeout: int = 240) -> str:
         ("multimodal_png.py", "decoded 5 real PNGs"),  # stdlib PNG decode
         ("ann_index_probe.py", "partition pruning"),  # persisted-index probe
         ("streaming_ann_screen.py", "index accumulates"),  # streaming screen
+        ("retrieval_stack.py", "quality screen kept"),  # retrieval + model
     ],
 )
 def test_example_runs_clean(script, marker):
