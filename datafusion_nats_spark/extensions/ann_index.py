@@ -305,7 +305,10 @@ def ivf_index_update(
     convention) and appended to that cell's partition, so subsequent
     probes of that cell rerank over it. Appends are add-only parquet
     files — a concurrent probe sees the pre- or post-append listing,
-    never a torn file. The codebook is NOT recentered here — like any
+    never a torn file; each IVF row is one complete vector, so a probe
+    that lists only SOME of an append's files just misses whole
+    vectors until the commit completes (conservative, unlike PQ code
+    rows — see pq_index_update). The codebook is NOT recentered here — like any
     write-optimized index, appends drift the cells slightly until a
     periodic ``ivf_index_build(rebuild=True)`` publishes a recomputed
     version (compaction). Assignment is by geometry, not by label:
@@ -541,6 +544,14 @@ def pq_index_update(
     cb = spark.read.parquet(os.path.join(vdir, "codebook"))
     (
         pq_encode(vectors, cb)
+        # co-locate ALL M code rows of each vector in one task/file:
+        # parquet append atomicity is per FILE, and unlike the IVF/LSH
+        # families — where a reader seeing a subset of appended files
+        # merely misses whole vectors or bands (conservative) — a
+        # PARTIAL vector here would ADC-score with missing subspace
+        # terms, i.e. a wrong value. Partitioning by vec_id makes any
+        # visible file subset hold only complete vectors.
+        .repartition(F.col("vec_id"))
         .write.mode("append")
         .parquet(os.path.join(vdir, "codes"))
     )
@@ -753,7 +764,11 @@ def lsh_index_update(
     its band signatures append to ``bands/`` so every subsequent probe
     collides against it — the ingest loop's write-back step (probe →
     keep the non-dups → update → next batch). Appends are add-only
-    parquet files; concurrent probes see a consistent listing.
+    parquet files; concurrent probes see a consistent listing. A probe
+    racing the append's multi-file commit may see only SOME of a doc's
+    band rows — that can only drop collision candidates (a conservative
+    temporary miss), never corrupt a verdict, since each band row is
+    independent evidence.
 
     The batch's shingles are capped against the STORED banned list (the
     same filter the probe applies, so index contents stay consistent

@@ -105,9 +105,16 @@ def bm25_scores(docs: DataFrame, terms: DataFrame) -> DataFrame:
         "n_docs",
         (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
     )
+    # scope df to the query terms BEFORE broadcasting: the full df
+    # relation is |vocabulary|-sized (not broadcastable at 100 TB), but
+    # the broadcast-of-terms join reduces it to |query terms| rows, and
+    # that tiny (query_id, term, df) relation is what the postings join
+    # fans out against
+    qterms = terms.join(df, terms.term == df.word).select(
+        "query_id", "term", "df"
+    )
     hits = (
-        tf.join(F.broadcast(terms), tf.word == terms.term)
-        .join(F.broadcast(df), "word")
+        tf.join(F.broadcast(qterms), tf.word == F.col("term"))
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
     )
