@@ -111,3 +111,45 @@ def test_stream_quality_screen_epochs_and_replay(spark):
     assert {r.doc_id for r in first} == expected
     second = stream_quality_screen(spark, SF).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+def test_model_score_survives_concurrent_republish(spark, tmp_path):
+    """Resolve-once semantics for the persisted model, mirroring the
+    index families' atomic-publish race test: a scoring plan bound to
+    v1 keeps returning v1's scores after a new version publishes; a
+    plan created afterwards resolves v2. v2 is published through the
+    same version machinery with deliberately shifted weights (a
+    retrain on the same fixture is deterministic and would be
+    indistinguishable)."""
+    import os
+
+    from datafusion_nats_spark.extensions.ann_index import (
+        _publish_version,
+        _version_dir,
+        _write_flavor,
+        current_index_dir,
+    )
+    from datafusion_nats_spark.extensions.logreg import (
+        quality_model_build,
+        quality_model_score,
+    )
+
+    index_dir = quality_model_build(spark, SF, str(tmp_path / "race"))
+    v1 = current_index_dir(index_dir)
+    docs = load(spark, SF, "documents").select("doc_id", "text").limit(20)
+    plan_v1 = quality_model_score(spark, index_dir, docs)  # bound to v1
+    before = {r.doc_id: (r.score, r.keep) for r in plan_v1.collect()}
+    # publish v2 with a strong positive bias: every doc scores > 0.5
+    v2dir = _version_dir(index_dir, 2)
+    spark.createDataFrame(
+        [(5.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
+    ).write.mode("overwrite").parquet(os.path.join(v2dir, "model"))
+    _write_flavor(v2dir, "logreg")
+    _publish_version(index_dir, 2)
+    assert current_index_dir(index_dir) != v1 and os.path.exists(v1)
+    # the v1-bound plan still returns v1's scores
+    again = {r.doc_id: (r.score, r.keep) for r in plan_v1.collect()}
+    assert again == before
+    # a fresh plan resolves v2: the +5 bias keeps everything
+    fresh = quality_model_score(spark, index_dir, docs).collect()
+    assert all(r.keep for r in fresh)
+    assert any(not k for _, k in before.values())  # v1 really differed
