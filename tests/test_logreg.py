@@ -153,3 +153,49 @@ def test_model_score_survives_concurrent_republish(spark, tmp_path):
     fresh = quality_model_score(spark, index_dir, docs).collect()
     assert all(r.keep for r in fresh)
     assert any(not k for _, k in before.values())  # v1 really differed
+
+def test_stream_screen_resolves_model_per_batch(spark, tmp_path):
+    """The screen's documented contract: the model version is resolved
+    per micro-batch, so a republish between epochs flips atomically at
+    a batch boundary — epoch 0 scores with v1, epoch 1 with v2 — and a
+    replayed epoch rewrites its own verdicts with the version current
+    at replay time (idempotent overwrite, never double-applied)."""
+    import os
+
+    from datafusion_nats_spark.extensions.ann_index import (
+        _publish_version,
+        _version_dir,
+        _write_flavor,
+    )
+    from datafusion_nats_spark.extensions.logreg import quality_model_build
+    from datafusion_nats_spark.streaming.pipelines import (
+        quality_stream_screen_apply,
+    )
+
+    index_dir = quality_model_build(spark, SF, str(tmp_path / "sv"))
+    results = str(tmp_path / "verdicts")
+    apply_fn = quality_stream_screen_apply(index_dir, results)
+    batch = spark.createDataFrame(
+        [(1, "short doc"), (2, " ".join(["tok"] * 150) + " the a of is")],
+        "doc_id long, text string",
+    )
+    apply_fn(batch, 0)  # epoch 0 under v1
+    e0 = {r.doc_id: r.keep for r in spark.read.parquet(f"{results}/epoch=0").collect()}
+    # republish with a strong positive bias (v2): everything kept
+    v2dir = _version_dir(index_dir, 2)
+    spark.createDataFrame(
+        [(5.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
+    ).write.mode("overwrite").parquet(os.path.join(v2dir, "model"))
+    _write_flavor(v2dir, "logreg")
+    _publish_version(index_dir, 2)
+    apply_fn(batch, 1)  # epoch 1 under v2
+    e1 = {r.doc_id: r.keep for r in spark.read.parquet(f"{results}/epoch=1").collect()}
+    assert e0[1] is False  # v1 rejects the degenerate short doc
+    assert e1 == {1: True, 2: True}  # v2's bias keeps everything
+    # epoch-0 replay (same batch id) rewrites with the CURRENT version
+    apply_fn(batch, 0)
+    e0_replayed = {
+        r.doc_id: r.keep for r in spark.read.parquet(f"{results}/epoch=0").collect()
+    }
+    assert e0_replayed == {1: True, 2: True}
+    assert len(spark.read.parquet(results).collect()) == 4  # no duplicates
