@@ -1,6 +1,7 @@
-"""Ranked retrieval for LLM-data pipelines: BM25 keyword search, hybrid
-keyword+vector fusion (reciprocal-rank fusion), and retrieval-quality
-evaluation (MRR / recall@k / precision@k).
+"""Ranked retrieval for LLM-data pipelines: BM25 keyword search,
+positional phrase search, hybrid keyword+vector fusion (reciprocal-rank
+fusion), and retrieval-quality evaluation (MRR / recall@k /
+precision@k per retriever, plus the per-arm A/B report).
 
 A training-data pipeline at 100 TB is also a retrieval system: corpus
 slices are pulled by keyword queries (exact-term recall the embedding
