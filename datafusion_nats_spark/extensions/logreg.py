@@ -105,8 +105,18 @@ def _eval_pass(feats: DataFrame, w: DataFrame) -> DataFrame:
     )
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     e = p - F.col("y")
+    # the sigmoid saturates to exactly 0/1 once |z| ≳ 37 (reachable on
+    # adversarially long documents: x2 = n_tok/100 is unbounded), and
+    # ln(0) = -inf would poison the micro-unit sum (Spark clamps the
+    # LONG cast at Long.MaxValue, DuckDB errors — engine/oracle
+    # divergence). Clamp p to [1e-12, 1-1e-12] inside the log terms
+    # ONLY (gradients keep the exact p), mirrored verbatim in the
+    # oracle CTE (_training_blocks) so both engines clamp identically
+    # (round-7 advisory).
+    p_c = F.greatest(F.least(p, F.lit(1.0 - 1e-12)), F.lit(1e-12))
     ll = -(
-        F.col("y") * F.log(p) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+        F.col("y") * F.log(p_c)
+        + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p_c)
     )
     correct = F.when(
         ((z >= 0) & (F.col("y") == 1.0)) | ((z < 0) & (F.col("y") == 0.0)), 1
@@ -193,7 +203,8 @@ def _training_blocks() -> list[str]:
              sum(CAST(round(round((p - y) * x1, 6) * {_MU}, 0) AS BIGINT)) AS s1,
              sum(CAST(round(round((p - y) * x2, 6) * {_MU}, 0) AS BIGINT)) AS s2,
              sum(CAST(round(round((p - y) * x3, 6) * {_MU}, 0) AS BIGINT)) AS s3,
-             sum(CAST(round(round(-(y * ln(p) + (1 - y) * ln(1 - p)), 6) * {_MU}, 0) AS BIGINT)) AS sll,
+             sum(CAST(round(round(-(y * ln(greatest(least(p, 1.0 - 1e-12), 1e-12))
+                                    + (1 - y) * ln(1 - greatest(least(p, 1.0 - 1e-12), 1e-12))), 6) * {_MU}, 0) AS BIGINT)) AS sll,
              sum(CASE WHEN (z >= 0 AND y = 1.0) OR (z < 0 AND y = 0.0)
                       THEN 1 ELSE 0 END) AS n_correct,
              count(*) AS n
