@@ -22,6 +22,7 @@ from datafusion_nats_spark.extensions import (  # noqa: F401
     semdedup,
     similarity,
     text,
+    text_index,
 )
 
 # imported LAST: their oracles compose oracles registered above

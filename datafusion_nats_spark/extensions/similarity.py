@@ -105,8 +105,15 @@ _NORM_DUCK = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS
 # probe ranking (ties then break on the cell id), same convention as
 # every other cross-engine float ordering here. Shared with the
 # persisted-index twin sim_index_probe (extensions/ann_index.py), whose
-# results must be identical by construction.
-IVF_ANN_ORACLE = f"""
+# results must be identical by construction. ``ivf_ann_oracle`` is the
+# parameterized form — the big-batch distributed-probe twin
+# (sim_index_probe_bigbatch) pins the same pipeline over a larger
+# query set.
+def ivf_ann_oracle(query_filter: str) -> str:
+    return _IVF_ORACLE_TEMPLATE.replace("__QUERY_FILTER__", query_filter)
+
+
+_IVF_ORACLE_TEMPLATE = f"""
     WITH e AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -120,7 +127,7 @@ IVF_ANN_ORACLE = f"""
       )
       GROUP BY label
     ), q AS (
-      SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}
+      SELECT vec_id AS query_id, emb AS qe FROM e WHERE __QUERY_FILTER__
     ), probes AS (
       SELECT query_id, qe, cell FROM (
         SELECT q.query_id, q.qe, c.cell,
@@ -148,6 +155,8 @@ IVF_ANN_ORACLE = f"""
     ) WHERE rn <= {TOP_K}
     """
 
+IVF_ANN_ORACLE = ivf_ann_oracle(f"vec_id < {N_QUERIES}")
+
 
 def ivf_centroids(e: DataFrame) -> DataFrame:
     """Coarse codebook: mean vector per label cell (k-means stand-in) —
@@ -169,15 +178,20 @@ def ivf_centroids(e: DataFrame) -> DataFrame:
     )
 
 
-def ivf_probe_cells(q: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_probe_cells(
+    q: DataFrame, centroids: DataFrame, broadcast_q: bool = True
+) -> DataFrame:
     """(query_id, qe) × codebook → the NPROBE nearest cells per query:
-    (query_id, qe, cell). Tiny broadcast cross join on the codebook;
-    cell similarity rounded to 6 decimals before ranking (ties on cell
-    id) so the probe choice is engine-stable. Shared with the persisted
-    index probe."""
+    (query_id, qe, cell). The codebook is always broadcast (tiny by
+    design); the query batch is broadcast too by default, but a huge
+    batch passes ``broadcast_q=False`` to stay distributed — the
+    per-query argmax is a window over query_id either way, so results
+    are identical. Cell similarity is rounded to 6 decimals before
+    ranking (ties on cell id) so the probe choice is engine-stable.
+    Shared with the persisted index probe."""
     probe_w = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), "cell")
     return (
-        F.broadcast(q)
+        (F.broadcast(q) if broadcast_q else q)
         .crossJoin(F.broadcast(centroids))
         .withColumn(
             "cell_sim",
@@ -193,11 +207,13 @@ def ivf_probe_cells(q: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def ivf_rerank_topk(probes: DataFrame, e: DataFrame) -> DataFrame:
-    """Exact cosine rerank of probed cells, per-query top-k. ``e`` is the
-    (vec_id, label, emb) corpus — in-plan the full table, in the
+def ivf_rerank_topk(probes: DataFrame, e: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact cosine rerank of probed cells, per-query top-``k``. ``e`` is
+    the (vec_id, label, emb) corpus — in-plan the full table, in the
     persisted-index path the partition-pruned cells only (identical
-    results: the probe join keeps only probed cells either way)."""
+    results: the probe join keeps only probed cells either way).
+    ``k`` defaults to the registry TOP_K; the hybrid fusion's vector arm
+    asks for ARM_K candidates instead."""
     scored = (
         probes.join(e, (e.label == probes.cell) & (e.vec_id != probes.query_id))
         .select(
@@ -212,7 +228,7 @@ def ivf_rerank_topk(probes: DataFrame, e: DataFrame) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= k)
     )
 
 

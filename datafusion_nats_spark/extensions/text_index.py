@@ -1,0 +1,388 @@
+"""Persisted BM25 text index — build once, probe many (round-7 verdict
+ask #1).
+
+Every other retrieval-adjacent family got a build-once artifact in
+round 7 (IVF/PQ vectors, LSH bands, the quality model); the keyword arm
+still recomputed its corpus postings per query workload
+(``retrieval._postings`` runs the tokenize + (doc, word) aggregation on
+every call). At 100 TB that aggregation is the dominant cost and it is
+query-independent — exactly what an index amortizes.
+
+Layout (one versioned artifact, same atomic CURRENT-pointer machinery
+as the ANN/LSH families in ``extensions/ann_index``):
+
+- ``postings/`` — (word, doc_id, tf, dl, df) rows **partitioned by
+  ``bucket`` = crc32(word) % N_TERM_BUCKETS**. Denormalizing the doc
+  length (dl) and the term's document frequency (df) into the posting
+  row is the classic inverted-file trick: a probe then needs NO join
+  against corpus-sized side tables — everything BM25 needs per posting
+  is in the posting. The bucket partitioning is what buys the pruning:
+  a query's terms hash to a handful of buckets, those bucket values are
+  inlined as literals into the scan filter, and parquet partition
+  pruning skips every other bucket directory entirely (the LSH/IVF
+  pattern; files-read pinned in pytest).
+- ``stats/`` — the 1-row (n_docs, avgdl) corpus aggregate, broadcast
+  into every probe.
+
+A probe therefore costs O(|matched postings|): read the query terms'
+bucket partitions (pushed word-IN filter inside them), broadcast-join
+the tiny (query_id, term) workload, and fold the same 6-decimal-rounded
+per-term contributions in explicit term order as the in-plan twin
+(``retrieval.bm25_scores``) — results identical by construction, so the
+registered probe shares ``search_bm25_topk``'s DuckDB oracle verbatim.
+
+df/avgdl/the banned... — like the other write-optimized artifacts, the
+stored corpus statistics describe the corpus AT BUILD TIME; a periodic
+``bm25_index_build(rebuild=True)`` (compaction) refreshes them. There is
+deliberately no per-batch update op: BM25 statistics are global ratios,
+so unlike LSH bands or IVF cells an append would silently skew EVERY
+stored df/avgdl-dependent score — the honest increment is a rebuild.
+
+Reference parity note: the reference engine (yarenty/datafusion_nats)
+has no retrieval surface; this extends the text-analysis family
+(SURVEY.md §2C) with the persisted-index economics its 100 TB pipelines
+assume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.extensions.ann_index import (
+    _current_version,
+    _index_root,
+    _publish_version,
+    _read_flavor,
+    _version_dir,
+    _write_flavor,
+    current_index_dir,
+)
+from datafusion_nats_spark.extensions.pq import _ordered_sum
+from datafusion_nats_spark.extensions.retrieval import (
+    ARM_K,
+    B,
+    BM25_QUERIES,
+    K1,
+    N_Q_HYBRID,
+    RRF_K,
+    _HYBRID_BM25_BLOCK,
+    _bm25_terms_values,
+    _bm25_sql,
+    _postings,
+    rrf_fuse,
+)
+from datafusion_nats_spark.extensions.similarity import (
+    NPROBE,
+    TOP_K,
+    _DOT_DUCK,
+    _NORM_DUCK,
+    _emb_double,
+)
+from datafusion_nats_spark.extensions.text import tokens
+from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import load
+
+# Partition-directory fanout of the postings file. 64 buckets keeps the
+# sandbox artifact small; at 100 TB you would raise it so a bucket
+# partition is a few GB (the probe cost scales with |matched buckets| /
+# N_TERM_BUCKETS of the postings, so more buckets = finer pruning).
+N_TERM_BUCKETS = 64
+
+
+def _bucket_expr(word_col):
+    """The ONE bucket function, used by the build's partitioned write
+    and by the probe's bucket resolution (both run it in Spark, so the
+    two can never disagree the way a Python-side reimplementation
+    could)."""
+    return F.pmod(F.crc32(word_col.cast("string")), F.lit(N_TERM_BUCKETS)).cast(
+        "int"
+    )
+
+
+def bm25_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    rebuild: bool = False,
+) -> str:
+    """Build the persisted BM25 index from the documents table: ONE
+    corpus pass (tokenize → (doc, word) term frequencies → df/dl/corpus
+    stats, all derived from the same postings aggregate exactly like the
+    in-plan twin) written as ``postings/`` partitioned by term bucket
+    plus the 1-row ``stats/``, into a fresh version directory that is
+    then atomically published via the CURRENT pointer. Idempotent once
+    published; ``rebuild=True`` recomputes and publishes a NEW version
+    (refreshing df/avgdl after corpus growth) while live probes keep
+    reading their resolved version. Returns the index directory."""
+    index_dir = index_dir or _index_root("bm25", sf_dir)
+    cur = _current_version(index_dir)
+    if cur is not None and not rebuild:
+        stored = _read_flavor(_version_dir(index_dir, cur))
+        if stored != "bm25":
+            raise ValueError(
+                f"index at {index_dir} is published with flavor {stored!r}, "
+                f"not 'bm25' — pass rebuild=True or use a different index_dir"
+            )
+        return index_dir
+    version = (cur or 0) + 1
+    vdir = _version_dir(index_dir, version)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = _postings(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    corpus.write.mode("overwrite").parquet(os.path.join(vdir, "stats"))
+    (
+        tf.join(dl, "doc_id")
+        .join(df, "word")
+        .withColumn("bucket", _bucket_expr(F.col("word")))
+        .select("bucket", "word", "doc_id", "tf", "dl", "df")
+        # cluster rows by bucket before the partitioned write so each
+        # bucket directory holds a few large files, not one per task
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(vdir, "postings"))
+    )
+    _write_flavor(vdir, "bm25")
+    _publish_version(index_dir, version)  # the atomic commit
+    return index_dir
+
+
+def bm25_index_probe(
+    spark: SparkSession, index_dir: str, terms: DataFrame
+) -> DataFrame:
+    """Probe the persisted BM25 index with a query workload ``terms``
+    (query_id, term) → (query_id, doc_id, score), scored docs only —
+    identical to ``retrieval.bm25_scores`` by construction (same K1/B,
+    same Lucene idf, same 6-decimal per-term rounding, same explicit
+    term-order fold).
+
+    The workload is tiny by the retrieval contract (a parameter table,
+    never a corpus-sized relation), so it is collected once: the term
+    list becomes a pushed ``word IN`` filter and the terms' bucket
+    values — resolved through the build's own Spark bucket expression —
+    become LITERAL partition filters, which is what lets parquet prune
+    every unmatched bucket directory (``PartitionFilters: [bucket IN
+    …]``, files-read pinned in pytest). Resolve-once semantics: the plan
+    binds to the CURRENT version's paths, so a concurrent rebuild
+    publishing a newer version cannot tear this probe."""
+    vdir = current_index_dir(index_dir)
+    rows = [(r["query_id"], r["term"]) for r in terms.select("query_id", "term").collect()]
+    words = sorted({t for _, t in rows})
+    buckets = sorted(
+        r["bucket"]
+        for r in spark.createDataFrame([(w,) for w in words], "word string")
+        .select(_bucket_expr(F.col("word")).alias("bucket"))
+        .distinct()
+        .collect()
+    )
+    postings = (
+        spark.read.parquet(os.path.join(vdir, "postings"))
+        # literal IN on the partition column → directory-level pruning;
+        # the word-IN filter is pushed into the surviving buckets' scans
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("word").isin(words))
+    )
+    stats = spark.read.parquet(os.path.join(vdir, "stats"))
+    terms_df = spark.createDataFrame(rows, "query_id int, term string")
+    hits = postings.join(
+        F.broadcast(terms_df), postings.word == terms_df.term
+    ).crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf") * (K1 + 1))
+        / (
+            F.col("tf")
+            + K1 * (1 - B + B * F.col("dl").cast("double") / F.col("avgdl"))
+        ),
+        6,
+    )
+    return (
+        hits.select("query_id", "doc_id", "term", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(_ordered_sum("c", "term"), 6).alias("score"))
+    )
+
+
+@query(
+    "search_index_probe_bm25",
+    oracle=f"""
+    WITH {_bm25_sql(_bm25_terms_values())}
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM bm25
+    ) WHERE rn <= {TOP_K}
+    """,
+    doc="Persisted-index BM25 retrieval: the corpus postings (with "
+    "denormalized doc length and document frequency) are built ONCE and "
+    "stored partitioned by term bucket (atomic versioned publish); each "
+    "query workload probes only its terms' bucket partitions — literal "
+    "partition filters, files-read pruning pinned in pytest — and "
+    "re-derives the same 6-decimal BM25 contributions as the in-plan "
+    "twin. Same oracle as search_bm25_topk — results identical by "
+    "construction; per-probe cost O(|matched postings|), the corpus "
+    "tokenize+aggregate amortized into the build.",
+)
+def search_index_probe_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = bm25_index_build(spark, sf_dir)
+    terms = spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
+    scored = bm25_index_probe(spark, index_dir, terms)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "doc_id", "score", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# index-backed hybrid retrieval: both arms partition-pruned
+# --------------------------------------------------------------------------
+
+# The IVF vector arm as DuckDB SQL (label codebook, self excluded, ranked
+# to ARM_K) — the same emulation IVF_ANN_ORACLE pins for sim_ivf_ann,
+# re-scoped to the hybrid query set. CTE names avoid the BM25 block's
+# (which already defines q/tf/dl/corpus).
+_IVF_ARM_SQL = f"""e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS cell, list(m ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, i AS pos, avg(emb[i]) AS m
+        FROM e, range(1, 65) t(i)
+        GROUP BY label, i
+      )
+      GROUP BY label
+    ), vq AS (
+      SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {N_Q_HYBRID}
+    ), vprobes AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT vq.query_id, vq.qe, c.cell,
+               row_number() OVER (
+                 PARTITION BY vq.query_id
+                 ORDER BY round({_DOT_DUCK.format(a='vq.qe', b='c.centroid')}
+                          / ({_NORM_DUCK.format(a='vq.qe')}
+                             * {_NORM_DUCK.format(a='c.centroid')}), 6) DESC,
+                          c.cell
+               ) AS cell_rank
+        FROM vq, cent c
+      ) WHERE cell_rank <= {NPROBE}
+    ), vec AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT p.query_id, e.vec_id AS doc_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY round({_DOT_DUCK.format(a='p.qe', b='e.emb')}
+                          / ({_NORM_DUCK.format(a='p.qe')}
+                             * {_NORM_DUCK.format(a='e.emb')}), 6) DESC,
+                          e.vec_id
+               ) AS rank
+        FROM vprobes p JOIN e ON e.label = p.cell AND e.vec_id != p.query_id
+      ) WHERE rank <= {ARM_K}
+    )"""
+
+
+@query(
+    "search_hybrid_rrf_indexed",
+    oracle=f"""
+    WITH {_HYBRID_BM25_BLOCK}, kw AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM bm25
+      ) WHERE rank <= {ARM_K}
+    ), {_IVF_ARM_SQL}, fused AS (
+      SELECT coalesce(kw.query_id, vec.query_id) AS query_id,
+             coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+             kw.rank AS kw_rank, vec.rank AS vec_rank,
+             round(coalesce(1.0 / ({RRF_K} + kw.rank), 0.0)
+                   + coalesce(1.0 / ({RRF_K} + vec.rank), 0.0), 6) AS rrf_score
+      FROM kw FULL OUTER JOIN vec USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, rrf_score,
+           CAST(kw_rank AS INT) AS kw_rank, CAST(vec_rank AS INT) AS vec_rank,
+           CAST(rn AS INT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= {TOP_K}
+    """,
+    doc=f"Index-backed hybrid retrieval — the 100 TB shape of "
+    "search_hybrid_rrf, proving the fusion's arm-agnostic contract: the "
+    "keyword arm probes the persisted BM25 postings index and the "
+    f"vector arm probes the persisted IVF index (top-{ARM_K} each), so "
+    "BOTH arms read only partition-pruned slivers (term buckets / "
+    "probed cells — files-read pinned in pytest) instead of re-scanning "
+    "the corpus; the reciprocal-rank fusion and its oracle consume the "
+    "two rank-relations exactly as the in-plan twin does. The keyword "
+    "arm is exact (same scores), the vector arm is the IVF "
+    f"approximation (nprobe={NPROBE}) — the oracle pins both.",
+)
+def search_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_nats_spark.extensions.ann_index import (
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # keyword arm via the persisted postings index: the query doc's
+    # distinct tokens form its term bag, exactly like the in-plan twin
+    bm25_dir = bm25_index_build(spark, sf_dir)
+    qdocs = docs.filter(F.col("doc_id") < N_Q_HYBRID)
+    terms = qdocs.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+    )
+    kw_scores = bm25_index_probe(spark, bm25_dir, terms).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    w_kw = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    kw = (
+        kw_scores.withColumn("rank", F.row_number().over(w_kw))
+        .filter(F.col("rank") <= ARM_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    # vector arm via the persisted IVF index (label codebook), asked for
+    # ARM_K candidates instead of the registry TOP_K
+    ivf_dir = ivf_index_build(spark, sf_dir)
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_Q_HYBRID)
+        .select(F.col("vec_id").alias("query_id"), _emb_double().alias("qe"))
+    )
+    vec = ivf_index_probe(spark, ivf_dir, q, k=ARM_K).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("rank")
+    )
+    fused = rrf_fuse([kw, vec])
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_score",
+            F.col("rank_0").cast("int").alias("kw_rank"),
+            F.col("rank_1").cast("int").alias("vec_rank"),
+            "rn",
+        )
+    )

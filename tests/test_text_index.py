@@ -1,0 +1,181 @@
+"""Persisted BM25 text index (extensions/text_index.py) — round-8
+verdict asks #1 and #3:
+
+- the index probe's scores are IDENTICAL to the in-plan twin
+  (retrieval.bm25_scores) for the same workload;
+- the probe's postings scan reads ONLY the query terms' bucket
+  partition directories (real parquet partition pruning, via the
+  executed scan's files-read metric + the PartitionFilters plan pin);
+- builds are idempotent; rebuild publishes a fresh version (refreshed
+  corpus stats) without disturbing a resolved probe;
+- the index-backed hybrid (search_hybrid_rrf_indexed) runs BOTH arms
+  off partition-pruned persisted artifacts (bucket IN + cell IN pins in
+  one executed plan) and its keyword arm reproduces the in-plan hybrid's
+  kw ranks exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from datafusion_nats_spark.extensions.retrieval import (
+    BM25_QUERIES,
+    bm25_scores,
+    search_hybrid_rrf,
+)
+from datafusion_nats_spark.extensions.text_index import (
+    N_TERM_BUCKETS,
+    bm25_index_build,
+    bm25_index_probe,
+    search_hybrid_rrf_indexed,
+    search_index_probe_bm25,
+)
+from datafusion_nats_spark.extensions.ann_index import current_index_dir
+from datafusion_nats_spark.extensions.retrieval import search_bm25_topk
+from datafusion_nats_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _terms(spark):
+    return spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
+
+
+def test_probe_equals_in_plan_scores(spark, tmp_path):
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    index_dir = bm25_index_build(spark, SF, str(tmp_path / "bm25"))
+    probe = bm25_index_probe(spark, index_dir, _terms(spark))
+    in_plan = bm25_scores(docs, _terms(spark))
+    assert _rows(probe) == _rows(in_plan)
+
+
+def test_registered_probe_equals_registered_twin(spark):
+    assert _rows(search_index_probe_bm25(spark, SF)) == _rows(
+        search_bm25_topk(spark, SF)
+    )
+
+
+def _executed_scans(df):
+    """All FileSourceScanExec nodes of the executed (post-AQE) plan."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if "Adaptive" in plan.getClass().getName():
+        plan = plan.executedPlan()
+
+    def walk(node, out):
+        name = node.getClass().getName()
+        if "FileSourceScanExec" in name:
+            out.append(node)
+        if "QueryStageExec" in name:
+            walk(node.plan(), out)
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i), out)
+        return out
+
+    return walk(plan, [])
+
+
+def test_probe_partition_pruning(spark, tmp_path):
+    """The point of the bucket layout: a probe must scan only its terms'
+    bucket partitions. The 9-term registry workload hashes into at most
+    9 of the (up to) N_TERM_BUCKETS populated bucket dirs."""
+    index_dir = bm25_index_build(spark, SF, str(tmp_path / "bm25p"))
+    postings_dir = os.path.join(current_index_dir(index_dir), "postings")
+    probe = bm25_index_probe(spark, index_dir, _terms(spark))
+    scan = next(
+        s for s in _executed_scans(probe) if "bucket#" in s.toString()
+    )
+    assert re.search(
+        r"bucket#\d+ (IN \(|INSET )", scan.metadata().apply("PartitionFilters")
+    )
+    n_read = scan.metrics().apply("numFiles").value()
+    total = sum(
+        1
+        for dp, _, fs in os.walk(postings_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    bucket_dirs = sum(
+        1
+        for dp, _, fs in os.walk(postings_dir)
+        if any(f.endswith(".parquet") for f in fs)
+        and re.search(r"bucket=\d+", dp)
+    )
+    n_query_terms = len({t for _, t in BM25_QUERIES})
+    assert bucket_dirs > n_query_terms  # pruning has something to prune
+    assert 0 < n_read <= total * n_query_terms // bucket_dirs + n_query_terms
+    assert n_read < total
+
+
+def test_build_idempotent_and_rebuild_versions(spark, tmp_path):
+    d1 = bm25_index_build(spark, SF, str(tmp_path / "v"))
+    v1 = current_index_dir(d1)
+    mtimes = {
+        os.path.join(dp, p): os.path.getmtime(os.path.join(dp, p))
+        for dp, _, fs in os.walk(d1)
+        for p in fs
+    }
+    assert bm25_index_build(spark, SF, str(tmp_path / "v")) == d1
+    mtimes2 = {
+        os.path.join(dp, p): os.path.getmtime(os.path.join(dp, p))
+        for dp, _, fs in os.walk(d1)
+        for p in fs
+    }
+    assert mtimes == mtimes2  # second build wrote nothing
+    # a probe resolved against v1 keeps reading v1 through a rebuild
+    probe_before = bm25_index_probe(spark, d1, _terms(spark))
+    bm25_index_build(spark, SF, str(tmp_path / "v"), rebuild=True)
+    v2 = current_index_dir(d1)
+    assert v2 != v1
+    assert os.path.isdir(v1)  # old version retained until gc
+    assert _rows(probe_before) == _rows(
+        bm25_index_probe(spark, d1, _terms(spark))
+    )  # same corpus → same scores either version
+
+
+def test_hybrid_indexed_both_arms_pruned(spark):
+    """One executed plan, two persisted artifacts: the postings scan is
+    bucket-pruned AND the IVF vectors scan is cell-pruned."""
+    df = search_hybrid_rrf_indexed(spark, SF)
+    scans = _executed_scans(df)
+    bucket_scan = next(s for s in scans if "bucket#" in s.toString())
+    cell_scan = next(s for s in scans if "cell#" in s.toString())
+    # metadata() carries the untruncated filter list (treeString elides
+    # long scans)
+    assert re.search(
+        r"bucket#\d+ (IN \(|INSET )", bucket_scan.metadata().apply("PartitionFilters")
+    )
+    assert re.search(
+        r"cell#\d+ (IN \(|INSET )", cell_scan.metadata().apply("PartitionFilters")
+    )
+
+
+def test_hybrid_indexed_kw_arm_exact(spark):
+    """The keyword arm is exact (the BM25 index probe re-derives the
+    in-plan scores), so every fused row that carries a kw_rank must
+    agree with the in-plan hybrid's kw_rank for that (query, doc)."""
+    indexed = {
+        (r["query_id"], r["doc_id"]): r["kw_rank"]
+        for r in search_hybrid_rrf_indexed(spark, SF).collect()
+        if r["kw_rank"] is not None
+    }
+    in_plan = {
+        (r["query_id"], r["doc_id"]): r["kw_rank"]
+        for r in search_hybrid_rrf(spark, SF).collect()
+        if r["kw_rank"] is not None
+    }
+    shared = indexed.keys() & in_plan.keys()
+    assert shared
+    assert all(indexed[k] == in_plan[k] for k in shared)
+
+
+def test_bucket_fanout_constant():
+    assert N_TERM_BUCKETS >= 16  # pruning granularity floor
