@@ -75,6 +75,7 @@ from datafusion_nats_spark.extensions.similarity import (
     _dot,
     _emb_double,
     _norm,
+    ivf_ann_oracle,
     ivf_centroids,
     ivf_probe_cells,
     ivf_rerank_topk,
@@ -349,8 +350,21 @@ def _assign_to_codebook(codebook: DataFrame, vectors: DataFrame) -> DataFrame:
     )
 
 
+# Above this many queries the probe stops inlining per-query
+# (query_id, cell) pairs as driver-side literals and switches to the
+# distributed path: the pair assignment stays a plan (no O(|q|·NPROBE)
+# driver memory), and only the DISTINCT probed cells — bounded by the
+# codebook size, which is broadcastable by design — are collected to
+# keep the literal partition pruning.
+PROBE_INLINE_MAX_QUERIES = 5_000
+
+
 def ivf_index_probe(
-    spark: SparkSession, index_dir: str, q: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    q: DataFrame,
+    k: int | None = None,
+    inline: bool | None = None,
 ) -> DataFrame:
     """Probe the persisted IVF index with a query batch ``q``
     (query_id, qe array<double>): resolve the CURRENT version ONCE (the
@@ -367,12 +381,64 @@ def ivf_index_probe(
     Results are identical to the in-plan twin (``sim_ivf_ann`` /
     ``sim_kmeans_ann``, per the build's codebook flavor) by
     construction: same centroid arithmetic, same rounded probe ranking,
-    same rerank."""
-    return _pruned_probe(spark, current_index_dir(index_dir), q)
+    same rerank. ``k`` overrides the per-query candidate count (default:
+    the registry TOP_K — the hybrid fusion's vector arm asks for ARM_K).
+
+    ``inline`` picks the probe-cell strategy (round-7 verdict item:
+    the literal-inline path collects O(|queries|·NPROBE) pairs to the
+    driver, which a million-query batch would bottleneck):
+
+    - True — per-query pairs inlined as literals (``_pruned_probe``);
+      plan-build is a driver action, best for the common small batch;
+    - False — the DISTRIBUTED path (``_distributed_probe``): pair
+      assignment stays in the plan; only the distinct probed cells
+      (≤ codebook size) are collected for the literal partition filter;
+    - None (default) — auto: counts the batch up to
+      PROBE_INLINE_MAX_QUERIES and picks accordingly.
+
+    Both paths return identical rows (pinned in pytest): same codebook
+    consult, same rounded rankings, same partition-pruned scan."""
+    vdir = current_index_dir(index_dir)
+    if inline is None:
+        # limit-bounded count: never scans past the threshold on a
+        # billion-row query batch
+        inline = (
+            q.limit(PROBE_INLINE_MAX_QUERIES + 1).count()
+            <= PROBE_INLINE_MAX_QUERIES
+        )
+    if inline:
+        return _pruned_probe(spark, vdir, q, k=k)
+    return _distributed_probe(spark, vdir, q, k=k)
+
+
+def _distributed_probe(
+    spark: SparkSession, vdir: str, q: DataFrame, k: int | None = None
+) -> DataFrame:
+    """The huge-batch probe: identical semantics to ``_pruned_probe``
+    (same codebook arithmetic, same rounded probe ranking, same rerank
+    helpers), but the (query_id, cell) assignment is a distributed plan
+    instead of a driver-side collect. The query batch costs two passes
+    (one to reduce to the distinct probed cells — a ≤|codebook|-row
+    collect that preserves the literal-IN partition pruning — one in the
+    rerank join); both are over the QUERY batch, never the corpus."""
+    codebook = spark.read.parquet(os.path.join(vdir, "codebook"))
+    probes = ivf_probe_cells(q, codebook, broadcast_q=False)
+    cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    vectors = (
+        spark.read.parquet(os.path.join(vdir, "vectors"))
+        .filter(F.col("cell").isin(cells))  # literal IN → partition pruning
+        .select("vec_id", F.col("cell").alias("label"), "emb")
+    )
+    if k is None:
+        return ivf_rerank_topk(probes, vectors)
+    return ivf_rerank_topk(probes, vectors, k=k)
 
 
 def _pruned_probe(
-    spark: SparkSession, vdir: str, q: DataFrame, extra_vectors=None
+    spark: SparkSession, vdir: str, q: DataFrame, extra_vectors=None,
+    k: int | None = None,
 ) -> DataFrame:
     """The ONE probe pipeline (codebook consult → literal-IN pruned base
     scan → exact rerank), shared by ``ivf_index_probe`` and the
@@ -401,7 +467,9 @@ def _pruned_probe(
     probes = F.broadcast(q).join(F.broadcast(pairs_df), "query_id").select(
         "query_id", "qe", "cell"
     )
-    return ivf_rerank_topk(probes, vectors)
+    if k is None:
+        return ivf_rerank_topk(probes, vectors)
+    return ivf_rerank_topk(probes, vectors, k=k)
 
 
 @query(
@@ -423,6 +491,34 @@ def sim_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), _emb_double().alias("qe"))
     )
     return ivf_index_probe(spark, index_dir, q)
+
+
+# fixed-size big(ger) query batch for the distributed-path registry twin:
+# large enough to be a real batch, small enough that the DuckDB oracle's
+# exact emulation stays cheap at the driver's sf0.01
+BIGBATCH_N = 100
+
+
+@query(
+    "sim_index_probe_bigbatch",
+    oracle=ivf_ann_oracle(f"vec_id < {BIGBATCH_N}"),
+    doc=f"Persisted-index ANN probe through the DISTRIBUTED probe-cell "
+    f"path (inline=False): a {BIGBATCH_N}-query batch keeps its "
+    "(query, cell) assignment in the plan — no O(|queries|·nprobe) "
+    "driver collect, the million-query shape — while only the distinct "
+    "probed cells (≤ codebook size) are inlined as literals, so the "
+    "vectors scan partition-prunes exactly like sim_index_probe. Same "
+    "IVF oracle, larger query set; path equivalence additionally "
+    "pinned in pytest.",
+)
+def sim_index_probe_bigbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = ivf_index_build(spark, sf_dir)
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < BIGBATCH_N)
+        .select(F.col("vec_id").alias("query_id"), _emb_double().alias("qe"))
+    )
+    return ivf_index_probe(spark, index_dir, q, inline=False)
 
 
 def _kmeans_probe_oracle() -> str:
@@ -523,7 +619,8 @@ def pq_index_probe(
 
 
 def pq_index_update(
-    spark: SparkSession, index_dir: str, vectors: DataFrame
+    spark: SparkSession, index_dir: str, vectors: DataFrame,
+    num_files: int = 4,
 ) -> None:
     """Fold new vectors (vec_id, emb array<double>) into the CURRENT
     PQ index version: each is encoded against the STORED codebook (the
@@ -549,9 +646,14 @@ def pq_index_update(
         # families — where a reader seeing a subset of appended files
         # merely misses whole vectors or bands (conservative) — a
         # PARTIAL vector here would ADC-score with missing subspace
-        # terms, i.e. a wrong value. Partitioning by vec_id makes any
-        # visible file subset hold only complete vectors.
-        .repartition(F.col("vec_id"))
+        # terms, i.e. a wrong value. Hash-partitioning by vec_id at ANY
+        # partition count preserves that complete-vector-per-file
+        # atomicity, so the count is an explicit SMALL ``num_files``
+        # (size it to the ingest batch) rather than the session's
+        # spark.sql.shuffle.partitions default, which would append up
+        # to that many tiny files per batch and degrade every later ADC
+        # scan until a rebuild compacts (round-7 advisory).
+        .repartition(max(1, num_files), F.col("vec_id"))
         .write.mode("append")
         .parquet(os.path.join(vdir, "codes"))
     )

@@ -108,10 +108,16 @@ def _pruned_scan_metrics(probe, vectors_dir):
             _scans(ch.apply(i), out)
         return out
 
-    # the vectors scan is the only one reading a `cell` column (scan
-    # toString truncates long paths, so match on the schema instead)
+    # the vectors scan reads cell (partition col) AND emb — the codebook
+    # scan also carries a cell column, so match on both (scan toString
+    # truncates long paths, so match on the schema instead)
     vec_scan = next(
-        (s for s in _scans(plan, []) if "cell#" in s.toString()), None
+        (
+            s
+            for s in _scans(plan, [])
+            if "cell#" in s.toString() and "emb#" in s.toString()
+        ),
+        None,
     )
     assert vec_scan is not None
     assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", vec_scan.treeString())
@@ -164,6 +170,54 @@ def test_kmeans_probe_partition_pruning_configurable_cells(spark, tmp_path):
     assert n_cells >= 8
     assert 0 < n_read <= max(1, total * NPROBE // n_cells + 1)
     assert n_read < total
+
+
+def test_distributed_probe_equals_inline_probe(spark, tmp_path):
+    """Round-8 verdict ask #4: the huge-batch distributed probe path
+    (pair assignment stays in the plan; only distinct cells collected)
+    returns EXACTLY the inline path's rows, for both the default and an
+    overridden k."""
+    index_dir = ivf_index_build(spark, SF, str(tmp_path / "dp"))
+    q = _query_batch(spark, [0, 1, 2, 3, 4])
+    assert _rows(ivf_index_probe(spark, index_dir, q, inline=True)) == _rows(
+        ivf_index_probe(spark, index_dir, q, inline=False)
+    )
+    assert _rows(
+        ivf_index_probe(spark, index_dir, q, k=20, inline=True)
+    ) == _rows(ivf_index_probe(spark, index_dir, q, k=20, inline=False))
+
+
+def test_distributed_probe_still_partition_prunes(spark, tmp_path):
+    """The distributed path must not give up the literal-IN pruning:
+    distinct probed cells (≤ codebook size) still become partition
+    filters on the vectors scan."""
+    index_dir = ivf_index_build(spark, SF, str(tmp_path / "dpp"))
+    vectors_dir = os.path.join(current_index_dir(index_dir), "vectors")
+    probe = ivf_index_probe(spark, index_dir, _query_batch(spark, [0]), inline=False)
+    n_read, total, n_cells = _pruned_scan_metrics(probe, vectors_dir)
+    assert n_cells == 10
+    assert 0 < n_read <= total * NPROBE // 10
+    assert n_read < total
+
+
+def test_probe_auto_threshold_routes_small_batches_inline(spark, tmp_path):
+    """auto (inline=None) picks the inline path for a tiny batch — the
+    executed plan carries the per-query pairs join (a LocalTableScan of
+    the collected pairs), not the distributed window over the batch."""
+    index_dir = ivf_index_build(spark, SF, str(tmp_path / "auto"))
+    probe = ivf_index_probe(spark, index_dir, _query_batch(spark, [0, 1]))
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the inline path joins the driver-collected pairs relation
+    # (createDataFrame → ExistingRDD/LocalTableScan) and computes NO
+    # in-plan probe ranking; the distributed path does the opposite
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "cell_sim" not in plan
+    dist = ivf_index_probe(
+        spark, index_dir, _query_batch(spark, [0, 1]), inline=False
+    )
+    dist.collect()
+    assert "cell_sim" in dist._jdf.queryExecution().executedPlan().toString()
 
 
 def test_builds_are_idempotent(spark, tmp_path):
