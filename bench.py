@@ -133,10 +133,35 @@ def _run_pass(spark, queries, sf_dir: str, runs: int = 1):
     return medians, stats
 
 
+def _host_load(flag: bool = True) -> dict:
+    """Ambient-load metadata recorded into the bench JSON (round-7
+    verdict ask #2: BENCH_r07 vs r06 was noise from a loaded host —
+    make round-over-round deltas interpretable by stamping the load the
+    numbers were captured under). ``host_loaded`` flags capture windows
+    where the 1-minute loadavg exceeded 25% of the cores BEFORE the run
+    even started — compare like-for-like (unloaded vs unloaded) only.
+    The end-of-run capture omits the flag (the bench's own local[N]
+    execution dominates loadavg by then); its raw numbers are kept so a
+    mid-run ambient spike is still visible to a human reader."""
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:  # pragma: no cover — /proc-less platforms
+        return {"cpus": os.cpu_count()}
+    cpus = os.cpu_count() or 1
+    out = {
+        "loadavg": [round(la1, 2), round(la5, 2), round(la15, 2)],
+        "cpus": cpus,
+    }
+    if flag:
+        out["host_loaded"] = la1 > 0.25 * cpus
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    load_meta = _host_load()
 
     from datafusion_nats_spark.registry import all_queries
     from datafusion_nats_spark.session import get_spark
@@ -145,7 +170,12 @@ def main() -> None:
     queries = all_queries()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    out: dict = {"metric": "headline_queries_total", "unit": "sec", "sf": sf}
+    out: dict = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "sf": sf,
+        "host": load_meta,
+    }
     if runs > 1:
         out["runs"] = runs
     multifile = int(os.environ.get("SPARK_GRAFT_MULTIFILE", "0"))
@@ -194,6 +224,10 @@ def main() -> None:
             "sf": out["sf"],
             "runs": runs,
             "mode": "warm_median",
+            # load at capture start AND end: a spike mid-run shows up in
+            # the end-of-run loadavg even if the start was idle
+            "host": load_meta,
+            "host_end": _host_load(flag=False),
             "value_cold": round(
                 sum(s["max"] for s in out["queries_stats"].values()), 4
             ),
