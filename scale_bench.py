@@ -55,6 +55,7 @@ QUERIES = [
     # similarity family — fixed 5-query batch vs Nx corpus
     "sim_ivf_ann",
     "sim_index_probe",
+    "sim_index_probe_bigbatch",
     "sim_bruteforce_topk",
     # text / curation
     "text_span_dedup",
@@ -63,6 +64,8 @@ QUERIES = [
     # retrieval family — fixed query workload vs Nx corpus
     "search_bm25_topk",
     "search_hybrid_rrf",
+    "search_index_probe_bm25",
+    "search_hybrid_rrf_indexed",
 ]
 
 REPLICATED = {"documents": ["doc_id"], "embeddings": ["vec_id"]}
@@ -101,11 +104,66 @@ def _replicate(spark, sf_dir: str, replicas: int) -> str:
     return out_root
 
 
+# Zipf-skew grid: a doc's multiplicity is ~ H / (1 + doc_id % B) — the
+# classic 1/rank head-heavy law over a B-key grid. H is solved so the
+# EXPECTED multiplicity is the requested factor (sum_{u<B} 1/(1+u) ≈
+# ln(B+1)), so a skewed point moves ~the same total rows as the uniform
+# point while concentrating them: at factor 10 the hottest key carries
+# ~1477 copies (a 1477-way duplicate mega-cluster / hot LSH bucket / hot
+# IVF cell) while the median key carries ~3.
+SKEW_B = 1024
+
+
+def _replicate_skewed(spark, sf_dir: str, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    from datafusion_nats_spark.tables import TABLES
+
+    tag = hashlib.md5(f"{sf_dir}:zipf:{factor}".encode()).hexdigest()[:10]
+    out_root = os.path.join("/tmp", f"spark_graft_skew_{tag}")
+    done = os.path.join(out_root, "_DONE")
+    if os.path.exists(done):
+        return out_root
+    os.makedirs(out_root, exist_ok=True)
+    h = int(round(factor * SKEW_B / math.log(SKEW_B + 1)))
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        dst = os.path.join(out_root, f"{t}.parquet")
+        if t in REPLICATED:
+            key = REPLICATED[t][0]
+            base = spark.read.parquet(src)
+            mult = F.greatest(
+                F.lit(1),
+                F.round(
+                    F.lit(h) / (F.lit(1) + F.pmod(F.col(key), F.lit(SKEW_B))), 0
+                ).cast("int"),
+            )
+            out = (
+                base.withColumn(
+                    "_k", F.explode(F.sequence(F.lit(0), mult - 1))
+                )
+                # k*SHIFT keeps doc_id % NEW_BATCH_MOD (SHIFT % 5 == 0),
+                # so the incremental-dedup new/old split is preserved
+                # exactly like the uniform replication
+                .withColumn(key, F.col(key) + F.col("_k").cast("long") * SHIFT)
+                .drop("_k")
+            )
+            out.repartition(16).write.mode("overwrite").parquet(dst)
+        elif not os.path.exists(dst):
+            os.symlink(os.path.abspath(src), dst)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_root
+
+
 class _ShuffleMeter:
-    """Per-query shuffle read+write bytes via the status REST API
-    (SPARK_GRAFT_UI=1 turns the UI on). Stages are attributed to a query
-    by diffing completed stage IDs around it. Degrades to None when the
-    UI is unreachable — the timing columns never depend on it."""
+    """Per-query shuffle read+write bytes AND max single-task runtime
+    via the status REST API (SPARK_GRAFT_UI=1 turns the UI on). Stages
+    are attributed to a query by diffing completed stage IDs around it.
+    Max task time is the straggler metric the skewed fixture exists for
+    (round-7 verdict ask #5): skew shows up in the slowest task, not in
+    the shuffle-byte total. Degrades to None when the UI is unreachable
+    — the timing columns never depend on it."""
 
     def __init__(self, spark):
         self._base = None
@@ -133,30 +191,47 @@ class _ShuffleMeter:
         except Exception:
             return None
 
+    def _max_task_ms(self, stage_keys):
+        """Max executorRunTime over the given stages' tasks (the
+        straggler), or None when the summary endpoint is unavailable."""
+        worst = None
+        for sid, att in stage_keys:
+            try:
+                url = f"{self._base}/{sid}/{att}/taskSummary?quantiles=1.0"
+                with urllib.request.urlopen(url, timeout=10) as r:
+                    t = json.load(r).get("executorRunTime", [None])[0]
+                if t is not None:
+                    worst = t if worst is None else max(worst, t)
+            except Exception:
+                continue
+        return round(worst, 1) if worst is not None else None
+
     def measure(self, fn):
-        """Run fn(); return (wall_sec, shuffle_mb or None)."""
+        """Run fn(); return (wall_sec, shuffle_mb or None,
+        max_task_ms or None)."""
         before = self._stages()
         t0 = time.perf_counter()
         fn()
         wall = time.perf_counter() - t0
         after = self._stages()
         if before is None or after is None:
-            return wall, None
+            return wall, None, None
         new = {k: v for k, v in after.items() if k not in before}
         mb = sum(r + w for r, w in new.values()) / (1024 * 1024)
-        return wall, round(mb, 1)
+        return wall, round(mb, 1), self._max_task_ms(new.keys())
 
 
 def _time_queries(spark, queries, sf_dir: str, meter):
-    times, shuffles = {}, {}
+    times, shuffles, stragglers = {}, {}, {}
     for name in QUERIES:
         df = queries[name](spark, sf_dir)
-        wall, mb = meter.measure(
+        wall, mb, max_task = meter.measure(
             lambda: df.write.format("noop").mode("overwrite").save()
         )
         times[name] = round(wall, 3)
         shuffles[name] = mb
-    return times, shuffles
+        stragglers[name] = max_task
+    return times, shuffles, stragglers
 
 
 def main() -> None:
@@ -180,14 +255,19 @@ def main() -> None:
     queries["text_token_stats"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    t1, sh1 = _time_queries(spark, queries, sf_dir, meter)
+    t1, sh1, mt1 = _time_queries(spark, queries, sf_dir, meter)
     rows = {
-        name: {"t1": t1[name], "shuffle_mb1": sh1[name]} for name in QUERIES
+        name: {
+            "t1": t1[name],
+            "shuffle_mb1": sh1[name],
+            "max_task_ms1": mt1[name],
+        }
+        for name in QUERIES
     }
     totals = {"total_t1": round(sum(t1.values()), 2)}
     for n in replica_points:
         big_dir = _replicate(spark, sf_dir, n)
-        tn, shn = _time_queries(spark, queries, big_dir, meter)
+        tn, shn, mtn = _time_queries(spark, queries, big_dir, meter)
         for name in QUERIES:
             ratio = tn[name] / t1[name] if t1[name] else float("nan")
             rows[name][f"t{n}"] = tn[name]
@@ -195,18 +275,47 @@ def main() -> None:
                 round(math.log(ratio) / math.log(n), 2) if ratio > 0 else None
             )
             rows[name][f"shuffle_mb{n}"] = shn[name]
+            rows[name][f"max_task_ms{n}"] = mtn[name]
         totals[f"total_t{n}"] = round(sum(tn.values()), 2)
-    print(
-        json.dumps(
-            {
-                "metric": "extension_scaleup",
-                "replicas": replica_points,
-                "sf_dir": sf_dir,
-                "queries": rows,
-                **totals,
+    out = {
+        "metric": "extension_scaleup",
+        "replicas": replica_points,
+        "sf_dir": sf_dir,
+        "queries": rows,
+        **totals,
+    }
+    skew = int(os.environ.get("SPARK_GRAFT_SCALE_SKEW", "0"))
+    if skew > 1:
+        # Zipf-skewed point (round-7 verdict ask #5): same expected row
+        # factor, head-heavy key distribution — exponents computed
+        # against the ACTUAL realized factor so the skewed point is
+        # comparable to the uniform ones.
+        skew_dir = _replicate_skewed(spark, sf_dir, skew)
+        base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        skew_docs = spark.read.parquet(f"{skew_dir}/documents.parquet").count()
+        factor = skew_docs / base_docs
+        ts, shs, mts = _time_queries(spark, queries, skew_dir, meter)
+        srows = {}
+        for name in QUERIES:
+            ratio = ts[name] / t1[name] if t1[name] else float("nan")
+            srows[name] = {
+                "t": ts[name],
+                "exp": (
+                    round(math.log(ratio) / math.log(factor), 2)
+                    if ratio > 0
+                    else None
+                ),
+                "shuffle_mb": shs[name],
+                "max_task_ms": mts[name],
             }
-        )
-    )
+        out["skew"] = {
+            "requested_factor": skew,
+            "realized_factor": round(factor, 2),
+            "zipf_grid": SKEW_B,
+            "queries": srows,
+            "total_t": round(sum(ts.values()), 2),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
