@@ -22,6 +22,8 @@ match the reference's consumption idioms verbatim.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -101,11 +103,80 @@ class SessionContext:
     def deregister_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
 
+    # -- information_schema shim (reference: .with_information_schema(true),
+    #    simple_query.rs:53 — DataFusion exposes the catalog as SQL views;
+    #    Spark exposes it as SHOW/DESCRIBE/the catalog API instead, so a
+    #    verbatim reference SQL port needs these views; round-7 verdict #6)
+
+    def _refresh_information_schema(self) -> None:
+        """Snapshot the session catalog into ``information_schema.tables``
+        / ``information_schema.columns`` views. Called lazily from
+        ``sql()`` whenever the statement references information_schema,
+        so the views are always current at query time. The snapshot is
+        inlined as a VALUES relation (the catalog is driver-sized by
+        definition); views live in a real ``information_schema``
+        database, so the ANSI two-part name resolves exactly as the
+        reference's SQL expects."""
+
+        def q(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+
+        self.spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
+        trows, crows = [], []
+        for t in self.spark.catalog.listTables():
+            if t.database == "information_schema":
+                continue
+            schema_name = t.database or "default"
+            ttype = "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "BASE TABLE"
+            trows.append(
+                f"({q('spark_catalog')}, {q(schema_name)}, {q(t.name)}, {q(ttype)})"
+            )
+            qualified = t.name if t.isTemporary else f"{schema_name}.{t.name}"
+            try:
+                cols = self.spark.catalog.listColumns(qualified)
+            except Exception:
+                continue  # a view whose source vanished mid-snapshot
+            for i, c in enumerate(cols, start=1):
+                crows.append(
+                    f"({q(schema_name)}, {q(t.name)}, {q(c.name)}, {i}, "
+                    f"{q(c.dataType)}, {q('YES' if c.nullable else 'NO')})"
+                )
+        tbody = (
+            f"SELECT * FROM (VALUES {', '.join(trows)}) AS v(table_catalog, "
+            "table_schema, table_name, table_type)"
+            if trows
+            else "SELECT CAST(NULL AS STRING) AS table_catalog, "
+            "CAST(NULL AS STRING) AS table_schema, "
+            "CAST(NULL AS STRING) AS table_name, "
+            "CAST(NULL AS STRING) AS table_type WHERE FALSE"
+        )
+        cbody = (
+            f"SELECT * FROM (VALUES {', '.join(crows)}) AS v(table_schema, "
+            "table_name, column_name, ordinal_position, data_type, is_nullable)"
+            if crows
+            else "SELECT CAST(NULL AS STRING) AS table_schema, "
+            "CAST(NULL AS STRING) AS table_name, "
+            "CAST(NULL AS STRING) AS column_name, "
+            "CAST(NULL AS INT) AS ordinal_position, "
+            "CAST(NULL AS STRING) AS data_type, "
+            "CAST(NULL AS STRING) AS is_nullable WHERE FALSE"
+        )
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW information_schema.tables AS {tbody}"
+        )
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW information_schema.columns AS {cbody}"
+        )
+
     # -- query (reference: ctx.sql(...).await -> DataFrame, simple_query.rs:77)
 
     def sql(self, query: str) -> DataFrame:
         """Spark DataFrames already carry the reference's consumption
-        surface: .show(), .collect(), .schema — no wrapper needed."""
+        surface: .show(), .collect(), .schema — no wrapper needed.
+        Statements referencing ``information_schema`` first refresh the
+        catalog-snapshot views so reference SQL ports run verbatim."""
+        if re.search(r"information_schema", query, re.IGNORECASE):
+            self._refresh_information_schema()
         return self.spark.sql(query)
 
     def table(self, name: str) -> DataFrame:
