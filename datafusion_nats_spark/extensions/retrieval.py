@@ -463,9 +463,9 @@ PHRASE_QUERIES: list[tuple[int, str, str]] = [
 ]
 
 
-@query(
-    "search_phrase_match",
-    oracle=f"""
+# shared with the persisted-index twin (extensions/text_index.py::
+# search_index_probe_phrase), whose results are identical by construction
+PHRASE_ORACLE = f"""
     WITH p AS (
       SELECT * FROM (VALUES
         {", ".join(f"({q}, '{a}', '{b}')" for q, a, b in PHRASE_QUERIES)}
@@ -484,7 +484,12 @@ PHRASE_QUERIES: list[tuple[int, str, str]] = [
            CAST(len(pos) AS INT) AS n_occurrences,
            CAST(pos[1] AS INT) AS first_pos
     FROM hits WHERE len(pos) > 0
-    """,
+    """
+
+
+@query(
+    "search_phrase_match",
+    oracle=PHRASE_ORACLE,
     doc="Positional phrase search: each (term_a, term_b) phrase query "
     "finds documents where the terms are ADJACENT tokens, with "
     "occurrence count and first position — entirely as a zero-shuffle "

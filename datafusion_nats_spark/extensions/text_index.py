@@ -11,16 +11,19 @@ query-independent — exactly what an index amortizes.
 Layout (one versioned artifact, same atomic CURRENT-pointer machinery
 as the ANN/LSH families in ``extensions/ann_index``):
 
-- ``postings/`` — (word, doc_id, tf, dl, df) rows **partitioned by
-  ``bucket`` = crc32(word) % N_TERM_BUCKETS**. Denormalizing the doc
-  length (dl) and the term's document frequency (df) into the posting
-  row is the classic inverted-file trick: a probe then needs NO join
-  against corpus-sized side tables — everything BM25 needs per posting
-  is in the posting. The bucket partitioning is what buys the pruning:
-  a query's terms hash to a handful of buckets, those bucket values are
-  inlined as literals into the scan filter, and parquet partition
-  pruning skips every other bucket directory entirely (the LSH/IVF
-  pattern; files-read pinned in pytest).
+- ``postings/`` — (word, doc_id, tf, dl, df, positions) rows
+  **partitioned by ``bucket`` = crc32(word) % N_TERM_BUCKETS**.
+  Denormalizing the doc length (dl) and the term's document frequency
+  (df) into the posting row is the classic inverted-file trick: a probe
+  then needs NO join against corpus-sized side tables — everything BM25
+  needs per posting is in the posting; ``positions`` (the term's sorted
+  1-based token positions) additionally serves the positional phrase
+  probe from the SAME artifact, while the BM25 probe never reads the
+  column (parquet column pruning). The bucket partitioning is what buys
+  the pruning: a query's terms hash to a handful of buckets, those
+  bucket values are inlined as literals into the scan filter, and
+  parquet partition pruning skips every other bucket directory entirely
+  (the LSH/IVF pattern; files-read pinned in pytest).
 - ``stats/`` — the 1-row (n_docs, avgdl) corpus aggregate, broadcast
   into every probe.
 
@@ -67,11 +70,12 @@ from datafusion_nats_spark.extensions.retrieval import (
     BM25_QUERIES,
     K1,
     N_Q_HYBRID,
+    PHRASE_ORACLE,
+    PHRASE_QUERIES,
     RRF_K,
     _HYBRID_BM25_BLOCK,
     _bm25_terms_values,
     _bm25_sql,
-    _postings,
     rrf_fuse,
 )
 from datafusion_nats_spark.extensions.similarity import (
@@ -90,6 +94,12 @@ from datafusion_nats_spark.tables import load
 # partition is a few GB (the probe cost scales with |matched buckets| /
 # N_TERM_BUCKETS of the postings, so more buckets = finer pruning).
 N_TERM_BUCKETS = 64
+
+# Files per bucket directory: hash-clustering by bucket alone would put
+# each bucket in ONE file (a probe scan then can't parallelize within
+# its matched buckets, and at 100 TB a bucket would be one giant file);
+# a doc_id salt spreads every bucket over up to this many files.
+BM25_FILES_PER_BUCKET = 4
 
 
 def _bucket_expr(word_col):
@@ -130,7 +140,22 @@ def bm25_index_build(
     version = (cur or 0) + 1
     vdir = _version_dir(index_dir, version)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    tf = _postings(docs)
+    # positional postings: same tokenization as the in-plan twin
+    # (retrieval._postings / text.tokens), plus each term's sorted
+    # 1-based positions — tf is exactly their count. Positions ride in
+    # the same rows so ONE artifact serves both the BM25 probe (which
+    # never selects the column — parquet column pruning keeps its scan
+    # narrow) and the positional phrase probe.
+    tf = (
+        docs.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(
+            F.sort_array(F.collect_list(F.col("p") + 1)).alias("positions"),
+        )
+        .withColumn("tf", F.size("positions").cast("long"))
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     corpus = dl.agg(
@@ -144,10 +169,14 @@ def bm25_index_build(
         tf.join(dl, "doc_id")
         .join(df, "word")
         .withColumn("bucket", _bucket_expr(F.col("word")))
-        .select("bucket", "word", "doc_id", "tf", "dl", "df")
-        # cluster rows by bucket before the partitioned write so each
-        # bucket directory holds a few large files, not one per task
-        .repartition("bucket")
+        .select("bucket", "word", "doc_id", "tf", "dl", "df", "positions")
+        # cluster rows by (bucket, salt) before the partitioned write so
+        # each bucket directory holds a few large files (not one per
+        # task, and not ONE per bucket — see BM25_FILES_PER_BUCKET)
+        .repartition(
+            F.col("bucket"),
+            F.pmod(F.col("doc_id"), F.lit(BM25_FILES_PER_BUCKET)),
+        )
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(vdir, "postings"))
@@ -385,4 +414,173 @@ def search_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank_1").cast("int").alias("vec_rank"),
             "rn",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# positional phrase probe over the same artifact
+# --------------------------------------------------------------------------
+
+
+def phrase_index_probe(
+    spark: SparkSession, index_dir: str, phrases: DataFrame
+) -> DataFrame:
+    """Probe the persisted postings index with a phrase workload
+    (query_id, term_a, term_b) → (query_id, doc_id, n_occurrences,
+    first_pos), matching docs only — identical to
+    ``retrieval.phrase_match`` by construction (same tokenization, same
+    1-based adjacency semantics).
+
+    Where the in-plan twin sweeps every document's token array (the
+    zero-shuffle sequential scan), this probe reads ONLY the two terms'
+    bucket partitions and intersects their stored position lists:
+    occurrences are positions i of term_a with i+1 among term_b's
+    positions. At 100 TB that is the inverted-index phrase lookup —
+    O(|matched postings|) instead of O(corpus tokens) per workload."""
+    vdir = current_index_dir(index_dir)
+    rows = [
+        (r["query_id"], r["term_a"], r["term_b"])
+        for r in phrases.select("query_id", "term_a", "term_b").collect()
+    ]
+    words = sorted({t for _, a, b in rows for t in (a, b)})
+    buckets = sorted(
+        r["bucket"]
+        for r in spark.createDataFrame([(w,) for w in words], "word string")
+        .select(_bucket_expr(F.col("word")).alias("bucket"))
+        .distinct()
+        .collect()
+    )
+    postings = (
+        spark.read.parquet(os.path.join(vdir, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("word").isin(words))
+        .select("word", "doc_id", "positions")
+    )
+    p = spark.createDataFrame(
+        rows, "query_id int, term_a string, term_b string"
+    )
+    a = postings.join(
+        F.broadcast(p), postings.word == p.term_a
+    ).select("query_id", "doc_id", F.col("positions").alias("pos_a"))
+    b_side = postings.join(
+        F.broadcast(p.select("query_id", "term_b")),
+        postings.word == F.col("term_b"),
+    ).select("query_id", "doc_id", F.col("positions").alias("pos_b"))
+    # positions i of term_a whose successor i+1 is a term_b position;
+    # both lists are sorted, so the intersection stays sorted and its
+    # head is the first occurrence (shifted by one)
+    matches = F.array_intersect(
+        F.transform(F.col("pos_a"), lambda x: x + 1), F.col("pos_b")
+    )
+    return (
+        a.join(b_side, ["query_id", "doc_id"])
+        .select("query_id", "doc_id", matches.alias("m"))
+        .filter(F.size("m") > 0)
+        .select(
+            "query_id",
+            "doc_id",
+            F.size("m").cast("int").alias("n_occurrences"),
+            (F.array_min("m") - 1).cast("int").alias("first_pos"),
+        )
+    )
+
+
+@query(
+    "search_index_probe_phrase",
+    oracle=PHRASE_ORACLE,
+    doc="Persisted-index positional phrase search: the SAME postings "
+    "artifact as search_index_probe_bm25 carries each term's sorted "
+    "1-based positions, so a phrase workload reads only its two terms' "
+    "bucket partitions and intersects stored position lists (term_a's "
+    "successors against term_b's positions) — the inverted-index "
+    "phrase lookup, O(|matched postings|) per workload vs the in-plan "
+    "twin's full corpus token sweep. Same oracle as "
+    "search_phrase_match — identical results by construction; the BM25 "
+    "probe never reads the positions column (parquet column pruning, "
+    "pinned in pytest), so the shared artifact costs it nothing.",
+)
+def search_index_probe_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = bm25_index_build(spark, sf_dir)
+    phrases = spark.createDataFrame(
+        PHRASE_QUERIES, "query_id int, term_a string, term_b string"
+    )
+    return phrase_index_probe(spark, index_dir, phrases)
+
+
+# --------------------------------------------------------------------------
+# routing scores for INCOMING documents (background corpus statistics)
+# --------------------------------------------------------------------------
+
+
+def bm25_route_score(
+    spark: SparkSession, index_dir: str, docs: DataFrame, terms: DataFrame
+) -> DataFrame:
+    """BM25 routing scores of INCOMING documents (doc_id, text) against
+    a query/topic workload (query_id, term), using the persisted
+    index's BACKGROUND corpus statistics → (doc_id, query_id, score),
+    matched docs only.
+
+    This is the classification/routing direction of BM25 (which topic
+    does this new doc belong to?), the dual of the search probe: tf and
+    dl come from the incoming doc ITSELF, while df/n_docs/avgdl come
+    from the stored corpus artifact — the doc is scored as if against
+    the indexed corpus without being in it. Per-batch cost is one
+    narrow map over the batch plus a pruned read of the workload
+    terms' (word, df) rows; same K1/B/idf/rounding/term-order fold as
+    every BM25 twin in the registry. Terms absent from the indexed
+    corpus have no df and contribute nothing (inner join), exactly like
+    ``bm25_scores``' term-df join."""
+    vdir = current_index_dir(index_dir)
+    rows = [
+        (r["query_id"], r["term"])
+        for r in terms.select("query_id", "term").collect()
+    ]
+    words = sorted({t for _, t in rows})
+    buckets = sorted(
+        r["bucket"]
+        for r in spark.createDataFrame([(w,) for w in words], "word string")
+        .select(_bucket_expr(F.col("word")).alias("bucket"))
+        .distinct()
+        .collect()
+    )
+    dfrel = (
+        spark.read.parquet(os.path.join(vdir, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("word").isin(words))
+        .select("word", "df")
+        .distinct()
+    )
+    stats = spark.read.parquet(os.path.join(vdir, "stats"))
+    terms_df = spark.createDataFrame(rows, "query_id int, term string")
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("dl", F.size("toks").cast("long"))
+    stf = (
+        toked.select("doc_id", "dl", F.explode("toks").alias("word"))
+        .filter(F.col("word").isin(words))  # selective BEFORE the shuffle
+        .groupBy("doc_id", "dl", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hits = (
+        stf.join(F.broadcast(terms_df), stf.word == terms_df.term)
+        .join(F.broadcast(dfrel), "word")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf") * (K1 + 1))
+        / (
+            F.col("tf")
+            + K1 * (1 - B + B * F.col("dl").cast("double") / F.col("avgdl"))
+        ),
+        6,
+    )
+    return (
+        hits.select("doc_id", "query_id", "term", contrib.alias("c"))
+        .groupBy("doc_id", "query_id")
+        .agg(F.round(_ordered_sum("c", "term"), 6).alias("score"))
     )

@@ -65,6 +65,7 @@ QUERIES = [
     "search_bm25_topk",
     "search_hybrid_rrf",
     "search_index_probe_bm25",
+    "search_index_probe_phrase",
     "search_hybrid_rrf_indexed",
 ]
 

