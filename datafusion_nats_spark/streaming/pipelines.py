@@ -1161,3 +1161,130 @@ def stream_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "keep",
     )
+
+
+# --------------------------------------------------------------------------
+# streaming BM25 relevance routing against the persisted postings index
+# --------------------------------------------------------------------------
+
+
+def bm25_stream_route_apply(index_dir: str, results_dir: str):
+    """Build the ``foreachBatch`` function for STREAMING BM25 relevance
+    routing — the retrieval-family member of the stream-screen quartet
+    (LSH dedup screen, IVF ANN screen, quality screen, this): each
+    micro-batch of incoming documents (doc_id, text) is scored against
+    the stored routing workload using the persisted index's BACKGROUND
+    corpus statistics (df/avgdl/n_docs from the artifact; tf/dl from the
+    incoming doc itself — the doc is scored as if against the indexed
+    corpus without being in it), and its (doc_id, query_id, score)
+    routes land in a per-epoch results directory.
+
+    Stateless like the quality screen: the routing workload and corpus
+    stats do not grow with the stream, so per-batch cost is one narrow
+    map over the batch plus a bucket-pruned read of the workload terms'
+    df rows. Epoch replay is idempotent (a retried epoch overwrites its
+    own ``epoch=N`` directory); the index version is resolved per batch,
+    so a concurrent rebuild publish flips between batches atomically,
+    never mid-batch."""
+    from datafusion_nats_spark.extensions.retrieval import BM25_QUERIES
+    from datafusion_nats_spark.extensions.text_index import bm25_route_score
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        terms = sp.createDataFrame(BM25_QUERIES, "query_id int, term string")
+        routed = bm25_route_score(
+            sp, index_dir, batch_df.select("doc_id", "text"), terms
+        )
+        routed.write.mode("overwrite").parquet(f"{results_dir}/epoch={epoch_id}")
+
+    return apply
+
+
+def _route_oracle() -> str:
+    from datafusion_nats_spark.extensions.retrieval import B, K1, _bm25_terms_values
+
+    return f"""
+    WITH stream AS (
+      SELECT CAST(doc_id + {_QSCREEN_SHIFT} AS BIGINT) AS sid,
+             CAST((doc_id // 5) % 2 AS INT) AS epoch,
+             regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents WHERE doc_id % 5 = 0
+    ), cwords AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents
+    ), ctf AS (
+      SELECT doc_id, word, count(*) AS tf FROM cwords GROUP BY doc_id, word
+    ), dfreq AS (
+      SELECT word, count(*) AS df FROM ctf GROUP BY word
+    ), cdl AS (
+      SELECT doc_id, sum(tf) AS dl FROM ctf GROUP BY doc_id
+    ), corpus AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM cdl
+    ), q AS ({_bm25_terms_values()}
+    ), stf AS (
+      SELECT s.sid, s.epoch, len(s.arr) AS dl, w.word, count(*) AS tf
+      FROM stream s, unnest(s.arr) w(word)
+      GROUP BY s.sid, s.epoch, len(s.arr), w.word
+    ), contrib AS (
+      SELECT q.query_id, stf.sid, stf.epoch, q.term,
+             round(
+               ln(1 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (stf.tf * ({K1} + 1))
+               / (stf.tf + {K1} * (1 - {B}
+                                  + {B} * CAST(stf.dl AS DOUBLE) / corpus.avgdl)),
+               6) AS c
+      FROM stf
+      JOIN q ON q.term = stf.word
+      JOIN dfreq USING (word)
+      CROSS JOIN corpus
+    )
+    SELECT sid AS doc_id, CAST(epoch AS INT) AS epoch, query_id,
+           round(list_sum(list(c ORDER BY term)), 6) AS score
+    FROM contrib GROUP BY sid, epoch, query_id
+    """
+
+
+@query(
+    "search_stream_route_bm25",
+    oracle=_route_oracle(),
+    doc="STREAMING BM25 relevance routing with a full oracle: the same "
+    "deterministic two-batch document stream as the quality screen runs "
+    "through bm25_stream_route_apply via a real foreachBatch query — "
+    "each incoming doc is scored against the stored routing workload "
+    "using the persisted index's BACKGROUND corpus statistics (tf/dl "
+    "from the doc, df/avgdl from the artifact: the routing direction of "
+    "BM25 — which topic slice does this new doc belong to). Stateless "
+    "per batch, bucket-pruned stats read; completes the stream-screen "
+    "quartet (LSH dedup / IVF ANN / quality / retrieval).",
+)
+def search_stream_route_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as sh
+
+    from datafusion_nats_spark.extensions.text_index import bm25_index_build
+
+    index_dir = bm25_index_build(spark, sf_dir)
+    results = os.path.join(index_dir, "stream_route_results")
+    sh.rmtree(results, ignore_errors=True)
+    apply_fn = bm25_stream_route_apply(index_dir, results)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")  # one pinned batch per trigger
+        .parquet(_qscreen_stream_dir(spark, sf_dir))
+    )
+    q = stream.writeStream.foreachBatch(apply_fn).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.option("basePath", results).parquet(results)
+    return out.select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        "query_id",
+        "score",
+    )
