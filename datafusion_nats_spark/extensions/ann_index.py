@@ -88,8 +88,19 @@ from datafusion_nats_spark.tables import load
 # is part of the default index path, so stale cached artifacts from an
 # older format can never satisfy a newer probe's version resolution
 # (v3: versions carry a _FLAVOR marker so a mismatched-codebook build
-# request fails loudly instead of silently serving the wrong index)
-INDEX_FORMAT_VERSION = 3
+# request fails loudly instead of silently serving the wrong index;
+# v4: BM25 postings rows gained the sorted positions column for the
+# phrase probe)
+INDEX_FORMAT_VERSION = 4
+
+# Files per cell directory in the IVF vectors layout. repartition("cell")
+# alone puts ALL of a cell's rows in ONE task → ONE parquet file per
+# cell, which caps a probe's scan parallelism at |probed cells| tasks
+# (the round-8 skew run measured a 17 s straggler on a 30x corpus
+# big-batch probe) and at 100 TB would mean one ~25 GB file per cell.
+# Salting the shuffle key spreads each cell over up to this many files;
+# size it so files are a few hundred MB at the target corpus scale.
+IVF_FILES_PER_CELL = 8
 
 
 def _index_root(kind: str, sf_dir: str, variant: str = "") -> str:
@@ -285,9 +296,14 @@ def ivf_index_build(
     cents.write.mode("overwrite").parquet(os.path.join(vdir, "codebook"))
     (
         vectors
-        # cluster rows by cell before the partitioned write so each cell
-        # directory holds a few large files, not one shard per task
-        .repartition("cell")
+        # cluster rows by (cell, salt) before the partitioned write:
+        # grouping by cell co-locates each directory's rows into few
+        # tasks (not one shard per task), while the vec_id salt spreads
+        # every cell over up to IVF_FILES_PER_CELL files so a pruned
+        # probe scan parallelizes WITHIN the probed cells
+        .repartition(
+            F.col("cell"), F.pmod(F.col("vec_id"), F.lit(IVF_FILES_PER_CELL))
+        )
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(vdir, "vectors"))
