@@ -67,14 +67,33 @@ def _has_bounded_below(node) -> bool:
     return False
 
 
-def test_every_unpartitioned_window_is_audited(spark):
+def _has_cartesian(node) -> bool:
+    if node.getClass().getSimpleName() == "CartesianProductExec":
+        return True
+    ch = node.children()
+    for i in range(ch.length()):
+        if _has_cartesian(ch.apply(i)):
+            return True
+    return False
+
+
+def test_every_unpartitioned_window_is_audited_and_no_cartesian(spark):
+    """One pass over every registered query's plans, two registry-wide
+    invariants: (a) the unpartitioned-window whitelist above, (b) ZERO
+    CartesianProductExec anywhere — every cross join in the registry
+    must broadcast a bounded side (BroadcastNestedLoopJoin over a 1-row
+    stats aggregate is the house pattern), never materialize a true
+    partitioned cartesian product."""
     all_queries()
     flagged: dict[str, list[bool]] = {}
+    cartesians: list[str] = []
     for name, spec in sorted(REGISTRY.items()):
-        plan = spec.fn(spark, SF)._jdf.queryExecution().optimizedPlan()
-        ws = _unpartitioned_windows(plan, [])
+        qe = spec.fn(spark, SF)._jdf.queryExecution()
+        ws = _unpartitioned_windows(qe.optimizedPlan(), [])
         if ws:
             flagged[name] = [_has_bounded_below(w) for w in ws]
+        if _has_cartesian(qe.sparkPlan()):
+            cartesians.append(name)
     assert set(flagged) == set(WHITELIST), (
         "unpartitioned-window inventory drifted — audit the new/removed "
         f"queries: {sorted(set(flagged) ^ set(WHITELIST))}"
@@ -83,4 +102,7 @@ def test_every_unpartitioned_window_is_audited(spark):
     assert not unbounded, (
         f"global window over a non-reduced input (corpus-sized single-"
         f"partition sort at scale): {unbounded}"
+    )
+    assert cartesians == [], (
+        f"partitioned cartesian product in the physical plan: {cartesians}"
     )
