@@ -37,6 +37,7 @@ def _run(script: str, timeout: int = 240) -> str:
         ("ann_index_probe.py", "partition pruning"),  # persisted-index probe
         ("streaming_ann_screen.py", "index accumulates"),  # streaming screen
         ("retrieval_stack.py", "quality screen kept"),  # retrieval + model
+        ("text_index_lifecycle.py", "v1 still on disk: True"),  # BM25 index
     ],
 )
 def test_example_runs_clean(script, marker):
