@@ -168,13 +168,68 @@ class SessionContext:
             f"CREATE OR REPLACE VIEW information_schema.columns AS {cbody}"
         )
 
+    # -- DDL shim: CREATE TABLE ... USING nats OPTIONS (...) -----------------
+
+    _NATS_DDL = re.compile(
+        r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
+        r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s*"
+        r"(?:\((?P<schema>[^)]*)\)\s*)?"
+        r"(?:USING\s+nats|STORED\s+AS\s+nats)\s+"
+        r"OPTIONS\s*\((?P<opts>.*)\)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _OPT_PAIR = re.compile(
+        r"""(?:'(?P<kq>[^']*)'|"(?P<kd>[^"]*)"|(?P<kb>[\w.]+))"""
+        r"""\s*=?\s*(?:'(?P<vq>[^']*)'|"(?P<vd>[^"]*)")"""
+    )
+
+    def _create_nats_table_ddl(self, m: re.Match) -> DataFrame:
+        """Execute the reference-shaped DDL by routing to the
+        programmatic registration. PySpark 4.1 drops Python-data-source
+        table OPTIONS on the native DDL path (the pinned canary
+        `test_ddl_options_forwarding_canary`), so the facade parses the
+        statement itself — `CREATE [EXTERNAL] TABLE name (cols) USING
+        nats OPTIONS (subject 'x', url '...', ...)` (or `STORED AS
+        nats`, DataFusion's `CREATE EXTERNAL TABLE` spelling) becomes
+        `register_nats_table` with the same schema and options. Returns
+        the empty DataFrame Spark DDL returns."""
+        name = m.group("name")
+        opts = {
+            (g["kq"] or g["kd"] or g["kb"]): (
+                g["vq"] if g["vq"] is not None else g["vd"]
+            )
+            for g in (
+                mo.groupdict() for mo in self._OPT_PAIR.finditer(m.group("opts"))
+            )
+        }
+        if m.group("ine") and name in self.tables():
+            return self.spark.createDataFrame([], T.StructType([]))
+        subject = opts.pop("subject", None)
+        if subject is None:
+            raise ValueError(
+                f"CREATE TABLE {name} USING nats requires OPTIONS "
+                "(subject '...') — the subject IS the table "
+                "(reference: data_source.rs)"
+            )
+        url = opts.pop("url", "memory://default")
+        self.register_nats_table(
+            name, subject, schema=m.group("schema"), url=url, **opts
+        )
+        return self.spark.createDataFrame([], T.StructType([]))
+
     # -- query (reference: ctx.sql(...).await -> DataFrame, simple_query.rs:77)
 
     def sql(self, query: str) -> DataFrame:
         """Spark DataFrames already carry the reference's consumption
         surface: .show(), .collect(), .schema — no wrapper needed.
         Statements referencing ``information_schema`` first refresh the
-        catalog-snapshot views so reference SQL ports run verbatim."""
+        catalog-snapshot views, and reference-shaped
+        ``CREATE [EXTERNAL] TABLE ... USING nats OPTIONS (...)`` DDL is
+        executed by the facade (see _create_nats_table_ddl), so
+        reference SQL ports run verbatim."""
+        ddl = self._NATS_DDL.match(query)
+        if ddl:
+            return self._create_nats_table_ddl(ddl)
         if re.search(r"information_schema", query, re.IGNORECASE):
             self._refresh_information_schema()
         return self.spark.sql(query)

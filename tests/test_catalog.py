@@ -644,3 +644,50 @@ def test_information_schema_joinable_with_data(spark, sf_dir):
     }
     assert got.get("region") == 2  # r_regionkey, r_name
     assert got.get("nation") == 3  # n_nationkey, n_name, n_regionkey
+
+
+def test_create_table_using_nats_ddl_via_context(spark):
+    """The reference-shaped DDL works through the SessionContext facade
+    (PySpark's native path drops Python-data-source OPTIONS — canary
+    above): CREATE TABLE ... USING nats OPTIONS (...) registers the
+    subject as a queryable table with the declared schema; the
+    DataFusion spelling CREATE EXTERNAL TABLE ... STORED AS nats and
+    IF NOT EXISTS idempotence both work."""
+    from datafusion_nats_spark.context import SessionContext
+    from datafusion_nats_spark.sources import get_broker
+
+    broker = get_broker("memory://ddlctx")
+    broker.clear()
+    for p in [b"1,apple", b"2,banana"]:
+        broker.publish("ddl.subject", p)
+
+    ctx = SessionContext(spark)
+    out = ctx.sql(
+        "CREATE TABLE nats_ddl_t (id INT, name STRING) USING nats "
+        "OPTIONS (subject 'ddl.subject', url 'memory://ddlctx', "
+        "maxMessages '2')"
+    )
+    assert out.collect() == []  # DDL returns the empty relation
+    got = ctx.sql("SELECT id, name FROM nats_ddl_t ORDER BY id").collect()
+    assert [(r.id, r.name) for r in got] == [(1, "apple"), (2, "banana")]
+    # IF NOT EXISTS over an existing registration: no error, no re-read
+    ctx.sql(
+        "CREATE TABLE IF NOT EXISTS nats_ddl_t (id INT) USING nats "
+        "OPTIONS (subject 'other', url 'memory://ddlctx')"
+    )
+    assert "nats_ddl_t" in ctx.tables()
+    # DataFusion's CREATE EXTERNAL TABLE ... STORED AS spelling
+    ctx.sql(
+        "CREATE EXTERNAL TABLE nats_ddl_ext (id INT, name STRING) "
+        "STORED AS nats OPTIONS (subject 'ddl.subject', "
+        "url 'memory://ddlctx', maxMessages '1')"
+    )
+    assert ctx.sql("SELECT count(*) AS n FROM nats_ddl_ext").collect()[0].n == 1
+    # missing subject fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="subject"):
+        ctx.sql("CREATE TABLE nats_bad (id INT) USING nats OPTIONS (url 'x')")
+    ctx.deregister_table("nats_ddl_t")
+    ctx.deregister_table("nats_ddl_ext")
+    broker.clear()
