@@ -91,6 +91,18 @@ ALLOWLIST: dict[str, str] = {
         "(built once, parquet round-trip exact); downstream cosines "
         "rounded to 1e-6"
     ),
+    "sim_index_probe_bigbatch": (
+        "distributed-path twin of sim_index_probe: the avg( is the same "
+        "IVF-oracle centroid intermediate (built once, parquet "
+        "round-trip exact); probe ranks and rerank cosines rounded to "
+        "1e-6"
+    ),
+    "search_hybrid_rrf_indexed": (
+        "vector arm is the persisted IVF probe — the avg( is the same "
+        "centroid intermediate as sim_index_probe (built once, parquet "
+        "round-trip exact); both arms' scores and the RRF fusion are "
+        "rounded to 1e-6 before ranking"
+    ),
     "sim_stream_screen": (
         "persisted-index probe per micro-batch: same centroid avg as "
         "sim_index_probe (built once, parquet round-trip exact); probe "

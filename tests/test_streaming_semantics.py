@@ -1223,3 +1223,77 @@ def test_lsh_stream_screen_unique_ingest_policy(spark, tmp_path):
     assert v2[12] == (True, 10)
     with pytest.raises(ValueError, match="ingest policy"):
         lsh_stream_screen_apply(index_dir, results, ingest="bogus")
+
+
+def test_streaming_bm25_router_via_foreachbatch_stream(spark, broker, tmp_path):
+    """The BM25 relevance router wired through a REAL streaming query
+    (NATS memory broker → foreachBatch): incoming documents arrive as
+    CSV messages, each micro-batch is routed against the stored topic
+    workload using the persisted index's background corpus statistics,
+    and the per-epoch routes must equal the batch helper's scores for
+    the same texts — the streaming execution adds nothing and loses
+    nothing (stateless screen)."""
+    from pyspark.sql import types as T
+
+    from datafusion_nats_spark.extensions.retrieval import BM25_QUERIES
+    from datafusion_nats_spark.extensions.text_index import (
+        bm25_index_build,
+        bm25_route_score,
+    )
+    from datafusion_nats_spark.streaming.pipelines import (
+        bm25_stream_route_apply,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    index_dir = bm25_index_build(spark, sf, str(tmp_path / "bm25_s"))
+    results = str(tmp_path / "routes_s")
+    apply_fn = bm25_stream_route_apply(index_dir, results)
+
+    texts = {
+        7001: "hash join hash probe",
+        7002: "window sort window",
+    }
+    for did, text in sorted(texts.items()):
+        broker.publish("docs", f"{did},{text}".encode())
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), False),
+        ]
+    )
+    q = (
+        spark.readStream.format("nats")
+        .schema(schema)
+        .option("url", "memory://stream_sem")
+        .option("subject", "docs")
+        .option("maxMessagesPerBatch", "1")
+        .load()
+        .writeStream.foreachBatch(apply_fn)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import os
+
+    epochs = [n for n in os.listdir(results) if n.startswith("epoch=")]
+    assert len(epochs) >= 2  # one pinned message per micro-batch
+    streamed = {
+        (r.doc_id, r.query_id): r.score
+        for r in spark.read.option("basePath", results)
+        .parquet(results)
+        .collect()
+    }
+    batch_docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    terms = spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
+    want = {
+        (r.doc_id, r.query_id): r.score
+        for r in bm25_route_score(spark, index_dir, batch_docs, terms).collect()
+    }
+    assert streamed == want
+    # the hash-join doc routes to topic 0 (hash/join), not topic 1
+    assert (7001, 0) in streamed and (7001, 1) not in streamed
