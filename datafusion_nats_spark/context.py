@@ -167,6 +167,27 @@ class SessionContext:
         self.spark.sql(
             f"CREATE OR REPLACE VIEW information_schema.columns AS {cbody}"
         )
+        # the other two relations DataFusion's information_schema serves:
+        # schemata (one row per database) and views (the VIEW subset)
+        srows = [
+            f"({q('spark_catalog')}, {q(db.name)})"
+            for db in self.spark.catalog.listDatabases()
+        ]
+        sbody = (
+            f"SELECT * FROM (VALUES {', '.join(srows)}) AS "
+            "v(catalog_name, schema_name)"
+            if srows
+            else "SELECT CAST(NULL AS STRING) AS catalog_name, "
+            "CAST(NULL AS STRING) AS schema_name WHERE FALSE"
+        )
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW information_schema.schemata AS {sbody}"
+        )
+        self.spark.sql(
+            "CREATE OR REPLACE VIEW information_schema.views AS "
+            "SELECT table_catalog, table_schema, table_name "
+            "FROM information_schema.tables WHERE table_type = 'VIEW'"
+        )
 
     # -- DDL shim: CREATE TABLE ... USING nats OPTIONS (...) -----------------
 

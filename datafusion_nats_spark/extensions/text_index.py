@@ -584,3 +584,58 @@ def bm25_route_score(
         .groupBy("doc_id", "query_id")
         .agg(F.round(_ordered_sum("c", "term"), 6).alias("score"))
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF from the same artifact (fourth consumer)
+# --------------------------------------------------------------------------
+
+
+def _tfidf_twin_oracle() -> str:
+    # share the in-plan twin's oracle VERBATIM from the registry so the
+    # two entries can never drift
+    from datafusion_nats_spark.registry import REGISTRY
+
+    return REGISTRY["text_tfidf_top_terms"].oracle
+
+
+@query(
+    "text_tfidf_indexed",
+    oracle=_tfidf_twin_oracle(),
+    doc="TF-IDF top terms served from the persisted postings index — the "
+    "fourth consumer of the ONE artifact (BM25 probe, phrase probe, "
+    "routing scores, now keyword extraction): tf and df are stored in "
+    "the posting row and N in the 1-row stats, so scoring a document "
+    "slice is ONE pushed-filter scan of the postings plus a per-doc "
+    "rank — no corpus tokenize, no tf/df shuffles. Same oracle as "
+    "text_tfidf_top_terms (shared verbatim from the registry) — "
+    "identical results by construction.",
+)
+def text_tfidf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = bm25_index_build(spark, sf_dir)
+    vdir = current_index_dir(index_dir)
+    postings = (
+        spark.read.parquet(os.path.join(vdir, "postings"))
+        # the twin's document slice; pushed to the parquet scan (row-group
+        # min/max skipping inside every bucket — the slice cuts ROWS, the
+        # bucket layout cuts nothing here because every bucket can hold
+        # low doc_ids; the saving is the corpus tokenize + both shuffles)
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id", "word", "tf", "df")
+    )
+    stats = spark.read.parquet(os.path.join(vdir, "stats")).select("n_docs")
+    scored = postings.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )

@@ -691,3 +691,28 @@ def test_create_table_using_nats_ddl_via_context(spark):
     ctx.deregister_table("nats_ddl_t")
     ctx.deregister_table("nats_ddl_ext")
     broker.clear()
+
+
+def test_information_schema_schemata_and_views(spark, sf_dir):
+    """The remaining two relations DataFusion's information_schema
+    serves: schemata lists databases, views lists the VIEW-typed subset
+    of tables (temp views included — Spark's registration surface)."""
+    from datafusion_nats_spark.context import SessionContext
+    from datafusion_nats_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    ctx = SessionContext(spark)
+    schemas = {
+        r.schema_name
+        for r in ctx.sql(
+            "SELECT schema_name FROM information_schema.schemata"
+        ).collect()
+    }
+    assert {"default", "information_schema"} <= schemas
+    views = {
+        r.table_name
+        for r in ctx.sql(
+            "SELECT table_name FROM information_schema.views"
+        ).collect()
+    }
+    assert "lineitem" in views  # register_views registers temp views
