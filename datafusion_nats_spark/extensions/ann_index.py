@@ -436,7 +436,14 @@ def _distributed_probe(
     instead of a driver-side collect. The query batch costs two passes
     (one to reduce to the distinct probed cells — a ≤|codebook|-row
     collect that preserves the literal-IN partition pruning — one in the
-    rerank join); both are over the QUERY batch, never the corpus."""
+    rerank join); both are over the QUERY batch, never the corpus.
+
+    When the batch is too large to broadcast, the rerank becomes a
+    shuffle join whose key (cell) has at most |codebook| distinct
+    values — a textbook skew shape; the session factory's AQE skew-join
+    split (PERFORMANCE.md "Enforced plan properties") re-splits the hot
+    cell partitions at runtime, so the low-cardinality key does not
+    serialize the rerank."""
     codebook = spark.read.parquet(os.path.join(vdir, "codebook"))
     probes = ivf_probe_cells(q, codebook, broadcast_q=False)
     cells = sorted(

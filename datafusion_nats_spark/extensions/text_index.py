@@ -186,8 +186,18 @@ def bm25_index_build(
     return index_dir
 
 
+# Above this many workload terms the probe stops collecting the term
+# list to the driver and keeps the workload distributed (the contract
+# mirror of ann_index.PROBE_INLINE_MAX_QUERIES): a benchmark-
+# contamination sweep can carry 1e5+ n-grams. The bucket pruning
+# survives either way — distinct buckets are bounded by N_TERM_BUCKETS,
+# so THAT collect is always tiny.
+TERMS_INLINE_MAX = 5_000
+
+
 def bm25_index_probe(
-    spark: SparkSession, index_dir: str, terms: DataFrame
+    spark: SparkSession, index_dir: str, terms: DataFrame,
+    inline: bool | None = None,
 ) -> DataFrame:
     """Probe the persisted BM25 index with a query workload ``terms``
     (query_id, term) → (query_id, doc_id, score), scored docs only —
@@ -195,36 +205,67 @@ def bm25_index_probe(
     same Lucene idf, same 6-decimal per-term rounding, same explicit
     term-order fold).
 
-    The workload is tiny by the retrieval contract (a parameter table,
-    never a corpus-sized relation), so it is collected once: the term
-    list becomes a pushed ``word IN`` filter and the terms' bucket
-    values — resolved through the build's own Spark bucket expression —
-    become LITERAL partition filters, which is what lets parquet prune
-    every unmatched bucket directory (``PartitionFilters: [bucket IN
-    …]``, files-read pinned in pytest). Resolve-once semantics: the plan
-    binds to the CURRENT version's paths, so a concurrent rebuild
-    publishing a newer version cannot tear this probe."""
+    ``inline`` picks the workload strategy (auto by default, bounded
+    count up to TERMS_INLINE_MAX):
+
+    - True — the common parameter-table workload is collected once: the
+      term list becomes a pushed ``word IN`` filter inside the matched
+      buckets and the terms broadcast into the postings join;
+    - False — a HUGE workload (contamination n-gram sweeps) stays
+      distributed: the postings join shuffles on the word key instead
+      of broadcasting the terms.
+
+    Both paths inline the workload's DISTINCT bucket values — resolved
+    through the build's own Spark bucket expression, and bounded by
+    N_TERM_BUCKETS so the collect is always tiny — as LITERAL partition
+    filters, which is what lets parquet prune every unmatched bucket
+    directory (``PartitionFilters: [bucket IN …]``, files-read pinned
+    in pytest). Resolve-once semantics: the plan binds to the CURRENT
+    version's paths, so a concurrent rebuild publishing a newer version
+    cannot tear this probe. Identical rows either way (pinned in
+    pytest)."""
     vdir = current_index_dir(index_dir)
-    rows = [(r["query_id"], r["term"]) for r in terms.select("query_id", "term").collect()]
-    words = sorted({t for _, t in rows})
-    buckets = sorted(
-        r["bucket"]
-        for r in spark.createDataFrame([(w,) for w in words], "word string")
-        .select(_bucket_expr(F.col("word")).alias("bucket"))
-        .distinct()
-        .collect()
-    )
+    if inline is None:
+        inline = terms.limit(TERMS_INLINE_MAX + 1).count() <= TERMS_INLINE_MAX
+    if inline:
+        rows = [
+            (r["query_id"], r["term"])
+            for r in terms.select("query_id", "term").collect()
+        ]
+        words = sorted({t for _, t in rows})
+        buckets = sorted(
+            r["bucket"]
+            for r in spark.createDataFrame([(w,) for w in words], "word string")
+            .select(_bucket_expr(F.col("word")).alias("bucket"))
+            .distinct()
+            .collect()
+        )
+        terms_df = F.broadcast(
+            spark.createDataFrame(rows, "query_id int, term string")
+        )
+        word_filter = F.col("word").isin(words)
+    else:
+        terms_df = terms.select("query_id", "term")
+        buckets = sorted(
+            r["bucket"]
+            for r in terms_df.select(
+                _bucket_expr(F.col("term")).alias("bucket")
+            )
+            .distinct()
+            .collect()
+        )
+        word_filter = F.lit(True)  # the word join replaces the IN filter
     postings = (
         spark.read.parquet(os.path.join(vdir, "postings"))
         # literal IN on the partition column → directory-level pruning;
         # the word-IN filter is pushed into the surviving buckets' scans
+        # on the inline path (the distributed path filters via the join)
         .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("word").isin(words))
+        .filter(word_filter)
     )
     stats = spark.read.parquet(os.path.join(vdir, "stats"))
-    terms_df = spark.createDataFrame(rows, "query_id int, term string")
     hits = postings.join(
-        F.broadcast(terms_df), postings.word == terms_df.term
+        terms_df, postings.word == terms_df.term
     ).crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0)

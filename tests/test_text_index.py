@@ -280,3 +280,19 @@ def test_route_score_unknown_terms_contribute_nothing(spark, tmp_path):
     # query 0 scores on alpha alone; query 1 has no known term → no row
     assert [(r.doc_id, r.query_id) for r in got] == [(100, 0)]
     assert got[0].score > 0
+
+
+def test_bm25_probe_distributed_workload_equals_inline(spark, tmp_path):
+    """The huge-workload path (terms stay distributed, postings join on
+    the word key) returns exactly the inline path's rows; the bucket
+    partition pruning survives (distinct buckets are bounded by the
+    fanout constant, so their collect is always tiny)."""
+    index_dir = bm25_index_build(spark, SF, str(tmp_path / "dw"))
+    t = _terms(spark)
+    inline_rows = _rows(bm25_index_probe(spark, index_dir, t, inline=True))
+    dist = bm25_index_probe(spark, index_dir, t, inline=False)
+    assert _rows(dist) == inline_rows
+    scan = next(s for s in _executed_scans(dist) if "bucket#" in s.toString())
+    assert re.search(
+        r"bucket#\d+ (IN \(|INSET )", scan.metadata().apply("PartitionFilters")
+    )
