@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_nats_spark.registry import query
@@ -432,4 +432,161 @@ def mm_resize_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return mm.mapInPandas(
         resize, schema="doc_id long, orig_len int, bucket int, bucket_mean double"
+    )
+
+
+# --------------------------------------------------------------------------
+# perceptual-hash near-dup over the binary payloads (multimodal x dedup)
+# --------------------------------------------------------------------------
+
+# aHash geometry: the payload is reduced to PHASH_BUCKETS slice means
+# (the same 1-D thumbnail as mm_resize_downsample, just finer) and each
+# bucket contributes one bit: 1 iff its mean exceeds the GLOBAL byte
+# mean. The comparison is done in exact integer cross-multiplication
+# (s_b * n > S * c_b) so no float ever enters the fingerprint — the
+# Python kernel and the DuckDB oracle cannot diverge on a rounding
+# boundary.
+PHASH_BUCKETS = 32
+# 4 bands x 8 bits: two fingerprints within Hamming distance 3 MUST
+# collide on at least one band (pigeonhole), so banding is exact for
+# ham <= 3 and heuristic above; the verify stage re-checks the true
+# distance, so false band collisions cost work, never wrong rows.
+PHASH_BANDS = 4
+PHASH_HAM_MAX = 4
+# Degenerate-corpus guard, same role as the MinHash BUCKET_CAP: a band
+# bucket contributes at most this many fingerprints to the pair join
+# (kept deterministically: lowest doc_ids), bounding any bucket's pair
+# blowup at CAP^2 regardless of corpus skew.
+PHASH_BUCKET_CAP = 64
+
+
+def perceptual_hash(payload: bytes) -> int:
+    """Integer-exact 32-bit aHash of an opaque payload: bit b is set iff
+    slice [b*n//32, (b+1)*n//32) has a byte mean above the whole-payload
+    mean (cross-multiplied, so pure integer arithmetic). Swap this for a
+    real DCT pHash over decoded pixels (media_adapters) with identical
+    Spark plumbing; requires len(payload) >= PHASH_BUCKETS."""
+    n = len(payload)
+    total = sum(payload)
+    h = 0
+    for b in range(PHASH_BUCKETS):
+        lo, hi = b * n // PHASH_BUCKETS, (b + 1) * n // PHASH_BUCKETS
+        if sum(payload[lo:hi]) * n > total * (hi - lo):
+            h |= 1 << b
+    return h
+
+
+@query(
+    "mm_phash_near_dup",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+      WHERE octet_length(encode(text)) >= {PHASH_BUCKETS}
+    ), sums AS (
+      SELECT bk.doc_id, bk.n, bk.b,
+             CAST(bk.b * bk.n // {PHASH_BUCKETS} AS BIGINT)       AS lo,
+             CAST((bk.b + 1) * bk.n // {PHASH_BUCKETS} AS BIGINT) AS hi,
+             list_sum(list_transform(
+                 range(CAST(bk.b * bk.n // {PHASH_BUCKETS} AS BIGINT) + 1,
+                       CAST((bk.b + 1) * bk.n // {PHASH_BUCKETS} AS BIGINT) + 1),
+                 j -> ord(substr(f.text, CAST(j AS INTEGER), 1)))) AS s
+      FROM (SELECT doc_id, n, unnest(range(0, {PHASH_BUCKETS})) AS b FROM f) bk
+      JOIN f ON f.doc_id = bk.doc_id
+    ), tot AS (
+      SELECT doc_id, sum(s) AS stot FROM sums GROUP BY doc_id
+    ), hashes AS (
+      SELECT s.doc_id,
+             CAST(sum(CASE WHEN s.s * s.n > t.stot * (s.hi - s.lo)
+                           THEN (1::BIGINT << s.b) ELSE 0 END) AS BIGINT)
+               AS phash
+      FROM sums s JOIN tot t USING (doc_id)
+      GROUP BY s.doc_id
+    ), banded AS (
+      SELECT doc_id, phash, k, (phash >> (8 * k)) & 255 AS bv
+      FROM hashes, range(0, {PHASH_BANDS}) t(k)
+    ), capped AS (
+      SELECT doc_id, phash, k, bv FROM (
+        SELECT *, row_number() OVER (PARTITION BY k, bv ORDER BY doc_id)
+               AS brn
+        FROM banded
+      ) WHERE brn <= {PHASH_BUCKET_CAP}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.phash AS pha, b.phash AS phb
+      FROM capped a JOIN capped b
+        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(pha, phb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pha, phb)) <= {PHASH_HAM_MAX}
+    """,
+    doc=f"Perceptual-hash near-duplicate detection over opaque binary "
+    "payloads — the image-dedup shape (aHash/dHash family) on the "
+    "multimodal frame: an Arrow-batched kernel fingerprints each "
+    f"payload into {PHASH_BUCKETS} bits (slice-mean vs global mean, "
+    "integer-exact; swap in a real DCT pHash over decoded pixels via "
+    "media_adapters with identical plumbing), then candidate pairs come "
+    f"from {PHASH_BANDS}x8-bit signature banding — exact for Hamming "
+    "<= 3 by pigeonhole, never all-pairs, per-bucket blowup bounded by "
+    f"the deterministic {PHASH_BUCKET_CAP}-fingerprint cap — and a "
+    f"popcount verify keeps true distance <= {PHASH_HAM_MAX}. "
+    "Plan: map-only fingerprint, one band equi-join on (band, value), "
+    "JVM-side xor/bit_count verify; payload bytes never shuffle.",
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = with_binary_payload(load(spark, sf_dir, "documents")).filter(
+        F.col("meta.n_bytes") >= PHASH_BUCKETS
+    )
+
+    def fingerprint(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [perceptual_hash(p) for p in pdf["payload"]],
+                }
+            )
+
+    hashes = mm.mapInPandas(
+        fingerprint, schema="doc_id long, phash long"
+    ).persist()
+    bands = F.array(
+        *[
+            F.shiftright(F.col("phash"), 8 * k).bitwiseAND(F.lit(255))
+            for k in range(PHASH_BANDS)
+        ]
+    )
+    banded = hashes.select(
+        "doc_id", "phash", F.posexplode(bands).alias("k", "bv")
+    )
+    wb = Window.partitionBy("k", "bv").orderBy("doc_id")
+    capped = (
+        banded.withColumn("brn", F.row_number().over(wb))
+        .filter(F.col("brn") <= PHASH_BUCKET_CAP)
+        .drop("brn")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("pha"),
+        "k",
+        "bv",
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("phb"),
+        "k",
+        "bv",
+    )
+    cand = (
+        a.join(b, ["k", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pha", "phb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pha").bitwiseXOR(F.col("phb")))
+    return cand.filter(ham <= PHASH_HAM_MAX).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )

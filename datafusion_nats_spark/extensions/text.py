@@ -10,7 +10,7 @@ scales linearly with executors at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_nats_spark.registry import query
@@ -601,6 +601,91 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "shared_frac"
             ),
         )
+    )
+
+
+@query(
+    "text_span_collapse",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, s,
+             array_to_string(toks[s+1:s+{SPAN_TOKENS}], ' ') AS span,
+             md5(array_to_string(toks[s+1:s+{SPAN_TOKENS}], ' ')) AS h
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, len(toks), {SPAN_TOKENS})) AS s
+            FROM t)
+    ), ranked AS (
+      SELECT doc_id, s, span,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                            AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                               AS n_kept,
+           string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY s)
+                                                               AS cleaned_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    doc=f"Exact-substring dedup with COLLAPSE (the Lee et al. 2022 "
+    '"Deduplicating Training Data Makes Language Models Better" shape, '
+    "suffix-array pass re-expressed over fixed windows): where "
+    "text_span_dedup only FLAGS shared spans, this emits the cleaned "
+    f"corpus — every {SPAN_TOKENS}-token span keeps exactly its globally "
+    "FIRST occurrence (ordered by doc_id, then start offset; later "
+    "occurrences — across documents or repeated within one — are "
+    "dropped) and each document's surviving spans are reassembled in "
+    "offset order (whitespace-normalized; a fully-duplicated document "
+    "collapses to NULL). Plan: map-side chunk+hash Generate, ONE "
+    "hash-partitioned window over the span hash to pick first owners "
+    "(per-hash groups are tiny — the span's duplicate set), then the "
+    "per-doc reassembly aggregate; no span-vocabulary broadcast, no "
+    "all-pairs stage — both shuffles key on bounded-cardinality "
+    "columns, the 100 TB-safe shape.",
+)
+def text_span_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("toks")) - 1, F.lit(0)),
+        F.lit(SPAN_TOKENS),
+    )
+    span = F.array_join(
+        F.slice(F.col("toks"), F.col("s") + 1, SPAN_TOKENS), " "
+    )
+    chunks = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("s"))
+        .select("doc_id", "s", span.alias("span"), F.md5(span).alias("h"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "s")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    kept_span = F.when(
+        F.col("rn") == 1, F.struct(F.col("s"), F.col("span"))
+    )
+    agg = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_span)), lambda x: x["span"]
+            ),
+            " ",
+        ).alias("joined"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_spans",
+        "n_kept",
+        F.when(F.col("n_kept") > 0, F.col("joined")).alias("cleaned_text"),
     )
 
 

@@ -59,8 +59,12 @@ QUERIES = [
     "sim_bruteforce_topk",
     # text / curation
     "text_span_dedup",
+    "text_span_collapse",
     "text_token_stats",
     "curation_sequence_packing",
+    # multimodal — replicated payloads = N-way identical fingerprints,
+    # the worst case for the band buckets (PHASH_BUCKET_CAP path)
+    "mm_phash_near_dup",
     # retrieval family — fixed query workload vs Nx corpus
     "search_bm25_topk",
     "search_hybrid_rrf",

@@ -745,3 +745,112 @@ def test_split_is_exhaustive_and_balanced(spark, sf_dir):
     frac_train = rows["train"].n_docs / n
     assert 0.70 <= frac_train <= 0.90, frac_train
     assert rows["val"].n_docs > 0 and rows["test"].n_docs > 0
+
+
+# --------------------------------------------------------------------------
+# perceptual-hash near-dup (mm_phash_near_dup)
+# --------------------------------------------------------------------------
+
+
+def test_perceptual_hash_kernel():
+    from datafusion_nats_spark.extensions.multimodal import perceptual_hash
+
+    # constant payload: no slice mean strictly exceeds the global mean
+    assert perceptual_hash(bytes([7] * 64)) == 0
+    # monotone ramp over 64 bytes -> 2-byte buckets with increasing means;
+    # exactly the top 16 buckets exceed the global mean of 31.5
+    assert perceptual_hash(bytes(range(64))) == 0xFFFF0000
+
+
+def test_phash_planted_exact_dup(spark, planted_dir):
+    """Byte-identical payloads fingerprint identically, collide in every
+    band, and survive the verify at hamming 0."""
+    from datafusion_nats_spark.extensions.multimodal import (
+        PHASH_BUCKETS,
+        mm_phash_near_dup,
+    )
+    from datafusion_nats_spark.tables import load
+
+    eligible = {
+        r.doc_id
+        for r in load(spark, planted_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 10)
+            & (F.octet_length(F.encode(F.col("text"), "utf-8")) >= PHASH_BUCKETS)
+        )
+        .collect()
+    }
+    assert eligible, "fixture regression: no planted doc is >= 32 bytes"
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in mm_phash_near_dup(spark, planted_dir).collect()
+    }
+    for d in eligible:
+        assert pairs.get((d, d + 100000)) == 0, f"planted copy of {d} missed"
+
+
+def test_phash_pairs_are_verified(spark, sf_dir):
+    """Every emitted pair is ordered and within the Hamming budget —
+    band collisions alone never leak through the verify."""
+    from datafusion_nats_spark.extensions.multimodal import (
+        PHASH_HAM_MAX,
+        mm_phash_near_dup,
+    )
+
+    rows = mm_phash_near_dup(spark, sf_dir).collect()
+    assert rows, "corpus should contain at least one near-dup pair"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= PHASH_HAM_MAX
+
+
+# --------------------------------------------------------------------------
+# exact-substring collapse (text_span_collapse)
+# --------------------------------------------------------------------------
+
+
+def test_span_collapse_keeps_each_span_once(spark, sf_dir):
+    """Global conservation: across the whole corpus each distinct span
+    hash survives exactly once, and kept counts roll up."""
+    from datafusion_nats_spark.extensions.text import text_span_collapse
+
+    rows = text_span_collapse(spark, sf_dir).collect()
+    # per-doc sanity
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_spans
+        assert (r.cleaned_text is None) == (r.n_kept == 0)
+    # corpus-level: total kept == number of distinct spans (each exactly once)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    n_spans, n_distinct = con.execute(
+        """
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ), chunks AS (
+          SELECT doc_id, md5(array_to_string(toks[s+1:s+20], ' ')) AS h
+          FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 20)) AS s FROM t)
+        )
+        SELECT count(*), count(DISTINCT h) FROM chunks
+        """
+    ).fetchone()
+    assert sum(r.n_spans for r in rows) == n_spans
+    assert sum(r.n_kept for r in rows) == n_distinct
+
+
+def test_span_collapse_planted_copy_collapses_to_null(spark, planted_dir):
+    """A byte-identical later copy contributes no first occurrences: every
+    span already exists in the lower-doc_id original, so the copy keeps 0
+    spans and its cleaned text is NULL while the original keeps all."""
+    from datafusion_nats_spark.extensions.text import text_span_collapse
+
+    rows = {r.doc_id: r for r in text_span_collapse(spark, planted_dir).collect()}
+    for d in range(10):
+        orig, copy = rows[d], rows[d + 100000]
+        assert copy.n_kept == 0 and copy.cleaned_text is None
+        assert orig.n_kept >= 1
+        assert orig.n_spans == copy.n_spans
