@@ -16,6 +16,7 @@ from datafusion_nats_spark.extensions import (  # noqa: F401
     ml_variants,
     mmr,
     multimodal,
+    pca,
     pipeline,
     pq,
     retrieval,

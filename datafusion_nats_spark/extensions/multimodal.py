@@ -23,6 +23,7 @@ feature vectors (small arrays) are what downstream joins/aggs touch.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -476,6 +477,37 @@ def perceptual_hash(payload: bytes) -> int:
     return h
 
 
+def _phash_bands(payloads: DataFrame) -> DataFrame:
+    """(doc_id, payload) → (doc_id, phash, k, bv) band rows: the
+    Arrow-batched fingerprint kernel + one posexplode over the
+    PHASH_BANDS 8-bit slices. Shared by the in-plan near-dup query, the
+    persisted index build, and the index probe so the three can never
+    disagree on fingerprint or banding."""
+
+    def fingerprint(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [perceptual_hash(p) for p in pdf["payload"]],
+                }
+            )
+
+    hashes = payloads.filter(
+        F.octet_length(F.col("payload")) >= PHASH_BUCKETS
+    ).mapInPandas(fingerprint, schema="doc_id long, phash long")
+    bands = F.array(
+        *[
+            F.shiftright(F.col("phash"), 8 * k).bitwiseAND(F.lit(255))
+            for k in range(PHASH_BANDS)
+        ]
+    )
+    return hashes.select("doc_id", "phash", F.posexplode(bands).alias("k", "bv"))
+
+
+
 @query(
     "mm_phash_near_dup",
     oracle=f"""
@@ -535,33 +567,10 @@ def perceptual_hash(payload: bytes) -> int:
     "JVM-side xor/bit_count verify; payload bytes never shuffle.",
 )
 def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mm = with_binary_payload(load(spark, sf_dir, "documents")).filter(
-        F.col("meta.n_bytes") >= PHASH_BUCKETS
+    mm = with_binary_payload(load(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
     )
-
-    def fingerprint(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "phash": [perceptual_hash(p) for p in pdf["payload"]],
-                }
-            )
-
-    hashes = mm.mapInPandas(
-        fingerprint, schema="doc_id long, phash long"
-    ).persist()
-    bands = F.array(
-        *[
-            F.shiftright(F.col("phash"), 8 * k).bitwiseAND(F.lit(255))
-            for k in range(PHASH_BANDS)
-        ]
-    )
-    banded = hashes.select(
-        "doc_id", "phash", F.posexplode(bands).alias("k", "bv")
-    )
+    banded = _phash_bands(mm).persist()
     wb = Window.partitionBy("k", "bv").orderBy("doc_id")
     capped = (
         banded.withColumn("brn", F.row_number().over(wb))
@@ -590,3 +599,265 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= PHASH_HAM_MAX).select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# persisted perceptual-hash index: build once, screen every ingest batch
+# --------------------------------------------------------------------------
+
+
+def phash_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    rebuild: bool = False,
+) -> str:
+    """Build the persisted perceptual-hash band index from the STORED
+    corpus (the doc_id % NEW_BATCH_MOD != 0 side, mirroring the LSH
+    incremental split): fingerprint every eligible payload once and
+    store the (doc_id, phash, k, bv) band rows clustered by bucket key,
+    in a fresh version directory published atomically via the CURRENT
+    pointer (the machinery shared with the IVF/PQ/LSH/BM25 families).
+    Idempotent once published; ``rebuild=True`` publishes a new version
+    while live probes keep reading their resolved one."""
+    from datafusion_nats_spark.extensions.ann_index import (
+        _current_version,
+        _index_root,
+        _publish_version,
+        _read_flavor,
+        _version_dir,
+        _write_flavor,
+    )
+    from datafusion_nats_spark.extensions.dedup import NEW_BATCH_MOD
+
+    index_dir = index_dir or _index_root("phash", sf_dir)
+    cur = _current_version(index_dir)
+    if cur is not None and not rebuild:
+        stored = _read_flavor(_version_dir(index_dir, cur))
+        if stored != "phash":
+            raise ValueError(
+                f"index at {index_dir} is published with flavor {stored!r}, "
+                f"not 'phash' — pass rebuild=True or use a different index_dir"
+            )
+        return index_dir
+    version = (cur or 0) + 1
+    vdir = _version_dir(index_dir, version)
+    stored_docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    (
+        _phash_bands(stored_docs)
+        # cluster by the probe's join key so bucket rows co-locate
+        .repartition("k", "bv")
+        .write.mode("overwrite")
+        .parquet(os.path.join(vdir, "bands"))
+    )
+    _write_flavor(vdir, "phash")
+    _publish_version(index_dir, version)  # the atomic commit
+    return index_dir
+
+
+def phash_index_probe(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame
+) -> DataFrame:
+    """Screen an ingest batch (doc_id, text) against the persisted
+    perceptual-hash index → one verdict row per incoming doc
+    (doc_id, is_dup, n_matches, first_match), the same contract as
+    ``lsh_index_probe``. Per-batch cost O(|batch|): only the batch is
+    fingerprinted; the stored bands are semi-join-pruned to the batch's
+    bucket keys (bounded by PHASH_BANDS·256 — always broadcastable)
+    before the cap window, so the cap's shuffle is batch-sized; the
+    joint cap orders stored rows first on doc_id ties (the LSH probe's
+    determinism rule); candidates are popcount-verified at
+    PHASH_HAM_MAX. Payloads too short to fingerprint (< PHASH_BUCKETS
+    bytes) can't be screened and pass through as is_dup=false. Binds to
+    the CURRENT version once — a concurrent rebuild cannot tear the
+    probe."""
+    from datafusion_nats_spark.extensions.ann_index import current_index_dir
+
+    return _phash_screen(spark, current_index_dir(index_dir), new_docs)
+
+
+def _phash_screen(
+    spark: SparkSession,
+    vdir: str,
+    new_docs: DataFrame,
+    extra_old=None,
+    new_bands: DataFrame | None = None,
+) -> DataFrame:
+    """The ONE perceptual-hash screening pipeline (fingerprint the batch
+    → key-prune the stored bands → joint stored-first cap → collision
+    join → popcount verify), shared by ``phash_index_probe`` and the
+    streaming screen so the batch and streaming paths can never drift —
+    the same contract as ann_index._lsh_screen. ``extra_old``:
+    callable(new_keys) returning additional old-side
+    (doc_id, phash, k, bv) rows (the streaming screen's earlier-epoch
+    deltas), key-pruned here exactly like the stored bands.
+    ``new_bands``: optionally the batch's ALREADY-COMPUTED band rows —
+    the streaming screen persists one fingerprint pass and shares it
+    between the probe and its delta write."""
+    if new_bands is None:
+        payloads = new_docs.select(
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        )
+        new_bands = _phash_bands(payloads)
+    stored = spark.read.parquet(os.path.join(vdir, "bands"))
+    new_keys = new_bands.select("k", "bv").distinct()
+    old_rel = stored.join(F.broadcast(new_keys), ["k", "bv"], "left_semi")
+    if extra_old is not None:
+        extra = extra_old(new_keys)
+        if extra is not None:
+            old_rel = old_rel.unionByName(
+                extra.select("doc_id", "phash", "k", "bv").join(
+                    F.broadcast(new_keys), ["k", "bv"], "left_semi"
+                )
+            )
+    unioned = old_rel.withColumn("_ord", F.lit(0)).unionByName(
+        new_bands.withColumn("_ord", F.lit(1))
+    )
+    wb = Window.partitionBy("k", "bv").orderBy("doc_id", "_ord")
+    capped = (
+        unioned.withColumn("brn", F.row_number().over(wb))
+        .filter(F.col("brn") <= PHASH_BUCKET_CAP)
+        .drop("brn")
+    )
+    n = capped.filter(F.col("_ord") == 1).alias("n")
+    o = capped.filter(F.col("_ord") == 0).alias("o")
+    cand = (
+        n.join(o, ["k", "bv"])
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("o.doc_id").alias("old_doc"),
+            F.col("n.phash").alias("pn"),
+            F.col("o.phash").alias("po"),
+        )
+        .distinct()
+    )
+    ver = cand.filter(
+        F.bit_count(F.col("pn").bitwiseXOR(F.col("po"))) <= PHASH_HAM_MAX
+    )
+    agg = ver.groupBy("new_doc").agg(
+        F.count(F.lit(1)).alias("nm"), F.min("old_doc").alias("first_match")
+    )
+    new_ids = new_docs.select("doc_id").distinct()
+    return new_ids.join(agg, new_ids.doc_id == agg.new_doc, "left").select(
+        "doc_id",
+        (F.coalesce("nm", F.lit(0)) > 0).alias("is_dup"),
+        F.coalesce("nm", F.lit(0)).cast("bigint").alias("n_matches"),
+        "first_match",
+    )
+
+
+def phash_index_update(
+    spark: SparkSession, index_dir: str, accepted_docs: DataFrame
+) -> None:
+    """Fold a screened, ACCEPTED batch into the CURRENT index version:
+    its band rows append to ``bands/`` so subsequent probes collide
+    against it — the ingest loop's write-back step. Add-only parquet
+    appends; a racing probe missing some of a doc's band files can only
+    under-count collisions temporarily (each band row is independent
+    evidence), never corrupt a verdict."""
+    from datafusion_nats_spark.extensions.ann_index import current_index_dir
+
+    vdir = current_index_dir(index_dir)
+    payloads = accepted_docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    (
+        _phash_bands(payloads)
+        .repartition("k", "bv")
+        .write.mode("append")
+        .parquet(os.path.join(vdir, "bands"))
+    )
+
+
+def _phash_hashes_sql() -> str:
+    """The fingerprint CTE block (f → sums → tot → hashes): every
+    fingerprintable document's 32-bit aHash, shared verbatim by the
+    three phash oracles (in-plan near-dup via its inline copy committed
+    earlier, the index probe, and the streaming screen) so the SQL twin
+    of ``perceptual_hash`` exists in exactly one place."""
+    return f"""f AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+      WHERE octet_length(encode(text)) >= {PHASH_BUCKETS}
+    ), sums AS (
+      SELECT bk.doc_id, bk.n, bk.b,
+             CAST(bk.b * bk.n // {PHASH_BUCKETS} AS BIGINT)       AS lo,
+             CAST((bk.b + 1) * bk.n // {PHASH_BUCKETS} AS BIGINT) AS hi,
+             list_sum(list_transform(
+                 range(CAST(bk.b * bk.n // {PHASH_BUCKETS} AS BIGINT) + 1,
+                       CAST((bk.b + 1) * bk.n // {PHASH_BUCKETS} AS BIGINT) + 1),
+                 j -> ord(substr(f.text, CAST(j AS INTEGER), 1)))) AS s
+      FROM (SELECT doc_id, n, unnest(range(0, {PHASH_BUCKETS})) AS b FROM f) bk
+      JOIN f ON f.doc_id = bk.doc_id
+    ), tot AS (
+      SELECT doc_id, sum(s) AS stot FROM sums GROUP BY doc_id
+    ), hashes AS (
+      SELECT s.doc_id,
+             CAST(sum(CASE WHEN s.s * s.n > t.stot * (s.hi - s.lo)
+                           THEN (1::BIGINT << s.b) ELSE 0 END) AS BIGINT)
+               AS phash
+      FROM sums s JOIN tot t USING (doc_id)
+      GROUP BY s.doc_id
+    )"""
+
+
+def _phash_probe_oracle() -> str:
+    from datafusion_nats_spark.extensions.dedup import NEW_BATCH_MOD
+
+    return f"""
+    WITH {_phash_hashes_sql()}, banded AS (
+      SELECT doc_id, phash,
+             CASE WHEN doc_id % {NEW_BATCH_MOD} = 0 THEN 1 ELSE 0 END AS tag,
+             k, (phash >> (8 * k)) & 255 AS bv
+      FROM hashes, range(0, {PHASH_BANDS}) t(k)
+    ), capped AS (
+      SELECT doc_id, phash, tag, k, bv FROM (
+        SELECT *, row_number() OVER (PARTITION BY k, bv
+                                     ORDER BY doc_id, tag) AS brn
+        FROM banded
+      ) WHERE brn <= {PHASH_BUCKET_CAP}
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS nd, o.doc_id AS od,
+             n.phash AS pn, o.phash AS po
+      FROM capped n JOIN capped o
+        ON n.k = o.k AND n.bv = o.bv AND n.tag = 1 AND o.tag = 0
+    ), agg AS (
+      SELECT nd, count(*) AS nm, min(od) AS first_match
+      FROM cand WHERE bit_count(xor(pn, po)) <= {PHASH_HAM_MAX}
+      GROUP BY nd
+    )
+    SELECT d.doc_id,
+           coalesce(nm, 0) > 0              AS is_dup,
+           CAST(coalesce(nm, 0) AS BIGINT)  AS n_matches,
+           first_match
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {NEW_BATCH_MOD} = 0) d
+    LEFT JOIN agg ON agg.nd = d.doc_id
+    """
+
+
+@query(
+    "mm_phash_index_probe",
+    oracle=_phash_probe_oracle(),
+    doc="Persisted-index perceptual-hash screen — the image-ingest twin "
+    "of dedup_index_probe: the stored corpus's fingerprint bands are "
+    "built ONCE (atomic versioned publish, shared CURRENT-pointer "
+    "machinery) and each ingest batch is fingerprinted alone, its "
+    "bucket keys (bounded by bands×256 — always broadcastable) "
+    "semi-join-prune the stored bands before the joint stored-first "
+    "cap, and candidates are popcount-verified — per-batch cost "
+    "O(|batch|), one verdict row per incoming doc; too-short payloads "
+    "pass through unscreened. Full DuckDB oracle over the same split.",
+)
+def mm_phash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_nats_spark.extensions.dedup import NEW_BATCH_MOD
+
+    index_dir = phash_index_build(spark, sf_dir)
+    new_docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+        .select("doc_id", "text")
+    )
+    return phash_index_probe(spark, index_dir, new_docs)

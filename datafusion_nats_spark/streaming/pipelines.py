@@ -1288,3 +1288,196 @@ def search_stream_route_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "score",
     )
+
+
+# --------------------------------------------------------------------------
+# streaming perceptual-hash screen — registered, oracle-checked
+# --------------------------------------------------------------------------
+
+
+def phash_stream_screen_apply(
+    index_dir: str, results_dir: str, ingest: str = "all"
+):
+    """Build the ``foreachBatch`` function for STREAMING perceptual-hash
+    dedup against the persisted phash index
+    (extensions/multimodal.phash_index_build) — the multimodal member
+    of the stream-screen family (LSH text dedup, IVF ANN, quality
+    model, BM25 router): each micro-batch of documents (doc_id, text)
+    is fingerprinted ONCE (the pass is shared between the probe and the
+    delta write), screened through ``_phash_screen`` against the stored
+    bands PLUS every earlier epoch's delta, and its band rows become
+    THIS epoch's delta — per-batch cost O(|batch|), the corpus
+    fingerprint pass amortized into the one-time build.
+
+    ``ingest`` policies and delta/compaction/replay semantics are
+    exactly ``lsh_stream_screen_apply``'s: deltas live inside the
+    resolved version dir (self-cleaning on rebuild+gc), epoch replay
+    overwrites its own delta (idempotent), the probe reads only deltas
+    with epoch < epoch_id, and the epoch-monotonic guard refuses a
+    stream restarted without its checkpoint."""
+    if ingest not in ("all", "unique"):
+        raise ValueError(f"unknown ingest policy {ingest!r}")
+    from datafusion_nats_spark.extensions.ann_index import current_index_dir
+    from datafusion_nats_spark.extensions.multimodal import (
+        _phash_bands,
+        _phash_screen,
+    )
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        vdir = current_index_dir(index_dir)  # consistent version per batch
+        deltas_root = os.path.join(vdir, "stream_deltas")
+        _guard_epoch_monotonic(deltas_root, epoch_id)
+        docs = batch_df.select("doc_id", "text")
+        # ONE fingerprint pass, persisted: probe + delta write share it
+        new_bands = _phash_bands(
+            docs.select(
+                "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+            )
+        ).persist()
+
+        def earlier_deltas(_new_keys):
+            if not os.path.isdir(deltas_root):
+                return None
+            return (
+                sp.read.option("basePath", deltas_root)
+                .parquet(deltas_root)
+                .filter(F.col("epoch") < F.lit(int(epoch_id)))
+                .select("doc_id", "phash", "k", "bv")
+            )
+
+        verdicts = _phash_screen(
+            sp, vdir, docs, extra_old=earlier_deltas, new_bands=new_bands
+        )
+        verdicts.write.mode("overwrite").parquet(f"{results_dir}/epoch={epoch_id}")
+        fold = new_bands
+        if ingest == "unique":
+            accepted = (
+                sp.read.parquet(f"{results_dir}/epoch={epoch_id}")
+                .filter(~F.col("is_dup"))
+                .select("doc_id")
+            )
+            fold = new_bands.join(F.broadcast(accepted), "doc_id", "left_semi")
+        (
+            fold.repartition("k", "bv")
+            .write.mode("overwrite")
+            .parquet(f"{deltas_root}/epoch={epoch_id}")
+        )
+        new_bands.unpersist()
+
+    return apply
+
+
+def _phash_stream_oracle() -> str:
+    from datafusion_nats_spark.extensions.multimodal import (
+        PHASH_BANDS,
+        PHASH_BUCKET_CAP,
+        PHASH_HAM_MAX,
+        _phash_hashes_sql,
+    )
+
+    epoch_blocks, epoch_selects = [], []
+    for e in (0, 1):
+        epoch_blocks.append(f"""u{e} AS (
+      SELECT id, phash, k, bv, is_new FROM (
+        SELECT doc_id AS id, phash, k, bv, 0 AS is_new FROM stored
+        UNION ALL
+        SELECT sid, phash, k, bv, 0 FROM sbands WHERE batch < {e}
+        UNION ALL
+        SELECT sid, phash, k, bv, 1 FROM sbands WHERE batch = {e}
+      )
+    ), c{e} AS (
+      SELECT id, phash, k, bv, is_new FROM (
+        SELECT *, row_number() OVER (PARTITION BY k, bv
+                                     ORDER BY id, is_new) AS brn
+        FROM u{e}
+      ) WHERE brn <= {PHASH_BUCKET_CAP}
+    ), p{e} AS (
+      SELECT DISTINCT n.id AS nd, o.id AS od, n.phash AS pn, o.phash AS po
+      FROM c{e} n JOIN c{e} o
+        ON n.k = o.k AND n.bv = o.bv AND n.is_new = 1 AND o.is_new = 0
+    ), a{e} AS (
+      SELECT nd, count(*) AS nm, min(od) AS first_match
+      FROM p{e} WHERE bit_count(xor(pn, po)) <= {PHASH_HAM_MAX}
+      GROUP BY nd
+    ), o{e} AS (
+      SELECT s.sid AS doc_id, {e} AS epoch,
+             coalesce(nm, 0) > 0             AS is_dup,
+             CAST(coalesce(nm, 0) AS BIGINT) AS n_matches,
+             first_match
+      FROM (SELECT sid FROM stream WHERE batch = {e}) s
+      LEFT JOIN a{e} ON a{e}.nd = s.sid
+    )""")
+        epoch_selects.append(
+            f"SELECT doc_id, CAST(epoch AS INT) AS epoch, is_dup, "
+            f"n_matches, first_match FROM o{e}"
+        )
+    return f"""
+    WITH {_phash_hashes_sql()}, banded_all AS (
+      SELECT doc_id, phash, k, (phash >> (8 * k)) & 255 AS bv
+      FROM hashes, range(0, {PHASH_BANDS}) t(k)
+    ), stored AS (
+      SELECT doc_id, phash, k, bv FROM banded_all WHERE doc_id % 5 != 0
+    ), stream AS (
+      SELECT doc_id + {_QSCREEN_SHIFT} AS sid,
+             CAST((doc_id // 5) % 2 AS INT) AS batch, doc_id AS src
+      FROM documents WHERE doc_id % 5 = 0
+    ), sbands AS (
+      -- streamed clones carry the original's text, hence fingerprint
+      SELECT s.sid, s.batch, b.phash, b.k, b.bv
+      FROM stream s JOIN banded_all b ON b.doc_id = s.src
+    ), {", ".join(epoch_blocks)}
+    {" UNION ALL ".join(epoch_selects)}
+    """
+
+
+@query(
+    "mm_phash_stream_screen",
+    oracle=_phash_stream_oracle(),
+    doc="STREAMING perceptual-hash dedup screen with a full oracle: the "
+    "deterministic two-batch document stream (file source, pinned "
+    "admission order — shared with stream_quality_screen) runs through "
+    "phash_stream_screen_apply via a real foreachBatch query against "
+    "the persisted phash index — batch-0 docs screen against the stored "
+    "corpus bands only; batch-1 docs also collide with batch 0's folded "
+    "delta (ingest=all). The incremental execution must equal the batch "
+    "SQL (joint stored-first cap, popcount verify, progressive delta) — "
+    "the multimodal member of the stream-screen family, completing its "
+    "ingest loop.",
+)
+def mm_phash_stream_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as sh
+
+    from datafusion_nats_spark.extensions.ann_index import current_index_dir
+    from datafusion_nats_spark.extensions.multimodal import phash_index_build
+
+    index_dir = phash_index_build(spark, sf_dir)
+    results = os.path.join(index_dir, "stream_screen_results")
+    # fresh replay of the same deterministic two-epoch stream: clear the
+    # previous run's deltas + verdicts (epoch-monotonic guard contract)
+    sh.rmtree(
+        os.path.join(current_index_dir(index_dir), "stream_deltas"),
+        ignore_errors=True,
+    )
+    sh.rmtree(results, ignore_errors=True)
+    apply_fn = phash_stream_screen_apply(index_dir, results)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")  # one pinned batch per trigger
+        .parquet(_qscreen_stream_dir(spark, sf_dir))
+    )
+    q = stream.writeStream.foreachBatch(apply_fn).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.option("basePath", results).parquet(results)
+    return out.select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        "is_dup",
+        "n_matches",
+        "first_match",
+    )

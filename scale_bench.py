@@ -57,6 +57,8 @@ QUERIES = [
     "sim_index_probe",
     "sim_index_probe_bigbatch",
     "sim_bruteforce_topk",
+    # PCA: the corpus pass must dominate; Gram partials bound the shuffle
+    "sim_pca_power_iteration",
     # text / curation
     "text_span_dedup",
     "text_span_collapse",
@@ -65,6 +67,7 @@ QUERIES = [
     # multimodal — replicated payloads = N-way identical fingerprints,
     # the worst case for the band buckets (PHASH_BUCKET_CAP path)
     "mm_phash_near_dup",
+    "mm_phash_index_probe",
     # retrieval family — fixed query workload vs Nx corpus
     "search_bm25_topk",
     "search_hybrid_rrf",

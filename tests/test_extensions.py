@@ -854,3 +854,105 @@ def test_span_collapse_planted_copy_collapses_to_null(spark, planted_dir):
         assert copy.n_kept == 0 and copy.cleaned_text is None
         assert orig.n_kept >= 1
         assert orig.n_spans == copy.n_spans
+
+
+# --------------------------------------------------------------------------
+# PCA via integer-exact covariance + normalized squaring
+# --------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy_eigh(spark, sf_dir):
+    """The registered query's oracle pins engine parity; this pins that
+    both engines converge to the TRUE top component: covariance built
+    exactly as the operator does (micro-unit integers), eigendecomposed
+    by LAPACK, compared to the operator's output."""
+    import duckdb
+    import numpy as np
+
+    from datafusion_nats_spark.extensions.pca import sim_pca_power_iteration
+
+    rows = sorted(
+        sim_pca_power_iteration(spark, sf_dir).collect(), key=lambda r: r.dim
+    )
+    assert [r.dim for r in rows] == list(range(1, 65))
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    x = np.array([np.round(np.array(e[0], dtype=np.float64) * 1e6) for e in emb])
+    n = len(x)
+    cov = (x.T @ x * n - np.outer(x.sum(0), x.sum(0))) / (n * n) / 1e12
+    w, vmat = np.linalg.eigh(cov)
+    v1 = vmat[:, -1]
+    v1 = v1 * np.sign(v1[np.argmax(np.abs(v1))])
+    assert abs(rows[0].eigenvalue - w[-1]) < 1e-4
+    assert np.max(np.abs(v1 - np.array([r.loading for r in rows]))) < 1e-3
+    assert abs(rows[0].explained_frac - w[-1] / np.trace(cov)) < 1e-4
+
+
+def test_pca_output_invariants(spark, sf_dir):
+    from datafusion_nats_spark.extensions.pca import sim_pca_power_iteration
+
+    rows = sim_pca_power_iteration(spark, sf_dir).collect()
+    norm_sq = sum(r.loading**2 for r in rows)
+    assert abs(norm_sq - 1.0) < 1e-4, norm_sq
+    assert all(r.eigenvalue > 0 for r in rows)
+    assert all(0.0 < r.explained_frac < 1.0 for r in rows)
+    # deterministic sign: the largest-|loading| component is positive
+    top = max(rows, key=lambda r: abs(r.loading))
+    assert top.loading > 0
+
+
+def test_phash_index_probe_ingest_loop(spark, sf_dir, tmp_path):
+    """The image-ingest loop: duplicates of stored docs screen as dups,
+    novel and too-short payloads pass, and an accepted doc folded back
+    via phash_index_update is caught by the next probe."""
+    from pyspark.sql import Row
+
+    from datafusion_nats_spark.extensions.dedup import NEW_BATCH_MOD
+    from datafusion_nats_spark.extensions.multimodal import (
+        PHASH_BUCKETS,
+        phash_index_build,
+        phash_index_probe,
+        phash_index_update,
+    )
+    from datafusion_nats_spark.tables import load
+
+    index_dir = phash_index_build(
+        spark, sf_dir, index_dir=str(tmp_path / "phash_idx")
+    )
+    stored_copies = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % NEW_BATCH_MOD != 0)
+            & (F.octet_length(F.encode(F.col("text"), "utf-8")) >= PHASH_BUCKETS)
+        )
+        .orderBy("doc_id")
+        .limit(3)
+        .select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+    )
+    verdicts = {
+        r.doc_id: r for r in phash_index_probe(spark, index_dir, stored_copies).collect()
+    }
+    assert len(verdicts) == 3
+    for r in verdicts.values():
+        assert r.is_dup and r.n_matches >= 1 and r.first_match is not None
+
+    novel_text = "zq" + "xkvjwpbfyg hmtrlcdnsz " * 4  # ≥32 bytes, not in corpus
+    batch2 = spark.createDataFrame(
+        [
+            Row(doc_id=900100, text=novel_text),
+            Row(doc_id=900101, text="short"),  # < 32 bytes: unscreenable
+        ]
+    )
+    v2 = {r.doc_id: r for r in phash_index_probe(spark, index_dir, batch2).collect()}
+    assert not v2[900100].is_dup
+    assert not v2[900101].is_dup and v2[900101].n_matches == 0
+
+    # accept the novel doc, fold it in, and re-probe an identical copy
+    phash_index_update(
+        spark, index_dir, batch2.filter(F.col("doc_id") == 900100)
+    )
+    recheck = spark.createDataFrame([Row(doc_id=900200, text=novel_text)])
+    v3 = phash_index_probe(spark, index_dir, recheck).collect()[0]
+    assert v3.is_dup and v3.first_match == 900100

@@ -1297,3 +1297,29 @@ def test_streaming_bm25_router_via_foreachbatch_stream(spark, broker, tmp_path):
     assert streamed == want
     # the hash-join doc routes to topic 0 (hash/join), not topic 1
     assert (7001, 0) in streamed and (7001, 1) not in streamed
+
+
+def test_phash_stream_screen_delta_catches_cross_epoch(spark, sf_dir, tmp_path):
+    """The streaming phash screen's delta write-back: a batch-0 doc with
+    NOVEL content passes, and a batch-1 byte-identical copy must collide
+    with batch 0's folded delta (the cross-epoch path, dormant in the
+    small-SF fixtures where no stream docs are mutual near-dups)."""
+    from pyspark.sql import Row
+
+    from datafusion_nats_spark.extensions.multimodal import phash_index_build
+    from datafusion_nats_spark.streaming.pipelines import (
+        phash_stream_screen_apply,
+    )
+
+    index_dir = phash_index_build(
+        spark, sf_dir, index_dir=str(tmp_path / "phash_sidx")
+    )
+    results = str(tmp_path / "phash_sres")
+    apply_fn = phash_stream_screen_apply(index_dir, results)
+    novel = "zq " + "xkvjwpbfyg hmtrlcdnsz " * 3  # ≥32 bytes, not in corpus
+    apply_fn(spark.createDataFrame([Row(doc_id=5_000_000, text=novel)]), 0)
+    v0 = spark.read.parquet(f"{results}/epoch=0").collect()[0]
+    assert not v0.is_dup
+    apply_fn(spark.createDataFrame([Row(doc_id=5_000_001, text=novel)]), 1)
+    v1 = spark.read.parquet(f"{results}/epoch=1").collect()[0]
+    assert v1.is_dup and v1.first_match == 5_000_000
