@@ -56,6 +56,7 @@ PCA_MU = 1_000_000  # micro-unit quantization, the house convention
 # normalized-squaring steps: effective power 2^10 = 1024 — measured
 # λ2/λ1 ≈ 0.987 at sf0.01 → residual mixing ratio ≈ 2e-6
 PCA_SQUARINGS = 10
+PCA_PROJECT_TOPK = 10  # the apply-side ranking depth
 
 _ADD = lambda acc, x: acc + x  # noqa: E731 — ordered left-fold step
 _R = f"range(1, {EMB_DIM + 1})"  # the oracle's 1-based dim range
@@ -163,8 +164,9 @@ _SQ_CHAIN = ", ".join(
     for t in range(1, PCA_SQUARINGS + 1)
 )
 
-_ORACLE = f"""
-    WITH e AS (
+# Shared oracle CTE chain: micro-unit quantization → HUGEINT Gram →
+# exact covariance → chained normalized squarings → sign-fixed component.
+_PCA_CTES = f"""e AS (
       SELECT list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * {PCA_MU}, 0) AS BIGINT)) AS q
       FROM embeddings
@@ -209,7 +211,10 @@ _ORACLE = f"""
                          < 0
                     THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) AS v
       FROM vnorm
-    ), ray AS (
+    )"""
+
+_ORACLE = f"""
+    WITH {_PCA_CTES}, ray AS (
       SELECT v,
              list_sum(list_transform({_R}, i -> v[i] *
                list_sum(list_transform({_R}, j -> cm[i][j] * v[j])))) AS lam,
@@ -221,6 +226,18 @@ _ORACLE = f"""
            round(lam, 6)             AS eigenvalue,
            round(lam / trace, 6)     AS explained_frac
     FROM ray, {_R} t(i)
+"""
+
+_PROJECT_ORACLE = f"""
+    WITH {_PCA_CTES}
+    SELECT vec_id, projection FROM (
+      SELECT e2.vec_id,
+             round(list_sum(list_transform({_R}, i -> qe[i] * v[i])), 6)
+               AS projection
+      FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+            FROM embeddings) e2, signed
+    ) ORDER BY abs(projection) DESC, vec_id LIMIT {PCA_PROJECT_TOPK}
 """
 
 
@@ -244,6 +261,81 @@ _ORACLE = f"""
     "runs the identical recursion in DuckDB HUGEINT/list arithmetic.",
 )
 def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    signed, cmat0 = _component_state(spark, sf_dir)
+    dim_seq = F.sequence(F.lit(1), F.lit(EMB_DIM))
+    cv = F.transform(
+        dim_seq,
+        lambda i: F.aggregate(
+            F.zip_with(
+                F.element_at(F.col("c0"), i.cast("int")),
+                F.col("v"),
+                lambda a, x: a * x,
+            ),
+            F.lit(0.0),
+            _ADD,
+        ),
+    )
+    lam = F.aggregate(F.zip_with(F.col("v"), cv, lambda a, x: a * x), F.lit(0.0), _ADD)
+    trace = F.aggregate(
+        F.transform(
+            dim_seq,
+            lambda i: F.element_at(
+                F.element_at(F.col("c0"), i.cast("int")), i.cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        _ADD,
+    )
+    ray = signed.crossJoin(F.broadcast(cmat0)).select(
+        "v", lam.alias("lam"), trace.alias("trace")
+    )
+    return ray.select(
+        "lam", "trace", F.posexplode(F.col("v")).alias("pos", "loading")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("loading"), 6).alias("loading"),
+        F.round(F.col("lam"), 6).alias("eigenvalue"),
+        F.round(F.col("lam") / F.col("trace"), 6).alias("explained_frac"),
+    )
+
+
+@query(
+    "sim_pca_project_topk",
+    oracle=_PROJECT_ORACLE,
+    doc=f"The APPLY side of the learned PCA component — projection "
+    "scoring, the whitening/compression step a pipeline runs after "
+    "learning the component: every embedding's dot product with the "
+    "sign-fixed unit component (broadcast 1-row state, one ordered-fold "
+    f"map over the corpus — no shuffle), ranked to the top "
+    f"{PCA_PROJECT_TOPK} by |projection| (6-decimal-rounded before "
+    "ranking, the house determinism rule) via TakeOrderedAndProject. "
+    "Shares _component_state with sim_pca_power_iteration so learn and "
+    "apply can never drift; the oracle reuses the identical CTE chain.",
+)
+def sim_pca_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    signed, _ = _component_state(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double().alias("emb")
+    )
+    pr = F.round(
+        F.aggregate(
+            F.zip_with("emb", "v", lambda a, x: a * x), F.lit(0.0), _ADD
+        ),
+        6,
+    )
+    return (
+        e.crossJoin(F.broadcast(signed))
+        .select("vec_id", pr.alias("projection"))
+        .orderBy(F.abs(F.col("projection")).desc(), F.col("vec_id"))
+        .limit(PCA_PROJECT_TOPK)
+    )
+
+
+def _component_state(spark: SparkSession, sf_dir: str):
+    """The learn side shared by the loadings report and the projection
+    apply: (signed, cmat0) — the sign-fixed unit component as a 1-row
+    array DataFrame, and the original covariance as a 1-row 64×64
+    array-of-arrays DataFrame (for Rayleigh/trace)."""
     cov = _covariance(spark, sf_dir)
     # 64 rows; the iteration references each round's result TWICE (the
     # max-normalizer and the normalize join), so without truncation the
@@ -296,37 +388,4 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0),
     ).otherwise(F.lit(1.0))
     signed = vnorm.select(F.transform(F.col("v"), lambda x: x * sgn).alias("v"))
-    cv = F.transform(
-        dim_seq,
-        lambda i: F.aggregate(
-            F.zip_with(
-                F.element_at(F.col("c0"), i.cast("int")),
-                F.col("v"),
-                lambda a, x: a * x,
-            ),
-            F.lit(0.0),
-            _ADD,
-        ),
-    )
-    lam = F.aggregate(F.zip_with(F.col("v"), cv, lambda a, x: a * x), F.lit(0.0), _ADD)
-    trace = F.aggregate(
-        F.transform(
-            dim_seq,
-            lambda i: F.element_at(
-                F.element_at(F.col("c0"), i.cast("int")), i.cast("int")
-            ),
-        ),
-        F.lit(0.0),
-        _ADD,
-    )
-    ray = signed.crossJoin(F.broadcast(cmat0)).select(
-        "v", lam.alias("lam"), trace.alias("trace")
-    )
-    return ray.select(
-        "lam", "trace", F.posexplode(F.col("v")).alias("pos", "loading")
-    ).select(
-        (F.col("pos") + 1).cast("int").alias("dim"),
-        F.round(F.col("loading"), 6).alias("loading"),
-        F.round(F.col("lam"), 6).alias("eigenvalue"),
-        F.round(F.col("lam") / F.col("trace"), 6).alias("explained_frac"),
-    )
+    return signed, cmat0

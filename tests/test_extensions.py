@@ -956,3 +956,41 @@ def test_phash_index_probe_ingest_loop(spark, sf_dir, tmp_path):
     recheck = spark.createDataFrame([Row(doc_id=900200, text=novel_text)])
     v3 = phash_index_probe(spark, index_dir, recheck).collect()[0]
     assert v3.is_dup and v3.first_match == 900100
+
+
+def test_pca_projection_is_component_dot(spark, sf_dir):
+    """The apply side: the top-|projection| rows are exactly the corpus
+    embeddings' dot products with the learned component, and the plan
+    bounds the global top-k (TakeOrderedAndProject, no full sort)."""
+    import numpy as np
+
+    from datafusion_nats_spark.extensions.pca import (
+        PCA_PROJECT_TOPK,
+        sim_pca_power_iteration,
+        sim_pca_project_topk,
+    )
+    from datafusion_nats_spark.tables import load
+
+    df = sim_pca_project_topk(spark, sf_dir)
+    assert "TakeOrderedAndProject" in df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    rows = df.collect()
+    assert len(rows) == PCA_PROJECT_TOPK
+    mags = [abs(r.projection) for r in rows]
+    assert mags == sorted(mags, reverse=True)
+    v = np.array(
+        [r.loading for r in sorted(
+            sim_pca_power_iteration(spark, sf_dir).collect(),
+            key=lambda r: r.dim,
+        )]
+    )
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin([r.vec_id for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        # loadings are round-6 so allow matching slack on the dot product
+        assert abs(float(emb[r.vec_id] @ v) - r.projection) < 1e-4
