@@ -123,7 +123,27 @@ class SessionContext:
 
         self.spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
         trows, crows = [], []
-        for t in self.spark.catalog.listTables():
+        # every database, not just the current one: DataFusion's
+        # information_schema.tables lists all schemas' tables, and a
+        # current-database-only snapshot would also make the view's
+        # contents depend on whichever database happened to be current
+        # at refresh time (temp views appear once, under the current
+        # database's listing)
+        seen: set[tuple] = set()
+        catalog_tables = []
+        for db in self.spark.catalog.listDatabases():
+            if db.name == "information_schema":
+                continue
+            try:
+                listed = self.spark.catalog.listTables(db.name)
+            except Exception:
+                continue  # a database dropped mid-snapshot
+            for t in listed:
+                key = (t.database, t.name, t.isTemporary)
+                if key not in seen:
+                    seen.add(key)
+                    catalog_tables.append(t)
+        for t in catalog_tables:
             if t.database == "information_schema":
                 continue
             schema_name = t.database or "default"
@@ -191,17 +211,24 @@ class SessionContext:
 
     # -- DDL shim: CREATE TABLE ... USING nats OPTIONS (...) -----------------
 
+    # the schema group is lazy up to the first ")" that is followed by
+    # USING/STORED — a greedy or [^)]* group would stop inside
+    # parenthesized column types (DECIMAL(10,2), VARCHAR(8), ...) and
+    # silently fall through to the native DDL path that drops OPTIONS
     _NATS_DDL = re.compile(
         r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
         r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s*"
-        r"(?:\((?P<schema>[^)]*)\)\s*)?"
+        r"(?:\((?P<schema>.*?)\)\s*(?=USING\s|STORED\s))?"
         r"(?:USING\s+nats|STORED\s+AS\s+nats)\s+"
         r"OPTIONS\s*\((?P<opts>.*)\)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    # values may be single-quoted, double-quoted, or bare tokens
+    # (OPTIONS (maxMessages 100) is legal Spark DDL) — a quoted-only
+    # value pattern would silently drop bare-valued options
     _OPT_PAIR = re.compile(
         r"""(?:'(?P<kq>[^']*)'|"(?P<kd>[^"]*)"|(?P<kb>[\w.]+))"""
-        r"""\s*=?\s*(?:'(?P<vq>[^']*)'|"(?P<vd>[^"]*)")"""
+        r"""\s*=?\s*(?:'(?P<vq>[^']*)'|"(?P<vd>[^"]*)"|(?P<vb>[\w.\-:/]+))"""
     )
 
     def _create_nats_table_ddl(self, m: re.Match) -> DataFrame:
@@ -217,7 +244,9 @@ class SessionContext:
         name = m.group("name")
         opts = {
             (g["kq"] or g["kd"] or g["kb"]): (
-                g["vq"] if g["vq"] is not None else g["vd"]
+                g["vq"]
+                if g["vq"] is not None
+                else (g["vd"] if g["vd"] is not None else g["vb"])
             )
             for g in (
                 mo.groupdict() for mo in self._OPT_PAIR.finditer(m.group("opts"))

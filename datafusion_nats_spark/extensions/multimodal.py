@@ -778,7 +778,14 @@ def _phash_hashes_sql() -> str:
     fingerprintable document's 32-bit aHash, shared verbatim by the
     three phash oracles (in-plan near-dup via its inline copy committed
     earlier, the index probe, and the streaming screen) so the SQL twin
-    of ``perceptual_hash`` exists in exactly one place."""
+    of ``perceptual_hash`` exists in exactly one place.
+
+    Like every mm_* oracle, the SQL twin indexes CHARACTERS
+    (ord(substr(text, j, 1))) while the kernel walks UTF-8 BYTES — the
+    two coincide because the fixture corpus is ASCII (verified:
+    octet_length == char length at every SF, see mm_feature_extract);
+    on a non-ASCII corpus the ORACLE, not the operator, would need the
+    byte-walk rewrite."""
     return f"""f AS (
       SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
       WHERE octet_length(encode(text)) >= {PHASH_BUCKETS}

@@ -96,8 +96,14 @@ def _gram_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     parts = e.mapInPandas(partial_gram, schema="i int, j int, s long")
-    # order-free exact reduction: 4161 keys, any partitioning
-    return parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    # order-free exact reduction: 4161 keys, any partitioning. The
+    # per-batch partials fit int64 (≤ 1e12 per row × Arrow batch size),
+    # but the REDUCED sums do not at the advertised scale (S_ij ~
+    # 1e12·n overflows int64 near n=1e7 rows) — widen to decimal BEFORE
+    # the sum, mirroring the oracle's HUGEINT aggregate.
+    return parts.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
+    )
 
 
 def _covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +111,7 @@ def _covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exactly one decimal→double cast and two double divisions —
     bit-identical to the oracle's HUGEINT path."""
     sums = _gram_sums(spark, sf_dir)
-    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     ndf = sums.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
         F.col("s").alias("n")
     )

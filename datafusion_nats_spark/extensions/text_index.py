@@ -112,6 +112,22 @@ def _bucket_expr(word_col):
     )
 
 
+
+def _workload_buckets(spark: SparkSession, words: list) -> list:
+    """The workload's DISTINCT bucket values, resolved through the
+    build's own Spark bucket expression (bounded by N_TERM_BUCKETS, so
+    the collect is always tiny) — the ONE bucket-resolution path shared
+    by the BM25 probe, the phrase probe, and the routing scorer so the
+    three can never drift from the build's partitioning."""
+    return sorted(
+        r["bucket"]
+        for r in spark.createDataFrame([(w,) for w in words], "word string")
+        .select(_bucket_expr(F.col("word")).alias("bucket"))
+        .distinct()
+        .collect()
+    )
+
+
 def bm25_index_build(
     spark: SparkSession,
     sf_dir: str,
@@ -233,13 +249,7 @@ def bm25_index_probe(
             for r in terms.select("query_id", "term").collect()
         ]
         words = sorted({t for _, t in rows})
-        buckets = sorted(
-            r["bucket"]
-            for r in spark.createDataFrame([(w,) for w in words], "word string")
-            .select(_bucket_expr(F.col("word")).alias("bucket"))
-            .distinct()
-            .collect()
-        )
+        buckets = _workload_buckets(spark, words)
         terms_df = F.broadcast(
             spark.createDataFrame(rows, "query_id int, term string")
         )
@@ -484,13 +494,7 @@ def phrase_index_probe(
         for r in phrases.select("query_id", "term_a", "term_b").collect()
     ]
     words = sorted({t for _, a, b in rows for t in (a, b)})
-    buckets = sorted(
-        r["bucket"]
-        for r in spark.createDataFrame([(w,) for w in words], "word string")
-        .select(_bucket_expr(F.col("word")).alias("bucket"))
-        .distinct()
-        .collect()
-    )
+    buckets = _workload_buckets(spark, words)
     postings = (
         spark.read.parquet(os.path.join(vdir, "postings"))
         .filter(F.col("bucket").isin(buckets))
@@ -500,13 +504,25 @@ def phrase_index_probe(
     p = spark.createDataFrame(
         rows, "query_id int, term_a string, term_b string"
     )
-    a = postings.join(
-        F.broadcast(p), postings.word == p.term_a
-    ).select("query_id", "doc_id", F.col("positions").alias("pos_a"))
+    # both sides carry the FULL phrase identity (query_id, term_a,
+    # term_b): joining on (query_id, doc_id) alone would cross-pair the
+    # position lists of two different phrases issued under one query_id
+    a = postings.join(F.broadcast(p), postings.word == p.term_a).select(
+        "query_id",
+        "term_a",
+        "term_b",
+        "doc_id",
+        F.col("positions").alias("pos_a"),
+    )
     b_side = postings.join(
-        F.broadcast(p.select("query_id", "term_b")),
-        postings.word == F.col("term_b"),
-    ).select("query_id", "doc_id", F.col("positions").alias("pos_b"))
+        F.broadcast(p), postings.word == p.term_b
+    ).select(
+        "query_id",
+        "term_a",
+        "term_b",
+        "doc_id",
+        F.col("positions").alias("pos_b"),
+    )
     # positions i of term_a whose successor i+1 is a term_b position;
     # both lists are sorted, so the intersection stays sorted and its
     # head is the first occurrence (shifted by one)
@@ -514,7 +530,7 @@ def phrase_index_probe(
         F.transform(F.col("pos_a"), lambda x: x + 1), F.col("pos_b")
     )
     return (
-        a.join(b_side, ["query_id", "doc_id"])
+        a.join(b_side, ["query_id", "term_a", "term_b", "doc_id"])
         .select("query_id", "doc_id", matches.alias("m"))
         .filter(F.size("m") > 0)
         .select(
@@ -577,13 +593,7 @@ def bm25_route_score(
         for r in terms.select("query_id", "term").collect()
     ]
     words = sorted({t for _, t in rows})
-    buckets = sorted(
-        r["bucket"]
-        for r in spark.createDataFrame([(w,) for w in words], "word string")
-        .select(_bucket_expr(F.col("word")).alias("bucket"))
-        .distinct()
-        .collect()
-    )
+    buckets = _workload_buckets(spark, words)
     dfrel = (
         spark.read.parquet(os.path.join(vdir, "postings"))
         .filter(F.col("bucket").isin(buckets))

@@ -716,3 +716,82 @@ def test_information_schema_schemata_and_views(spark, sf_dir):
         ).collect()
     }
     assert "lineitem" in views  # register_views registers temp views
+
+
+def test_create_table_ddl_parenthesized_types_and_bare_values(spark):
+    """Two DDL-parser regressions pinned: (1) parenthesized column types
+    (DECIMAL(10,2)) must not derail the schema group — a naive [^)]*
+    stops at the type's inner ')' and the statement silently falls
+    through to the native path that drops OPTIONS; (2) bare (unquoted)
+    option values are legal Spark DDL and must land in the option map,
+    not vanish."""
+    from datafusion_nats_spark.context import SessionContext
+    from datafusion_nats_spark.sources import get_broker
+
+    import pytest as _pytest
+
+    from datafusion_nats_spark.codec import SchemaValidationError
+
+    broker = get_broker("memory://ddltypes")
+    broker.clear()
+    for p in [b"1,9.99", b"2,12.50", b"3,0.05"]:
+        broker.publish("ddl.types", p)
+
+    ctx = SessionContext(spark)
+    # BARE (unquoted) maxMessages value must land in the option map
+    ctx.sql(
+        "CREATE TABLE nats_ddl_bare (id INT, price DOUBLE) "
+        "USING nats OPTIONS (subject 'ddl.types', url 'memory://ddltypes', "
+        "maxMessages 2)"
+    )
+    got = ctx.sql("SELECT id, price FROM nats_ddl_bare ORDER BY id").collect()
+    # maxMessages 2 (bare) must bound the read — 3 messages published
+    assert len(got) == 2 and got[0].price == 9.99
+    ctx.deregister_table("nats_ddl_bare")
+    # a parenthesized column type must still ROUTE to the facade: the
+    # registration succeeds (it is lazy) and the READ then rejects
+    # DECIMAL exactly like the reference's csv.rs — a loud
+    # SchemaValidationError naming the type, never a silent
+    # fall-through to the native DDL path that drops OPTIONS (whose
+    # failure mode is an empty-options subject error, not a type error)
+    ctx.sql(
+        "CREATE TABLE nats_ddl_dec (id INT, price DECIMAL(10,2)) "
+        "USING nats OPTIONS (subject 'ddl.types', "
+        "url 'memory://ddltypes', maxMessages 2)"
+    )
+    with _pytest.raises(Exception, match="decimal"):
+        ctx.sql("SELECT * FROM nats_ddl_dec").collect()
+    assert SchemaValidationError is not None  # imported = contract exists
+    ctx.deregister_table("nats_ddl_dec")
+    broker.clear()
+
+
+def test_information_schema_tables_lists_all_databases(spark, sf_dir):
+    """information_schema.tables must span every database (DataFusion's
+    does), not just whichever one is current at refresh time."""
+    from datafusion_nats_spark.context import SessionContext
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS infodb_x")
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS infodb_x.t_other (a INT) USING parquet"
+    )
+    try:
+        ctx = SessionContext(spark)
+        rows = {
+            (r.table_schema, r.table_name)
+            for r in ctx.sql(
+                "SELECT table_schema, table_name FROM information_schema.tables"
+            ).collect()
+        }
+        assert ("infodb_x", "t_other") in rows
+        # and schemata agrees
+        schemas = {
+            r.schema_name
+            for r in ctx.sql(
+                "SELECT schema_name FROM information_schema.schemata"
+            ).collect()
+        }
+        assert "infodb_x" in schemas
+    finally:
+        spark.sql("DROP TABLE IF EXISTS infodb_x.t_other")
+        spark.sql("DROP DATABASE IF EXISTS infodb_x")

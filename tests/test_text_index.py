@@ -296,3 +296,58 @@ def test_bm25_probe_distributed_workload_equals_inline(spark, tmp_path):
     assert re.search(
         r"bucket#\d+ (IN \(|INSET )", scan.metadata().apply("PartitionFilters")
     )
+
+
+def test_phrase_index_probe_multi_phrase_per_query(spark, sf_dir):
+    """Two phrases issued under ONE query_id must not cross-pair their
+    position lists (the probe joins on the full phrase identity, not
+    just (query_id, doc_id)) — the registry fixture's unique query_ids
+    cannot catch this, so pin it against a DuckDB twin directly."""
+    import duckdb
+
+    from datafusion_nats_spark.extensions.text_index import (
+        bm25_index_build,
+        phrase_index_probe,
+    )
+
+    index_dir = bm25_index_build(spark, sf_dir)
+    phrases = [(1, "hash", "join"), (1, "window", "sort")]
+    probe = phrase_index_probe(
+        spark,
+        index_dir,
+        spark.createDataFrame(phrases, "query_id int, term_a string, term_b string"),
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.n_occurrences, r.first_pos)
+        for r in probe.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    values = ", ".join(f"({q}, '{a}', '{b}')" for q, a, b in phrases)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+        WITH p AS (
+          SELECT * FROM (VALUES {values}) v(query_id, term_a, term_b)
+        ), toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+          FROM documents
+        ), hits AS (
+          SELECT p.query_id, t.doc_id,
+                 list_filter(range(1, len(t.arr)),
+                             i -> t.arr[i] = p.term_a AND t.arr[i+1] = p.term_b)
+                   AS pos
+          FROM toks t CROSS JOIN p
+        )
+        SELECT query_id, doc_id,
+               CAST(len(pos) AS INT) AS n_occurrences,
+               CAST(pos[1] AS INT) AS first_pos
+        FROM hits WHERE len(pos) > 0
+        """
+        ).fetchall()
+    )
+    assert want, "fixture regression: phrases no longer occur in the corpus"
+    assert got == want
