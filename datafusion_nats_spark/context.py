@@ -215,20 +215,46 @@ class SessionContext:
     # USING/STORED — a greedy or [^)]* group would stop inside
     # parenthesized column types (DECIMAL(10,2), VARCHAR(8), ...) and
     # silently fall through to the native DDL path that drops OPTIONS
+    # identifiers may be bare, backtick-quoted (Spark), or double-quoted
+    # (DataFusion/ANSI); _unquote_ident strips the quoting
+    _IDENT = r"`[^`]+`|\"[^\"]+\"|[A-Za-z_][\w]*"
     _NATS_DDL = re.compile(
         r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
-        r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s*"
+        r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>" + _IDENT + r")\s*"
         r"(?:\((?P<schema>.*?)\)\s*(?=USING\s|STORED\s))?"
         r"(?:USING\s+nats|STORED\s+AS\s+nats)\s+"
         r"OPTIONS\s*\((?P<opts>.*)\)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    # DROP TABLE round-trip for facade-registered tables: DataFusion's
+    # ctx.sql("DROP TABLE t") removes a registered table, but Spark's
+    # native DROP TABLE refuses temp views (the facade's registration
+    # vehicle) — route those to the catalog drop, fall through otherwise
+    _DROP_DDL = re.compile(
+        r"^\s*DROP\s+TABLE\s+(?P<ife>IF\s+EXISTS\s+)?"
+        r"(?P<name>" + _IDENT + r")\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _unquote_ident(name: str) -> str:
+        if len(name) >= 2 and name[0] == name[-1] and name[0] in "`\"":
+            return name[1:-1]
+        return name
     # values may be single-quoted, double-quoted, or bare tokens
     # (OPTIONS (maxMessages 100) is legal Spark DDL) — a quoted-only
-    # value pattern would silently drop bare-valued options
+    # value pattern would silently drop bare-valued options. The key→value
+    # separator must be explicit ('=' or whitespace; zero-width only when
+    # the value is quoted, where no token-split is possible): an optional
+    # separator let backtracking split ONE bare token into key+value
+    # (OPTIONS (header) parsed as {'heade': 'r'}) and shed junk pairs off
+    # tokens with chars outside the bare-value class (e.g. '@' in
+    # credentialed URLs). Valueless/unparseable tokens are dropped, as
+    # before.
     _OPT_PAIR = re.compile(
         r"""(?:'(?P<kq>[^']*)'|"(?P<kd>[^"]*)"|(?P<kb>[\w.]+))"""
-        r"""\s*=?\s*(?:'(?P<vq>[^']*)'|"(?P<vd>[^"]*)"|(?P<vb>[\w.\-:/]+))"""
+        r"""(?:\s*=\s*|\s+|(?=['"]))"""
+        r"""(?:'(?P<vq>[^']*)'|"(?P<vd>[^"]*)"|(?P<vb>[\w.\-:/]+))"""
     )
 
     def _create_nats_table_ddl(self, m: re.Match) -> DataFrame:
@@ -241,7 +267,7 @@ class SessionContext:
         nats`, DataFusion's `CREATE EXTERNAL TABLE` spelling) becomes
         `register_nats_table` with the same schema and options. Returns
         the empty DataFrame Spark DDL returns."""
-        name = m.group("name")
+        name = self._unquote_ident(m.group("name"))
         opts = {
             (g["kq"] or g["kd"] or g["kb"]): (
                 g["vq"]
@@ -280,6 +306,14 @@ class SessionContext:
         ddl = self._NATS_DDL.match(query)
         if ddl:
             return self._create_nats_table_ddl(ddl)
+        drop = self._DROP_DDL.match(query)
+        if drop:
+            name = self._unquote_ident(drop.group("name"))
+            if self.spark.catalog.dropTempView(name):
+                return self.spark.createDataFrame([], T.StructType([]))
+            if drop.group("ife") and name not in self.tables():
+                return self.spark.createDataFrame([], T.StructType([]))
+            # not a temp view: a real catalog table — native path
         if re.search(r"information_schema", query, re.IGNORECASE):
             self._refresh_information_schema()
         return self.spark.sql(query)

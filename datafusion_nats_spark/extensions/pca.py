@@ -108,8 +108,15 @@ def _gram_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(i, j, c): the 64×64 covariance in DOUBLE, each entry the result
-    of exactly one decimal→double cast and two double divisions —
-    bit-identical to the oracle's HUGEINT path."""
+    of exactly one decimal→double cast, two double divisions, and ONE
+    12-decimal rounding — the same grid the squaring steps use. The
+    rounding is load-bearing for cross-engine determinism (round-8
+    review): DuckDB's HUGEINT→DOUBLE cast is not correctly rounded
+    (ldexp double-rounding), so without it a ~1e-16 covariance
+    discrepancy could enter sq0 and amplify ~64× per squaring past the
+    per-step absorption grid; snapping the covariance itself to the
+    grid makes the squaring input bit-identical in both engines and
+    shrinks the halfway-point exposure to this single rounding layer."""
     sums = _gram_sums(spark, sf_dir)
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     ndf = sums.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
@@ -131,9 +138,11 @@ def _covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
-            (centered.cast("double") / (n_d * n_d) / F.lit(float(PCA_MU) ** 2)).alias(
-                "c"
-            ),
+            F.round(
+                centered.cast("double") / (n_d * n_d)
+                / F.lit(float(PCA_MU) ** 2),
+                12,
+            ).alias("c"),
         )
     )
 
@@ -186,9 +195,12 @@ _PCA_CTES = f"""e AS (
     ), nn AS (
       SELECT CAST(count(*) AS HUGEINT) AS n FROM e
     ), cov AS (
+      -- round-12 mirrors the Spark side: snap the covariance to the
+      -- squaring steps' grid so the (not-correctly-rounded) HUGEINT->
+      -- DOUBLE cast can't seed sub-grid drift into sq0
       SELECT p.i, p.j,
-             CAST(n * s - mi.m * mj.m AS DOUBLE)
-               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12 AS c
+             round(CAST(n * s - mi.m * mj.m AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12, 12) AS c
       FROM pairs p
       JOIN msum mi ON mi.i = p.i
       JOIN msum mj ON mj.i = p.j

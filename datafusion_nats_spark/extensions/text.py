@@ -640,12 +640,16 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "occurrences — across documents or repeated within one — are "
     "dropped) and each document's surviving spans are reassembled in "
     "offset order (whitespace-normalized; a fully-duplicated document "
-    "collapses to NULL). Plan: map-side chunk+hash Generate, ONE "
-    "hash-partitioned window over the span hash to pick first owners "
-    "(per-hash groups are tiny — the span's duplicate set), then the "
-    "per-doc reassembly aggregate; no span-vocabulary broadcast, no "
-    "all-pairs stage — both shuffles key on bounded-cardinality "
-    "columns, the 100 TB-safe shape.",
+    "collapses to NULL). Plan (skew-proof per the round-8 review — a "
+    "heavily replicated span must NOT funnel its raw occurrence count "
+    "into one task): map-side chunk+hash Generate, a partial-aggregating "
+    "per-(h, doc_id) rollup (min offset + copy count; hot hashes "
+    "condense map-side), then the global first owner per hash is a "
+    "MIN(struct(doc_id, s)) hash aggregate — partial aggregation again, "
+    "never a per-hash sort — joined back on h (AQE skew-split covers the "
+    "residual hot-key join), then the per-doc reassembly aggregate. No "
+    "span-vocabulary broadcast, no all-pairs stage, no unbounded window "
+    "partition — the 100 TB-safe shape.",
 )
 def text_span_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
@@ -665,14 +669,30 @@ def text_span_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "toks", F.explode(starts).alias("s"))
         .select("doc_id", "s", span.alias("span"), F.md5(span).alias("h"))
     )
-    w = Window.partitionBy("h").orderBy("doc_id", "s")
-    ranked = chunks.withColumn("rn", F.row_number().over(w))
-    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    # per-(h, doc_id) rollup: only the doc's FIRST copy of a span can be
+    # the global first owner, so later same-doc copies reduce to a count
+    # here (partial aggregation bounds the hot-hash task input); span is
+    # constant within an h group, min() just picks it deterministically
+    per_doc = chunks.groupBy("h", "doc_id").agg(
+        F.min("s").alias("s"),
+        F.count(F.lit(1)).alias("copies"),
+        F.min("span").alias("span"),
+    )
+    # global first owner per hash as a hash aggregate (struct min orders
+    # by doc_id, then s — exactly the old window's ORDER BY) instead of
+    # a row_number window whose per-hash partition was unbounded
+    winner = per_doc.groupBy("h").agg(
+        F.min(F.struct("doc_id", "s")).alias("w")
+    )
+    ranked = per_doc.join(winner, "h").withColumn(
+        "is_first", F.col("doc_id") == F.col("w.doc_id")
+    )
+    kept = F.when(F.col("is_first"), 1).otherwise(0)
     kept_span = F.when(
-        F.col("rn") == 1, F.struct(F.col("s"), F.col("span"))
+        F.col("is_first"), F.struct(F.col("s"), F.col("span"))
     )
     agg = ranked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("copies").cast("bigint").alias("n_spans"),
         F.sum(kept).cast("bigint").alias("n_kept"),
         F.array_join(
             F.transform(

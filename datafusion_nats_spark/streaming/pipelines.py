@@ -807,27 +807,36 @@ def lsh_stream_screen_apply(index_dir: str, results_dir: str, ingest: str = "all
                 .select("doc_id", "band_id", "band_key")
             )
 
-        verdicts = _lsh_screen(
-            sp, vdir, docs, extra_old=earlier_deltas, new_bands=new_bands
-        )
-        # per-epoch dirs: replay overwrites, never double-applies
-        verdicts.write.mode("overwrite").parquet(f"{results_dir}/epoch={epoch_id}")
-        fold = new_bands
-        if ingest == "unique":
-            accepted = (
-                sp.read.parquet(f"{results_dir}/epoch={epoch_id}")
-                .filter(~F.col("is_dup"))
-                .select("doc_id")
+        # unpersist in finally: a failed screen/write retries the whole
+        # epoch, and without this each retry would persist a fresh copy
+        # while the orphaned one stayed cached for the session's lifetime
+        try:
+            verdicts = _lsh_screen(
+                sp, vdir, docs, extra_old=earlier_deltas, new_bands=new_bands
             )
-            fold = new_bands.join(F.broadcast(accepted), "doc_id", "left_semi")
-        (
-            fold
-            # cluster by the probe join key, matching lsh_index_update
-            .repartition("band_id", "band_key")
-            .write.mode("overwrite")
-            .parquet(f"{deltas_root}/epoch={epoch_id}")
-        )
-        new_bands.unpersist()
+            # per-epoch dirs: replay overwrites, never double-applies
+            verdicts.write.mode("overwrite").parquet(
+                f"{results_dir}/epoch={epoch_id}"
+            )
+            fold = new_bands
+            if ingest == "unique":
+                accepted = (
+                    sp.read.parquet(f"{results_dir}/epoch={epoch_id}")
+                    .filter(~F.col("is_dup"))
+                    .select("doc_id")
+                )
+                fold = new_bands.join(
+                    F.broadcast(accepted), "doc_id", "left_semi"
+                )
+            (
+                fold
+                # cluster by the probe join key, matching lsh_index_update
+                .repartition("band_id", "band_key")
+                .write.mode("overwrite")
+                .parquet(f"{deltas_root}/epoch={epoch_id}")
+            )
+        finally:
+            new_bands.unpersist()
 
     return apply
 
@@ -1348,24 +1357,33 @@ def phash_stream_screen_apply(
                 .select("doc_id", "phash", "k", "bv")
             )
 
-        verdicts = _phash_screen(
-            sp, vdir, docs, extra_old=earlier_deltas, new_bands=new_bands
-        )
-        verdicts.write.mode("overwrite").parquet(f"{results_dir}/epoch={epoch_id}")
-        fold = new_bands
-        if ingest == "unique":
-            accepted = (
-                sp.read.parquet(f"{results_dir}/epoch={epoch_id}")
-                .filter(~F.col("is_dup"))
-                .select("doc_id")
+        # unpersist in finally: a failed screen/write retries the whole
+        # epoch, and each retry would otherwise persist a fresh copy
+        # while the orphaned one stayed cached for the session's lifetime
+        try:
+            verdicts = _phash_screen(
+                sp, vdir, docs, extra_old=earlier_deltas, new_bands=new_bands
             )
-            fold = new_bands.join(F.broadcast(accepted), "doc_id", "left_semi")
-        (
-            fold.repartition("k", "bv")
-            .write.mode("overwrite")
-            .parquet(f"{deltas_root}/epoch={epoch_id}")
-        )
-        new_bands.unpersist()
+            verdicts.write.mode("overwrite").parquet(
+                f"{results_dir}/epoch={epoch_id}"
+            )
+            fold = new_bands
+            if ingest == "unique":
+                accepted = (
+                    sp.read.parquet(f"{results_dir}/epoch={epoch_id}")
+                    .filter(~F.col("is_dup"))
+                    .select("doc_id")
+                )
+                fold = new_bands.join(
+                    F.broadcast(accepted), "doc_id", "left_semi"
+                )
+            (
+                fold.repartition("k", "bv")
+                .write.mode("overwrite")
+                .parquet(f"{deltas_root}/epoch={epoch_id}")
+            )
+        finally:
+            new_bands.unpersist()
 
     return apply
 

@@ -856,6 +856,37 @@ def test_span_collapse_planted_copy_collapses_to_null(spark, planted_dir):
         assert orig.n_spans == copy.n_spans
 
 
+def test_span_collapse_within_doc_repeats(spark, tmp_path):
+    """The round-9 skew rewrite pre-aggregates per (h, doc_id) before
+    picking the global first owner; within-document repeats are the
+    delicate path — a span repeated k times in one doc must count k
+    times in n_spans yet keep at most its FIRST copy, and a later doc
+    carrying the same span keeps none."""
+    from datafusion_nats_spark.extensions.text import (
+        SPAN_TOKENS,
+        text_span_collapse,
+    )
+
+    span_a = " ".join(f"a{i}" for i in range(SPAN_TOKENS))
+    span_b = " ".join(f"b{i}" for i in range(SPAN_TOKENS))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    spark.createDataFrame(
+        [
+            # doc 1: span_a three times then span_b → 4 spans, keeps 2
+            (1, " ".join([span_a, span_a, span_a, span_b])),
+            # doc 2: span_a twice → 2 spans, keeps 0 (doc 1 owns it)
+            (2, " ".join([span_a, span_a])),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(corpus / "documents.parquet"))
+    rows = {r.doc_id: r for r in text_span_collapse(spark, str(corpus)).collect()}
+    assert rows[1].n_spans == 4 and rows[1].n_kept == 2
+    assert rows[1].cleaned_text == f"{span_a} {span_b}"
+    assert rows[2].n_spans == 2 and rows[2].n_kept == 0
+    assert rows[2].cleaned_text is None
+
+
 # --------------------------------------------------------------------------
 # PCA via integer-exact covariance + normalized squaring
 # --------------------------------------------------------------------------
