@@ -474,7 +474,8 @@ def search_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def phrase_index_probe(
-    spark: SparkSession, index_dir: str, phrases: DataFrame
+    spark: SparkSession, index_dir: str, phrases: DataFrame,
+    inline: bool | None = None,
 ) -> DataFrame:
     """Probe the persisted postings index with a phrase workload
     (query_id, term_a, term_b) → (query_id, doc_id, n_occurrences,
@@ -487,27 +488,57 @@ def phrase_index_probe(
     bucket partitions and intersects their stored position lists:
     occurrences are positions i of term_a with i+1 among term_b's
     positions. At 100 TB that is the inverted-index phrase lookup —
-    O(|matched postings|) instead of O(corpus tokens) per workload."""
+    O(|matched postings|) instead of O(corpus tokens) per workload.
+
+    ``inline`` is the same workload switch as ``bm25_index_probe``
+    (auto by default, bounded count up to TERMS_INLINE_MAX phrases):
+    the common parameter-table workload is collected once into a pushed
+    word-IN filter + broadcast join, while a HUGE workload (a
+    benchmark-contamination n-gram sweep) stays distributed — the
+    postings join shuffles on the word key and never lands on the
+    driver. Bucket resolution is bounded by N_TERM_BUCKETS either way,
+    so THAT collect is always tiny; identical rows either way (pinned
+    in pytest)."""
     vdir = current_index_dir(index_dir)
-    rows = [
-        (r["query_id"], r["term_a"], r["term_b"])
-        for r in phrases.select("query_id", "term_a", "term_b").collect()
-    ]
-    words = sorted({t for _, a, b in rows for t in (a, b)})
-    buckets = _workload_buckets(spark, words)
+    if inline is None:
+        inline = (
+            phrases.limit(TERMS_INLINE_MAX + 1).count() <= TERMS_INLINE_MAX
+        )
+    if inline:
+        rows = [
+            (r["query_id"], r["term_a"], r["term_b"])
+            for r in phrases.select("query_id", "term_a", "term_b").collect()
+        ]
+        words = sorted({t for _, a, b in rows for t in (a, b)})
+        buckets = _workload_buckets(spark, words)
+        word_filter = F.col("word").isin(words)
+        p = spark.createDataFrame(
+            rows, "query_id int, term_a string, term_b string"
+        )
+        join_side = F.broadcast(p)
+    else:
+        p = phrases.select("query_id", "term_a", "term_b")
+        buckets = sorted(
+            r["bucket"]
+            for r in p.select(
+                F.explode(F.array("term_a", "term_b")).alias("w")
+            )
+            .select(_bucket_expr(F.col("w")).alias("bucket"))
+            .distinct()
+            .collect()
+        )
+        word_filter = F.lit(True)  # the word joins replace the IN filter
+        join_side = p
     postings = (
         spark.read.parquet(os.path.join(vdir, "postings"))
         .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("word").isin(words))
+        .filter(word_filter)
         .select("word", "doc_id", "positions")
-    )
-    p = spark.createDataFrame(
-        rows, "query_id int, term_a string, term_b string"
     )
     # both sides carry the FULL phrase identity (query_id, term_a,
     # term_b): joining on (query_id, doc_id) alone would cross-pair the
     # position lists of two different phrases issued under one query_id
-    a = postings.join(F.broadcast(p), postings.word == p.term_a).select(
+    a = postings.join(join_side, postings.word == p.term_a).select(
         "query_id",
         "term_a",
         "term_b",
@@ -515,7 +546,7 @@ def phrase_index_probe(
         F.col("positions").alias("pos_a"),
     )
     b_side = postings.join(
-        F.broadcast(p), postings.word == p.term_b
+        join_side, postings.word == p.term_b
     ).select(
         "query_id",
         "term_a",
@@ -570,7 +601,8 @@ def search_index_probe_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bm25_route_score(
-    spark: SparkSession, index_dir: str, docs: DataFrame, terms: DataFrame
+    spark: SparkSession, index_dir: str, docs: DataFrame, terms: DataFrame,
+    inline: bool | None = None,
 ) -> DataFrame:
     """BM25 routing scores of INCOMING documents (doc_id, text) against
     a query/topic workload (query_id, term), using the persisted
@@ -586,35 +618,72 @@ def bm25_route_score(
     terms' (word, df) rows; same K1/B/idf/rounding/term-order fold as
     every BM25 twin in the registry. Terms absent from the indexed
     corpus have no df and contribute nothing (inner join), exactly like
-    ``bm25_scores``' term-df join."""
+    ``bm25_scores``' term-df join.
+
+    ``inline`` is the same workload switch as ``bm25_index_probe``
+    (auto by default, bounded count up to TERMS_INLINE_MAX): a routing
+    taxonomy of 1e5+ topic terms stays distributed — the batch tokens
+    are narrowed map-side by the term-bucket expression and then
+    semi-joined against the workload instead of an inlined word-IN
+    literal, and the term/df joins shuffle on the word key instead of
+    broadcasting. Identical rows either way (pinned in pytest)."""
     vdir = current_index_dir(index_dir)
-    rows = [
-        (r["query_id"], r["term"])
-        for r in terms.select("query_id", "term").collect()
-    ]
-    words = sorted({t for _, t in rows})
-    buckets = _workload_buckets(spark, words)
-    dfrel = (
-        spark.read.parquet(os.path.join(vdir, "postings"))
-        .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("word").isin(words))
-        .select("word", "df")
-        .distinct()
-    )
+    if inline is None:
+        inline = terms.limit(TERMS_INLINE_MAX + 1).count() <= TERMS_INLINE_MAX
     stats = spark.read.parquet(os.path.join(vdir, "stats"))
-    terms_df = spark.createDataFrame(rows, "query_id int, term string")
     toked = docs.select(
         "doc_id", tokens(F.col("text")).alias("toks")
     ).withColumn("dl", F.size("toks").cast("long"))
+    raw_tf = toked.select("doc_id", "dl", F.explode("toks").alias("word"))
+    postings = spark.read.parquet(os.path.join(vdir, "postings"))
+    if inline:
+        rows = [
+            (r["query_id"], r["term"])
+            for r in terms.select("query_id", "term").collect()
+        ]
+        words = sorted({t for _, t in rows})
+        buckets = _workload_buckets(spark, words)
+        terms_df = F.broadcast(
+            spark.createDataFrame(rows, "query_id int, term string")
+        )
+        dfrel = F.broadcast(
+            postings.filter(F.col("bucket").isin(buckets))
+            .filter(F.col("word").isin(words))
+            .select("word", "df")
+            .distinct()
+        )
+        # selective BEFORE the shuffle: the inlined literal prunes the
+        # exploded batch tokens map-side
+        stf_src = raw_tf.filter(F.col("word").isin(words))
+    else:
+        terms_df = terms.select("query_id", "term")
+        buckets = sorted(
+            r["bucket"]
+            for r in terms_df.select(
+                _bucket_expr(F.col("term")).alias("bucket")
+            )
+            .distinct()
+            .collect()
+        )
+        dfrel = (
+            postings.filter(F.col("bucket").isin(buckets))
+            .select("word", "df")
+            .distinct()
+        )
+        # the bucket expression is the map-side pre-filter the literal
+        # IN played on the inline path (bounded ≤N_TERM_BUCKETS values);
+        # exactness comes from the word-key joins below
+        stf_src = raw_tf.filter(
+            _bucket_expr(F.col("word")).isin(buckets)
+        )
     stf = (
-        toked.select("doc_id", "dl", F.explode("toks").alias("word"))
-        .filter(F.col("word").isin(words))  # selective BEFORE the shuffle
+        stf_src
         .groupBy("doc_id", "dl", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     hits = (
-        stf.join(F.broadcast(terms_df), stf.word == terms_df.term)
-        .join(F.broadcast(dfrel), "word")
+        stf.join(terms_df, stf.word == terms_df.term)
+        .join(dfrel, "word")
         .crossJoin(F.broadcast(stats))
     )
     idf = F.log(
