@@ -101,6 +101,8 @@ def _run_pass(spark, queries, sf_dir: str, runs: int = 1):
     queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    from datafusion_nats_spark.registry import release_caches
+
     samples: dict[str, list[float]] = {}
     for _ in range(max(1, runs)):
         for name in HEADLINE:
@@ -112,6 +114,13 @@ def _run_pass(spark, queries, sf_dir: str, runs: int = 1):
             samples.setdefault(name, []).append(
                 round(time.perf_counter() - t0, 4)
             )
+            # cache hygiene between queries (round-8 verdict ask #3),
+            # OUTSIDE the timing window: mid-plan persist() queries no
+            # longer accumulate blocks across the sweep — which also
+            # makes every sweep's sample pay its own persist
+            # materialization instead of silently reusing sweep 1's
+            # cached blocks (warm numbers are honest, not cache hits)
+            release_caches(spark)
     medians = {
         name: round(statistics.median(ts), 4) for name, ts in samples.items()
     }
@@ -133,14 +142,24 @@ def _run_pass(spark, queries, sf_dir: str, runs: int = 1):
     return medians, stats
 
 
+# The host_loaded trip point. Round 8's official record started at
+# loadavg 6.48/32 cores — under the old 25%-of-cores threshold yet far
+# from idle, and it uniformly inflated every headline 1.3–1.7× with
+# unchanged plans (the exact artifact the flag exists to catch; round-8
+# verdict ask #2). An ABSOLUTE bar is the right shape: any ambient work
+# competes with the bench's own local[N] threads regardless of how many
+# cores the box has.
+LOAD_MAX = 2.0
+
+
 def _host_load(flag: bool = True) -> dict:
     """Ambient-load metadata recorded into the bench JSON (round-7
     verdict ask #2: BENCH_r07 vs r06 was noise from a loaded host —
     make round-over-round deltas interpretable by stamping the load the
     numbers were captured under). ``host_loaded`` flags capture windows
-    where the 1-minute loadavg exceeded 25% of the cores BEFORE the run
-    even started — compare like-for-like (unloaded vs unloaded) only.
-    The end-of-run capture omits the flag (the bench's own local[N]
+    where the 1-minute loadavg exceeded LOAD_MAX BEFORE the run even
+    started — compare like-for-like (unloaded vs unloaded) only. The
+    end-of-run capture omits the flag (the bench's own local[N]
     execution dominates loadavg by then); its raw numbers are kept so a
     mid-run ambient spike is still visible to a human reader."""
     try:
@@ -153,15 +172,44 @@ def _host_load(flag: bool = True) -> dict:
         "cpus": cpus,
     }
     if flag:
-        out["host_loaded"] = la1 > 0.25 * cpus
+        out["host_loaded"] = la1 > LOAD_MAX
     return out
+
+
+def _wait_for_idle_host() -> dict:
+    """Warn-and-retry when the host is loaded at start (round-8 verdict
+    ask #2): poll up to SPARK_GRAFT_LOAD_WAIT seconds (default 120, 0
+    disables) for the 1-minute loadavg to drop to LOAD_MAX, then stamp
+    whatever the truth is — a capture that starts loaded is still
+    recorded, but flagged."""
+    meta = _host_load()
+    budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "120"))
+    waited = 0.0
+    while meta.get("host_loaded") and waited < budget:
+        print(
+            f"bench: host loaded (1-min loadavg "
+            f"{meta['loadavg'][0]} > {LOAD_MAX}) — waiting for idle "
+            f"({int(budget - waited)}s left)",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        waited += 10
+        meta = _host_load()
+    if meta.get("host_loaded"):
+        print(
+            "bench: still loaded after the wait budget — capturing "
+            "anyway, host_loaded=true (do NOT use this record for "
+            "round-over-round deltas)",
+            file=sys.stderr,
+        )
+    return meta
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    load_meta = _host_load()
+    load_meta = _wait_for_idle_host()
 
     from datafusion_nats_spark.registry import all_queries
     from datafusion_nats_spark.session import get_spark

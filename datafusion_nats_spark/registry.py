@@ -63,3 +63,17 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     _load_all()
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def release_caches(spark: SparkSession) -> None:
+    """Cache hygiene for registry runners (round-8 verdict ask #3): a
+    few registered queries ``persist()`` mid-plan (the cached relations
+    are reduced, never corpus-sized — e.g. text_span_dedup's span
+    hashes, text_burrows_delta's token stats, mm_phash_near_dup's
+    bands) and a returned DataFrame plan carries no unpersist hook, so
+    a long-lived session replaying the registry accumulates
+    session-scoped cached blocks. Runners (the verify sweep, bench.py,
+    tests) call this between queries: it drops every SQL-cached
+    relation in the session. Queries are registry-independent by
+    contract, so clearing between them can never change results."""
+    spark.catalog.clearCache()

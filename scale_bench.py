@@ -242,6 +242,225 @@ def _time_queries(spark, queries, sf_dir: str, meter):
     return times, shuffles, stragglers
 
 
+# ---------------------------------------------------------------------------
+# Workload-scaled probe rows (round-8 verdict asks #1/#4/#8): the registered
+# probe queries carry fixture-sized workloads, so the scale table above
+# exercises corpus growth but not WORKLOAD growth. This section drives the
+# persisted-index probes at their design points against the LARGEST uniform
+# replica dir: >TERMS_INLINE_MAX phrases/terms (the distributed workload
+# path), a >=1e5-query ANN batch (the _distributed_probe path whose driver
+# collect is bounded by |codebook| distinct cells, never |queries|*nprobe),
+# and Zipfian TERM distributions (hot postings buckets) so the 64-bucket x
+# 4-files-per-bucket salting's straggler bound is measured, not asserted.
+# Enabled with SPARK_GRAFT_SCALE_PROBES=1.
+# ---------------------------------------------------------------------------
+
+PROBE_SMALL_Q = 256  # inline-path comparison point for workload exponents
+PROBE_BIG_Q = 20_000  # > TERMS_INLINE_MAX=5000 -> auto-routes distributed
+ANN_BATCH_Q = 100_000
+ZIPF_VOCAB = 512  # ranks in the Zipfian term/phrase workloads
+
+
+def _doc_tokens(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datafusion_nats_spark.extensions.text import tokens
+    from datafusion_nats_spark.tables import load
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select(tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+
+
+def _number(df, cols):
+    """Deterministic query_id over a bounded workload relation."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.orderBy(*cols)
+    return df.withColumn("query_id", F.row_number().over(w).cast("int"))
+
+
+def _fan_workload(ranked, key_cols, n, zipf: bool):
+    """Fan a ranked key relation (rank column ``r``, 1-based, bounded by
+    ZIPF_VOCAB) out to EXACTLY n (query_id, *key) rows. A query workload
+    repeats terms across query_ids (that is what makes a bucket hot), so
+    n is the ROW count, never bounded by the corpus vocabulary — the
+    fixture vocabulary is tiny (tens of distinct tokens). Uniform:
+    round-robin over the keys (numbering by (k, r) interleaves, so the
+    first n rows cover every key evenly). Zipf: rank r carries ~H/r
+    copies (H solved so the total ~ n) — the head-heavy law that makes
+    the top key's postings bucket the straggler candidate."""
+    from pyspark.sql import functions as F
+
+    nkeys = ranked.count()  # bounded by ZIPF_VOCAB — always a tiny count
+    if zipf:
+        h = int(round(n / math.log(nkeys + 1))) + 1
+        mult = F.greatest(
+            F.lit(1), F.round(F.lit(h) / F.col("r"), 0).cast("int")
+        )
+    else:
+        mult = F.lit(int(-(-n // nkeys)))  # ceil(n / keys)
+    fan = ranked.select(
+        *key_cols, "r", F.explode(F.sequence(F.lit(1), mult)).alias("k")
+    )
+    # trim order matters: uniform numbers by (k, r) — round-robin, so the
+    # trim stays even; zipf numbers by (r, k) — head-first, so the trim
+    # eats the tail ranks and PRESERVES the hot key's full multiplicity
+    order = ["r", "k"] if zipf else ["k", "r"]
+    return (
+        _number(fan, order)
+        .filter(F.col("query_id") <= n)
+        .select("query_id", *key_cols)
+    )
+
+
+def _term_workload(spark, sf_dir, n, zipf: bool):
+    """(query_id, term): n rows over the top-ZIPF_VOCAB corpus terms by
+    occurrence count, spread uniformly or Zipf-concentrated (the
+    hot-bucket shape a routing/contamination sweep really has)."""
+    from pyspark.sql import functions as F
+
+    toks = _doc_tokens(spark, sf_dir)
+    vocab = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = _number(
+        vocab.orderBy(F.desc("cnt"), "term").limit(ZIPF_VOCAB), ["term"]
+    ).withColumnRenamed("query_id", "r")
+    return _fan_workload(ranked, ["term"], n, zipf)
+
+
+def _phrase_workload(spark, sf_dir, n, zipf: bool):
+    """(query_id, term_a, term_b): n rows over the top-ZIPF_VOCAB corpus
+    bigrams by occurrence count, uniform or Zipf-concentrated."""
+    from pyspark.sql import functions as F
+
+    toks = _doc_tokens(spark, sf_dir)
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.get("t", i - 1).alias("term_a"),
+                    F.get("t", i).alias("term_b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.term_a", "p.term_b")
+    counts = bigrams.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked = _number(
+        counts.orderBy(F.desc("cnt"), "term_a", "term_b").limit(ZIPF_VOCAB),
+        ["term_a", "term_b"],
+    ).withColumnRenamed("query_id", "r")
+    return _fan_workload(ranked, ["term_a", "term_b"], n, zipf)
+
+
+def _workload_probe_rows(spark, big_dir: str, meter) -> dict:
+    from pyspark.sql import functions as F
+
+    from datafusion_nats_spark.extensions.ann_index import (
+        ivf_index_build,
+        ivf_index_probe,
+    )
+    from datafusion_nats_spark.extensions.similarity import _emb_double
+    from datafusion_nats_spark.extensions.text_index import (
+        bm25_index_build,
+        bm25_index_probe,
+        phrase_index_probe,
+    )
+    from datafusion_nats_spark.tables import load
+
+    rows = {}
+    bm25_dir = bm25_index_build(spark, big_dir)
+
+    def run(name, df_fn, n_queries):
+        df = df_fn()
+        wall, mb, max_task = meter.measure(
+            lambda: df.write.format("noop").mode("overwrite").save()
+        )
+        rows[name] = {
+            "q": n_queries,
+            "t": round(wall, 3),
+            "shuffle_mb": mb,
+            "max_task_ms": max_task,
+        }
+
+    # phrase probe: inline comparison point, big-distributed, Zipf-hot
+    ph_small = _phrase_workload(spark, big_dir, PROBE_SMALL_Q, zipf=False)
+    ph_big = _phrase_workload(spark, big_dir, PROBE_BIG_Q, zipf=False)
+    ph_zipf = _phrase_workload(spark, big_dir, PROBE_BIG_Q, zipf=True)
+    run(
+        "phrase_probe_inline",
+        lambda: phrase_index_probe(spark, bm25_dir, ph_small, inline=True),
+        PROBE_SMALL_Q,
+    )
+    run(
+        "phrase_probe_distributed",
+        lambda: phrase_index_probe(spark, bm25_dir, ph_big, inline=False),
+        PROBE_BIG_Q,
+    )
+    run(
+        "phrase_probe_zipf",
+        lambda: phrase_index_probe(spark, bm25_dir, ph_zipf, inline=False),
+        PROBE_BIG_Q,
+    )
+    # BM25 probe: same trio over single-term workloads
+    t_small = _term_workload(spark, big_dir, PROBE_SMALL_Q, zipf=False)
+    t_big = _term_workload(spark, big_dir, PROBE_BIG_Q, zipf=False)
+    t_zipf = _term_workload(spark, big_dir, PROBE_BIG_Q, zipf=True)
+    run(
+        "bm25_probe_inline",
+        lambda: bm25_index_probe(spark, bm25_dir, t_small, inline=True),
+        PROBE_SMALL_Q,
+    )
+    run(
+        "bm25_probe_distributed",
+        lambda: bm25_index_probe(spark, bm25_dir, t_big, inline=False),
+        PROBE_BIG_Q,
+    )
+    run(
+        "bm25_probe_zipf",
+        lambda: bm25_index_probe(spark, bm25_dir, t_zipf, inline=False),
+        PROBE_BIG_Q,
+    )
+    # ANN big batch at the design point: >=1e5 query vectors through the
+    # distributed probe (driver collects only the <=|codebook| distinct
+    # cells; the rerank join key has <=|codebook| values — AQE skew-split
+    # territory). Queries are drawn per-replica via pmod so the batch
+    # spans partitions instead of collapsing through a LIMIT.
+    ivf_dir = ivf_index_build(spark, big_dir)
+    emb = load(spark, big_dir, "embeddings")
+    n_total = emb.count()
+    n_base = emb.filter(F.col("vec_id") < SHIFT).count()
+    replicas = max(1, round(n_total / max(1, n_base)))
+    per_rep = -(-ANN_BATCH_Q // replicas)  # ceil
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(SHIFT)) < per_rep).select(
+        F.col("vec_id").alias("query_id"), _emb_double().alias("qe")
+    )
+    n_q = q.count()
+    run(
+        "ann_probe_bigbatch",
+        lambda: ivf_index_probe(spark, ivf_dir, q, inline=False),
+        n_q,
+    )
+    # workload exponents: growth in wall time per growth in workload size
+    # (corpus fixed) — ~0 means the probe pays for its workload, not the
+    # corpus; 1.0 means linear in the workload
+    for fam in ("phrase_probe", "bm25_probe"):
+        t0, t1 = rows[f"{fam}_inline"]["t"], rows[f"{fam}_distributed"]["t"]
+        if t0 > 0 and t1 > 0:
+            rows[f"{fam}_distributed"]["workload_exp"] = round(
+                math.log(t1 / t0) / math.log(PROBE_BIG_Q / PROBE_SMALL_Q), 2
+            )
+    return rows
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     replica_points = [
@@ -292,6 +511,12 @@ def main() -> None:
         "queries": rows,
         **totals,
     }
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBES") == "1" and replica_points:
+        big_dir = _replicate(spark, sf_dir, max(replica_points))
+        out["workload_probes"] = {
+            "at_replicas": max(replica_points),
+            "queries": _workload_probe_rows(spark, big_dir, meter),
+        }
     skew = int(os.environ.get("SPARK_GRAFT_SCALE_SKEW", "0"))
     if skew > 1:
         # Zipf-skewed point (round-7 verdict ask #5): same expected row
