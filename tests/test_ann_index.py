@@ -600,3 +600,34 @@ def test_pq_index_update_ingest_loop(spark, tmp_path):
     after = pq_index_probe(spark, index_dir, q, corpus).collect()
     top = next(r for r in after if int(r.rn) == 1)
     assert top.neighbor_id == 900000 and top.cosine == 1.0
+
+
+def test_distributed_probe_driver_collect_is_cell_bounded(spark, tmp_path, monkeypatch):
+    """Round-8 verdict ask #4's structural pin: building the
+    distributed-probe plan collects ONLY the distinct probed cells
+    (bounded by the codebook size), never O(|queries|·nprobe) pairs —
+    a million-query batch costs the driver at most |codebook| rows.
+    Spied by wrapping collect on the session's CONCRETE DataFrame class
+    (pyspark.sql.DataFrame is an abstract base in Spark 4 — the classic
+    subclass overrides collect, so patching the base is a no-op) for
+    the duration of plan construction."""
+    index_dir = ivf_index_build(spark, SF, str(tmp_path / "cb"))
+    q = _query_batch(spark, list(range(50)))  # 50 queries × NPROBE pairs
+    cls = type(q)
+    calls = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        calls.append((tuple(self.columns), len(rows)))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    probe = ivf_index_probe(spark, index_dir, q, inline=False)
+    monkeypatch.undo()
+    assert calls, "the distributed path should collect exactly the cells"
+    for cols, n in calls:
+        assert cols == ("cell",), f"unexpected driver collect of {cols}"
+        assert n <= 10  # the fixture codebook's cell count
+    # and the plan still returns real rows afterwards
+    assert len(probe.take(1)) == 1
