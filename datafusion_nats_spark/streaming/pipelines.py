@@ -1203,8 +1203,12 @@ def bm25_stream_route_apply(index_dir: str, results_dir: str):
             return
         sp = batch_df.sparkSession
         terms = sp.createDataFrame(BM25_QUERIES, "query_id int, term string")
+        # inline=True, decided here: the workload is the fixed tiny
+        # BM25_QUERIES list, so the auto-detect's limit().count() would
+        # burn one Spark job per micro-batch rediscovering that
         routed = bm25_route_score(
-            sp, index_dir, batch_df.select("doc_id", "text"), terms
+            sp, index_dir, batch_df.select("doc_id", "text"), terms,
+            inline=True,
         )
         routed.write.mode("overwrite").parquet(f"{results_dir}/epoch={epoch_id}")
 

@@ -255,10 +255,35 @@ def _time_queries(spark, queries, sf_dir: str, meter):
 # Enabled with SPARK_GRAFT_SCALE_PROBES=1.
 # ---------------------------------------------------------------------------
 
-PROBE_SMALL_Q = 256  # inline-path comparison point for workload exponents
-PROBE_BIG_Q = 20_000  # > TERMS_INLINE_MAX=5000 -> auto-routes distributed
+PROBE_SMALL_Q = 256  # inline-path comparison point
+# the workload exponent is computed BETWEEN TWO DISTRIBUTED points (mid
+# -> big, both forced inline=False) so it measures workload growth within
+# ONE plan shape — an inline->distributed exponent would conflate the
+# physical-plan switch's constant cost with workload scaling
+PROBE_MID_Q = 1_000
+# > TERMS_INLINE_MAX=5000 -> auto-routes distributed. Sized to the
+# fixture corpus: its vocabulary is 31 words with df ~ 0.8*n_docs for
+# EVERY term (no discriminative tail exists to draw from), so a probe's
+# true output is |workload| x 0.8*n_docs matched postings — 10k queries
+# at a 30x replica is ~10^8 scored pairs, a real measurement that still
+# finishes locally; bigger multiplies a degenerate-stopword join, not
+# insight.
+PROBE_BIG_Q = 10_000
 ANN_BATCH_Q = 100_000
 ZIPF_VOCAB = 512  # ranks in the Zipfian term/phrase workloads
+
+
+def _head_skip(nterms: int) -> int:
+    """Workloads draw from the DISCRIMINATIVE band of the vocabulary,
+    not its stopword head: a probe term's join output is |workload
+    copies| x df(term), and the corpus' most common terms have df ~
+    n_docs — a 20k-query workload over the top-512 stopwords would
+    measure a degenerate billions-of-rows scoring job no real
+    routing/contamination sweep runs (real sweeps use discriminative
+    terms; BM25's idf gives stopword matches ~zero weight anyway).
+    Skip the top max(64, 10%) of the frequency-ranked vocabulary when
+    it is big enough to have a head; tiny fixtures keep everything."""
+    return min(max(nterms - ZIPF_VOCAB, 0), max(64, nterms // 10))
 
 
 def _doc_tokens(spark, sf_dir):
@@ -316,6 +341,26 @@ def _fan_workload(ranked, key_cols, n, zipf: bool):
     )
 
 
+def _band_rank(counted, key_cols):
+    """(keys, cnt) → (keys, r): the ZIPF_VOCAB keys of the
+    discriminative band (frequency ranks (_head_skip, _head_skip +
+    ZIPF_VOCAB]), re-ranked 1-based by descending count within the band
+    — rank 1 (the Zipf workloads' hot key) is the band's most frequent
+    key, just below the stopword cutoff. The take-ordered limit bounds
+    the global numbering window to skip+ZIPF_VOCAB rows."""
+    from pyspark.sql import Window, functions as F
+
+    skip = _head_skip(counted.count())
+    w = Window.orderBy(F.desc("cnt"), *key_cols)
+    return (
+        counted.orderBy(F.desc("cnt"), *key_cols)
+        .limit(skip + ZIPF_VOCAB)
+        .withColumn("r0", F.row_number().over(w).cast("int"))
+        .filter(F.col("r0") > skip)
+        .select(*key_cols, (F.col("r0") - skip).alias("r"))
+    )
+
+
 def _term_workload(spark, sf_dir, n, zipf: bool):
     """(query_id, term): n rows over the top-ZIPF_VOCAB corpus terms by
     occurrence count, spread uniformly or Zipf-concentrated (the
@@ -328,9 +373,7 @@ def _term_workload(spark, sf_dir, n, zipf: bool):
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ranked = _number(
-        vocab.orderBy(F.desc("cnt"), "term").limit(ZIPF_VOCAB), ["term"]
-    ).withColumnRenamed("query_id", "r")
+    ranked = _band_rank(vocab, ["term"])
     return _fan_workload(ranked, ["term"], n, zipf)
 
 
@@ -354,10 +397,7 @@ def _phrase_workload(spark, sf_dir, n, zipf: bool):
     counts = bigrams.groupBy("term_a", "term_b").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    ranked = _number(
-        counts.orderBy(F.desc("cnt"), "term_a", "term_b").limit(ZIPF_VOCAB),
-        ["term_a", "term_b"],
-    ).withColumnRenamed("query_id", "r")
+    ranked = _band_rank(counts, ["term_a", "term_b"])
     return _fan_workload(ranked, ["term_a", "term_b"], n, zipf)
 
 
@@ -379,6 +419,15 @@ def _workload_probe_rows(spark, big_dir: str, meter) -> dict:
     rows = {}
     bm25_dir = bm25_index_build(spark, big_dir)
 
+    def mat(df):
+        """Materialize a workload BEFORE the measured probe run: the
+        workload synthesizers above aggregate the (replicated) corpus —
+        lazily recomputing that inside meter.measure would charge
+        corpus-sized workload construction to the probe row. Workloads
+        are bounded (<= ANN_BATCH_Q rows), so an eager localCheckpoint
+        is tiny and, unlike cache(), immune to cache hygiene clears."""
+        return df.localCheckpoint(eager=True)
+
     def run(name, df_fn, n_queries):
         df = df_fn()
         wall, mb, max_task = meter.measure(
@@ -391,14 +440,21 @@ def _workload_probe_rows(spark, big_dir: str, meter) -> dict:
             "max_task_ms": max_task,
         }
 
-    # phrase probe: inline comparison point, big-distributed, Zipf-hot
-    ph_small = _phrase_workload(spark, big_dir, PROBE_SMALL_Q, zipf=False)
-    ph_big = _phrase_workload(spark, big_dir, PROBE_BIG_Q, zipf=False)
-    ph_zipf = _phrase_workload(spark, big_dir, PROBE_BIG_Q, zipf=True)
+    # phrase probe: inline comparison point, two distributed workload
+    # sizes (the exponent pair), Zipf-hot
+    ph_small = mat(_phrase_workload(spark, big_dir, PROBE_SMALL_Q, zipf=False))
+    ph_mid = mat(_phrase_workload(spark, big_dir, PROBE_MID_Q, zipf=False))
+    ph_big = mat(_phrase_workload(spark, big_dir, PROBE_BIG_Q, zipf=False))
+    ph_zipf = mat(_phrase_workload(spark, big_dir, PROBE_BIG_Q, zipf=True))
     run(
         "phrase_probe_inline",
         lambda: phrase_index_probe(spark, bm25_dir, ph_small, inline=True),
         PROBE_SMALL_Q,
+    )
+    run(
+        "phrase_probe_mid",
+        lambda: phrase_index_probe(spark, bm25_dir, ph_mid, inline=False),
+        PROBE_MID_Q,
     )
     run(
         "phrase_probe_distributed",
@@ -410,14 +466,20 @@ def _workload_probe_rows(spark, big_dir: str, meter) -> dict:
         lambda: phrase_index_probe(spark, bm25_dir, ph_zipf, inline=False),
         PROBE_BIG_Q,
     )
-    # BM25 probe: same trio over single-term workloads
-    t_small = _term_workload(spark, big_dir, PROBE_SMALL_Q, zipf=False)
-    t_big = _term_workload(spark, big_dir, PROBE_BIG_Q, zipf=False)
-    t_zipf = _term_workload(spark, big_dir, PROBE_BIG_Q, zipf=True)
+    # BM25 probe: same quartet over single-term workloads
+    t_small = mat(_term_workload(spark, big_dir, PROBE_SMALL_Q, zipf=False))
+    t_mid = mat(_term_workload(spark, big_dir, PROBE_MID_Q, zipf=False))
+    t_big = mat(_term_workload(spark, big_dir, PROBE_BIG_Q, zipf=False))
+    t_zipf = mat(_term_workload(spark, big_dir, PROBE_BIG_Q, zipf=True))
     run(
         "bm25_probe_inline",
         lambda: bm25_index_probe(spark, bm25_dir, t_small, inline=True),
         PROBE_SMALL_Q,
+    )
+    run(
+        "bm25_probe_mid",
+        lambda: bm25_index_probe(spark, bm25_dir, t_mid, inline=False),
+        PROBE_MID_Q,
     )
     run(
         "bm25_probe_distributed",
@@ -432,17 +494,20 @@ def _workload_probe_rows(spark, big_dir: str, meter) -> dict:
     # ANN big batch at the design point: >=1e5 query vectors through the
     # distributed probe (driver collects only the <=|codebook| distinct
     # cells; the rerank join key has <=|codebook| values — AQE skew-split
-    # territory). Queries are drawn per-replica via pmod so the batch
-    # spans partitions instead of collapsing through a LIMIT.
+    # territory). The corpus caps at 60k embeddings even at 30x, so the
+    # batch fans every corpus vector k times (k = ceil(1e5/n)) — repeated
+    # queries concentrate probe cells exactly like a real clustered query
+    # batch, the worst case for cell pruning.
     ivf_dir = ivf_index_build(spark, big_dir)
     emb = load(spark, big_dir, "embeddings")
     n_total = emb.count()
-    n_base = emb.filter(F.col("vec_id") < SHIFT).count()
-    replicas = max(1, round(n_total / max(1, n_base)))
-    per_rep = -(-ANN_BATCH_Q // replicas)  # ceil
-    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(SHIFT)) < per_rep).select(
-        F.col("vec_id").alias("query_id"), _emb_double().alias("qe")
+    k = max(1, -(-ANN_BATCH_Q // max(1, n_total)))  # ceil
+    q = (
+        emb.select("vec_id", _emb_double().alias("qe"))
+        .withColumn("c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select((F.col("vec_id") * k + F.col("c")).alias("query_id"), "qe")
     )
+    q = mat(q)
     n_q = q.count()
     run(
         "ann_probe_bigbatch",
@@ -450,13 +515,14 @@ def _workload_probe_rows(spark, big_dir: str, meter) -> dict:
         n_q,
     )
     # workload exponents: growth in wall time per growth in workload size
-    # (corpus fixed) — ~0 means the probe pays for its workload, not the
-    # corpus; 1.0 means linear in the workload
+    # (corpus fixed), between the TWO DISTRIBUTED points so the plan
+    # shape is held constant — ~0 means the probe pays a fixed cost
+    # regardless of workload; 1.0 means linear in the workload
     for fam in ("phrase_probe", "bm25_probe"):
-        t0, t1 = rows[f"{fam}_inline"]["t"], rows[f"{fam}_distributed"]["t"]
+        t0, t1 = rows[f"{fam}_mid"]["t"], rows[f"{fam}_distributed"]["t"]
         if t0 > 0 and t1 > 0:
             rows[f"{fam}_distributed"]["workload_exp"] = round(
-                math.log(t1 / t0) / math.log(PROBE_BIG_Q / PROBE_SMALL_Q), 2
+                math.log(t1 / t0) / math.log(PROBE_BIG_Q / PROBE_MID_Q), 2
             )
     return rows
 
@@ -482,6 +548,34 @@ def main() -> None:
     queries["text_token_stats"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    want_probes = os.environ.get("SPARK_GRAFT_SCALE_PROBES") == "1"
+    only_probes = os.environ.get("SPARK_GRAFT_SCALE_ONLY_PROBES") == "1"
+    if (want_probes or only_probes) and not replica_points:
+        raise SystemExit(
+            "probe sections need a replica point: set "
+            "SPARK_GRAFT_SCALE_REPLICAS (probes run at its max)"
+        )
+
+    def probes_section() -> dict:
+        big_dir = _replicate(spark, sf_dir, max(replica_points))
+        return {
+            "at_replicas": max(replica_points),
+            "queries": _workload_probe_rows(spark, big_dir, meter),
+        }
+
+    # SPARK_GRAFT_SCALE_ONLY_PROBES=1: skip the per-query scale table and
+    # run just the workload-probe section (targeted evidence captures —
+    # the full table is an hour-scale run at sf0.1 x 30).
+    if only_probes:
+        out = {
+            "metric": "extension_scaleup_probes_only",
+            "sf_dir": sf_dir,
+            "workload_probes": probes_section(),
+        }
+        print(json.dumps(out))
+        return
+
     t1, sh1, mt1 = _time_queries(spark, queries, sf_dir, meter)
     rows = {
         name: {
@@ -511,12 +605,8 @@ def main() -> None:
         "queries": rows,
         **totals,
     }
-    if os.environ.get("SPARK_GRAFT_SCALE_PROBES") == "1" and replica_points:
-        big_dir = _replicate(spark, sf_dir, max(replica_points))
-        out["workload_probes"] = {
-            "at_replicas": max(replica_points),
-            "queries": _workload_probe_rows(spark, big_dir, meter),
-        }
+    if want_probes:
+        out["workload_probes"] = probes_section()
     skew = int(os.environ.get("SPARK_GRAFT_SCALE_SKEW", "0"))
     if skew > 1:
         # Zipf-skewed point (round-7 verdict ask #5): same expected row
