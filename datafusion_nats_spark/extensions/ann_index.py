@@ -440,10 +440,13 @@ def _distributed_probe(
 
     When the batch is too large to broadcast, the rerank becomes a
     shuffle join whose key (cell) has at most |codebook| distinct
-    values — a textbook skew shape; the session factory's AQE skew-join
-    split (PERFORMANCE.md "Enforced plan properties") re-splits the hot
-    cell partitions at runtime, so the low-cardinality key does not
-    serialize the rerank."""
+    values — a textbook skew shape that SERIALIZES onto ≤|codebook|
+    tasks if joined raw (measured: a 1e5-query batch ran its whole
+    rerank in one 437 s task; AQE's skew split keys off partition
+    bytes and never fired). The rerank therefore salts: pruned cell
+    vectors replicate ``salts`` ways, each query keys to one salt by
+    query_id hash — |codebook|·salts join partitions, identical rows
+    (see ivf_rerank_topk; equivalence pinned in pytest)."""
     codebook = spark.read.parquet(os.path.join(vdir, "codebook"))
     probes = ivf_probe_cells(q, codebook, broadcast_q=False)
     cells = sorted(
@@ -454,9 +457,10 @@ def _distributed_probe(
         .filter(F.col("cell").isin(cells))  # literal IN → partition pruning
         .select("vec_id", F.col("cell").alias("label"), "emb")
     )
+    salts = spark.sparkContext.defaultParallelism
     if k is None:
-        return ivf_rerank_topk(probes, vectors)
-    return ivf_rerank_topk(probes, vectors, k=k)
+        return ivf_rerank_topk(probes, vectors, salts=salts)
+    return ivf_rerank_topk(probes, vectors, k=k, salts=salts)
 
 
 def _pruned_probe(

@@ -474,25 +474,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding near-dup: exact double-precision cosine within "
     "coarse blocks (label = stand-in for a quantizer cell) — blocking "
     "keeps the pair space linear-ish at 100 TB; threshold 0.3 (p99 of "
-    "the within-label cosine distribution in this corpus).",
+    "the within-label cosine distribution in this corpus). The "
+    "block-key self-join is SALTED: an unsalted join on the "
+    "low-cardinality block key serializes onto ≤|blocks| tasks (the "
+    "round-9 probe capture measured exactly that shape on the IVF "
+    "rerank) — side a keys to one of S salts by vec_id hash, side b "
+    "replicates S ways, join on (label, salt): identical pairs, "
+    "S-way parallel per block.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = e.select("vec_id", "label", emb_d.alias("emb"))
-    a = e.alias("a")
-    b = e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    nsalts = spark.sparkContext.defaultParallelism
+    # explicit fixed-n repartition: the join inputs are small in bytes
+    # (AQE's byte-based coalescing would merge the salted partitions
+    # back into ~one task) while the pair fan-out is the real cost —
+    # a user-specified numPartitions is not AQE-coalescible
+    a = (
+        e.withColumn(
+            "_bsalt",
+            F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(nsalts)).cast(
+                "int"
+            ),
+        )
+        .repartition(nsalts, "label", "_bsalt")
+        .alias("a")
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(side), F.lit(0.0), lambda acc, v: acc + v * v)
+    b = (
+        e.withColumn(
+            "_bsalt", F.explode(F.sequence(F.lit(0), F.lit(nsalts - 1)))
+        )
+        .repartition(nsalts, "label", "_bsalt")
+        .alias("b")
     )
-    cos = dot / (norm("a.emb") * norm("b.emb"))
+    from datafusion_nats_spark.extensions.similarity import _dot, _norm
+
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
+        _norm(F.col("a.emb")) * _norm(F.col("b.emb"))
+    )
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a._bsalt") == F.col("b._bsalt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

@@ -120,12 +120,9 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-
-
-def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+# shared fold helpers (similarity.py) — one implementation for every
+# cosine operator keeps the oracle-parity arithmetic in one place
+from datafusion_nats_spark.extensions.similarity import _dot, _norm  # noqa: E402
 
 
 def _sqdist(a, b):

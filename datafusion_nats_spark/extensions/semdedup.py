@@ -75,22 +75,50 @@ def _semdedup_oracle() -> str:
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _ = lloyd_assignments(spark, sf_dir)
 
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    from datafusion_nats_spark.extensions.similarity import _dot as dot, _norm as norm
 
-    def norm(a):
-        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
-
-    a = assigned.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("ae"), "cell")
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"), F.col("emb").alias("be"), F.col("cell").alias("cell_b")
+    # cell-keyed equi self-join, SALTED: the cell key is
+    # bounded-cardinality (the Lloyd codebook), so an unsalted shuffle
+    # join serializes pair generation onto ≤|cells| tasks (the round-9
+    # probe capture measured that shape on the IVF rerank). Side a keys
+    # to one of S salts by vec_id hash, side b replicates S ways —
+    # identical pairs, S-way parallel per cell.
+    nsalts = spark.sparkContext.defaultParallelism
+    # explicit fixed-n repartition: AQE's byte-based coalescing would
+    # merge the salted partitions back into ~one task (the inputs are
+    # small; the pair fan-out is the cost) — a user-specified
+    # numPartitions is not AQE-coalescible
+    a = (
+        assigned.select(
+            F.col("vec_id").alias("a_id"), F.col("emb").alias("ae"), "cell"
+        )
+        .withColumn(
+            "_bsalt",
+            F.pmod(F.crc32(F.col("a_id").cast("string")), F.lit(nsalts)).cast(
+                "int"
+            ),
+        )
+        .repartition(nsalts, "cell", "_bsalt")
+    )
+    b = (
+        assigned.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("emb").alias("be"),
+            F.col("cell").alias("cell_b"),
+        )
+        .withColumn("_bsalt", F.explode(F.sequence(F.lit(0), F.lit(nsalts - 1))))
+        .repartition(nsalts, "cell_b", "_bsalt")
     )
     cos = F.round(
         dot(F.col("ae"), F.col("be")) / (norm(F.col("ae")) * norm(F.col("be"))), 6
     )
-    # cell-keyed equi self-join: pair generation is local to a cell
     pairs = (
-        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("a_id") < F.col("b_id")))
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (a["_bsalt"] == b["_bsalt"])
+            & (F.col("a_id") < F.col("b_id")),
+        )
         .select(F.col("b_id"), cos.alias("cosine"))
         .filter(F.col("cosine") >= SEM_TAU)
     )

@@ -33,6 +33,11 @@ def _emb_double(col="embedding"):
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
+# NOTE (round-9 measurement): unrolling these folds into element_at
+# expression trees was tried and is ~4x SLOWER than the higher-order
+# fold (the deep Add tree defeats JIT compilation), so the fold IS the
+# fast JVM-exact form. The real pair-cost lever is hoisting the norms
+# out of pair projections (see ivf_rerank_topk) — ~40% per-pair cut.
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -190,6 +195,11 @@ def ivf_probe_cells(
     ranking (ties on cell id) so the probe choice is engine-stable.
     Shared with the persisted index probe."""
     probe_w = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), "cell")
+    # norms hoisted out of the (query x centroid) pair projection —
+    # higher-order folds are interpreted, so per-pair norm recompute
+    # tripled the consult's CPU; identical doubles either way
+    q = q.withColumn("_qn", _norm(F.col("qe")))
+    centroids = centroids.withColumn("_cn", _norm(F.col("centroid")))
     return (
         (F.broadcast(q) if broadcast_q else q)
         .crossJoin(F.broadcast(centroids))
@@ -197,7 +207,7 @@ def ivf_probe_cells(
             "cell_sim",
             F.round(
                 _dot(F.col("qe"), F.col("centroid"))
-                / (_norm(F.col("qe")) * _norm(F.col("centroid"))),
+                / (F.col("_qn") * F.col("_cn")),
                 6,
             ),
         )
@@ -207,20 +217,71 @@ def ivf_probe_cells(
     )
 
 
-def ivf_rerank_topk(probes: DataFrame, e: DataFrame, k: int = TOP_K) -> DataFrame:
+def ivf_rerank_topk(
+    probes: DataFrame, e: DataFrame, k: int = TOP_K, salts: int | None = None
+) -> DataFrame:
     """Exact cosine rerank of probed cells, per-query top-``k``. ``e`` is
     the (vec_id, label, emb) corpus — in-plan the full table, in the
     persisted-index path the partition-pruned cells only (identical
     results: the probe join keeps only probed cells either way).
     ``k`` defaults to the registry TOP_K; the hybrid fusion's vector arm
-    asks for ARM_K candidates instead."""
+    asks for ARM_K candidates instead.
+
+    ``salts``: the DISTRIBUTED big-batch path must pass a salt count.
+    Its rerank is a shuffle join whose key (cell) has at most |codebook|
+    distinct values, so an unsalted join serializes onto ≤|codebook|
+    tasks no matter how many cores exist — measured at the 1e5-query
+    design point as ONE 437 s task doing the whole rerank (AQE's
+    skew-split keys off partition BYTES and never fired at that size).
+    Salting replicates the pruned corpus side ``salts`` ways and keys
+    queries to one salt by query_id hash: the join key becomes (cell,
+    salt) — |codebook|·salts partitions — and every (query, vector)
+    pair still matches exactly once, so output is identical. The
+    broadcast inline path needs no salt (map-side join, no shuffle)."""
+    if salts and salts > 1:
+        e = e.withColumn(
+            "_rsalt",
+            F.explode(F.sequence(F.lit(0), F.lit(int(salts) - 1))),
+        )
+        probes = probes.withColumn(
+            "_rsalt",
+            F.pmod(F.crc32(F.col("query_id").cast("string")), F.lit(int(salts))).cast(
+                "int"
+            ),
+        )
+        # EXPLICIT fixed-n repartition on the salted key, not just the
+        # salt: the join INPUTS are small in bytes while the join OUTPUT
+        # explodes (|queries|·|cell| cosine evaluations computed
+        # map-side — the window group-limit keeps the post-join shuffle
+        # tiny), so AQE's partition coalescing — which only sees input
+        # bytes — merges the salted partitions right back into one task.
+        # A user-specified numPartitions is not AQE-coalescible, which
+        # pins the rerank's parallelism at `salts` tasks.
+        e = e.repartition(int(salts), "label", "_rsalt")
+        probes = probes.repartition(int(salts), "cell", "_rsalt")
+        cond = (
+            (e.label == probes.cell)
+            & (e._rsalt == probes._rsalt)
+            & (e.vec_id != probes.query_id)
+        )
+    else:
+        cond = (e.label == probes.cell) & (e.vec_id != probes.query_id)
+    # norms hoisted OUT of the pair projection: higher-order array
+    # aggregates are interpreted (CodegenFallback), so computing
+    # norm(qe)/norm(emb) per PAIR made each cosine three interpreted
+    # 64-element folds instead of one — precomputing them per row cuts
+    # ~2/3 of the rerank's CPU with bit-identical results (same double
+    # expressions, evaluated once per side instead of once per pair)
+    probes = probes.withColumn("_qn", _norm(F.col("qe")))
+    e = e.withColumn("_en", _norm(F.col("emb")))
     scored = (
-        probes.join(e, (e.label == probes.cell) & (e.vec_id != probes.query_id))
+        probes.join(e, cond)
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                _dot(F.col("qe"), F.col("emb")) / (_norm(F.col("qe")) * _norm(F.col("emb"))),
+                _dot(F.col("qe"), F.col("emb"))
+                / (F.col("_qn") * F.col("_en")),
                 6,
             ).alias("cosine"),
         )

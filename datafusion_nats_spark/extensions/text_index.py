@@ -274,9 +274,38 @@ def bm25_index_probe(
         .filter(word_filter)
     )
     stats = spark.read.parquet(os.path.join(vdir, "stats"))
-    hits = postings.join(
-        terms_df, postings.word == terms_df.term
-    ).crossJoin(F.broadcast(stats))
+    if inline:
+        cond = postings.word == terms_df.term
+    else:
+        # the distributed join's key (word) can be low-cardinality or
+        # Zipf-hot (a routing sweep concentrates on few terms), which
+        # serializes an unsalted shuffle join onto ≤|distinct words|
+        # tasks — measured as a 49 s max task at the 10k-term design
+        # point. Salt: the (tiny) workload replicates S ways, each
+        # posting keys to one salt by doc_id hash — S-way parallel per
+        # word, identical rows (every pair matches exactly once).
+        nsalts = spark.sparkContext.defaultParallelism
+        terms_df = terms_df.withColumn(
+            "_tsalt",
+            F.explode(F.sequence(F.lit(0), F.lit(int(nsalts) - 1))),
+        )
+        postings = postings.withColumn(
+            "_tsalt",
+            F.pmod(
+                F.crc32(F.col("doc_id").cast("string")), F.lit(int(nsalts))
+            ).cast("int"),
+        )
+        # explicit fixed-n repartition: the join inputs are small in
+        # bytes (AQE would coalesce the salted partitions back into few
+        # tasks) while the join output is |workload|·df(term) scored
+        # rows computed map-side — a user-specified numPartitions pins
+        # the fan-out work at nsalts-way parallel
+        postings = postings.repartition(int(nsalts), "word", "_tsalt")
+        terms_df = terms_df.repartition(int(nsalts), "term", "_tsalt")
+        cond = (postings.word == terms_df.term) & (
+            postings._tsalt == terms_df._tsalt
+        )
+    hits = postings.join(terms_df, cond).crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -535,19 +564,48 @@ def phrase_index_probe(
         .filter(word_filter)
         .select("word", "doc_id", "positions")
     )
+    if inline:
+        cond_a = postings.word == p.term_a
+        cond_b = postings.word == p.term_b
+    else:
+        # same salt as bm25_index_probe's distributed join: an unsalted
+        # shuffle join on the word key serializes onto ≤|distinct
+        # words| tasks when the workload concentrates on few terms
+        # (measured: a 233 s max task at the 10k-phrase design point).
+        # The workload replicates S ways, postings key to one salt by
+        # doc_id hash — identical rows, S-way parallel per word.
+        nsalts = spark.sparkContext.defaultParallelism
+        join_side = join_side.withColumn(
+            "_tsalt",
+            F.explode(F.sequence(F.lit(0), F.lit(int(nsalts) - 1))),
+        )
+        postings = postings.withColumn(
+            "_tsalt",
+            F.pmod(
+                F.crc32(F.col("doc_id").cast("string")), F.lit(int(nsalts))
+            ).cast("int"),
+        )
+        # explicit fixed-n repartition (see bm25_index_probe): pins the
+        # position-list fan-out at nsalts-way parallel where AQE's
+        # byte-based coalescing would re-serialize the salted join
+        postings = postings.repartition(int(nsalts), "word", "_tsalt")
+        cond_a = (postings.word == join_side.term_a) & (
+            postings._tsalt == join_side._tsalt
+        )
+        cond_b = (postings.word == join_side.term_b) & (
+            postings._tsalt == join_side._tsalt
+        )
     # both sides carry the FULL phrase identity (query_id, term_a,
     # term_b): joining on (query_id, doc_id) alone would cross-pair the
     # position lists of two different phrases issued under one query_id
-    a = postings.join(join_side, postings.word == p.term_a).select(
+    a = postings.join(join_side, cond_a).select(
         "query_id",
         "term_a",
         "term_b",
         "doc_id",
         F.col("positions").alias("pos_a"),
     )
-    b_side = postings.join(
-        join_side, postings.word == p.term_b
-    ).select(
+    b_side = postings.join(join_side, cond_b).select(
         "query_id",
         "term_a",
         "term_b",
@@ -681,9 +739,34 @@ def bm25_route_score(
         .groupBy("doc_id", "dl", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if inline:
+        cond = stf.word == terms_df.term
+    else:
+        # same salt as bm25_index_probe's distributed join: the word key
+        # is low-cardinality/Zipf-hot in a routing taxonomy, so the
+        # batch-tf x workload join salts — workload replicated S ways,
+        # each batch doc keyed to one salt by doc_id hash
+        nsalts = spark.sparkContext.defaultParallelism
+        terms_df = terms_df.withColumn(
+            "_tsalt",
+            F.explode(F.sequence(F.lit(0), F.lit(int(nsalts) - 1))),
+        )
+        stf = stf.withColumn(
+            "_tsalt",
+            F.pmod(
+                F.crc32(F.col("doc_id").cast("string")), F.lit(int(nsalts))
+            ).cast("int"),
+        )
+        # explicit fixed-n repartition (see bm25_index_probe): pins the
+        # routing fan-out at nsalts-way parallel under AQE coalescing
+        stf = stf.repartition(int(nsalts), "word", "_tsalt")
+        cond = (stf.word == terms_df.term) & (stf._tsalt == terms_df._tsalt)
+    # dfrel is (word, df) distinct — bounded by the matched buckets'
+    # vocabulary, tiny rows — broadcast it rather than shuffling the
+    # scored pairs a second time on the same hot word key
     hits = (
-        stf.join(terms_df, stf.word == terms_df.term)
-        .join(dfrel, "word")
+        stf.join(terms_df, cond)
+        .join(F.broadcast(dfrel), "word")
         .crossJoin(F.broadcast(stats))
     )
     idf = F.log(
