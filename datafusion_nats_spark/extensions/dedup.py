@@ -224,16 +224,40 @@ def _banded_signatures(capped: DataFrame) -> DataFrame:
     "never all-pairs.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A single parquet file scans as ONE partition — spread the docs across
-    # cores before the (CPU-bound) shingling map, and persist the exploded
-    # shingle table: it feeds both the df-cap aggregation and the signature
-    # computation, and would otherwise be recomputed per consumer.
+    _, pairs = _lsh_candidate_pairs(_shingle_arrays(spark, sf_dir))
+    return pairs
+
+
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles ARRAY) — the cached form of the shingle pass.
+
+    A single parquet file scans as ONE partition, so spread the docs
+    across cores before the CPU-bound shingling map. The persist holds
+    the PRE-explode arrays (one row per doc) rather than the exploded
+    (doc_id, shingle) pairs: the round-9 stage profile measured the
+    exploded cache materializing ~100× more rows while the explode each
+    consumer re-runs over the cached arrays is orders of magnitude
+    cheaper than the normalize+shingle expression the cache exists to
+    share (guide §5 — cache exactly the expensive thing, at the
+    granularity that minimizes the cached rows)."""
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    shingled = d.select(
-        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+    return d.select(
+        "doc_id", _shingles_spark(F.col("text")).alias("shingles")
     ).persist()
+
+
+def _lsh_candidate_pairs(sh_arr: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH pipeline over the cached shingle arrays → (capped,
+    pairs): ``capped`` is the df-capped exploded shingle table (consumed
+    by the jaccard/containment exact-overlap verifiers), ``pairs`` the
+    banded candidate pairs with shared-band counts. One shingle pass
+    feeds BOTH candidate generation and verification — before round 9,
+    ``_candidate_overlap`` built a second full shingle+df-cap pipeline
+    on top of the one inside ``dedup_minhash_lsh`` (guide §2.4: two
+    consumers keyed the same way share one pass)."""
+    shingled = sh_arr.select("doc_id", F.explode("shingles").alias("shingle"))
     # document-frequency cap (anti-boilerplate guard): broadcast the
     # BANNED set (df > MAX_DF) and left_anti-join. The banned list is the
     # boilerplate head of the shingle distribution — at most
@@ -260,7 +284,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -270,6 +294,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.countDistinct("a.band_id").alias("n_shared_bands"))
     )
+    return capped, pairs
 
 
 @query(
@@ -316,24 +341,19 @@ def _candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes. The verify stage shared by the Jaccard and containment
     scorers — set overlap is only ever computed on candidates, never
     all-pairs."""
-    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    shingled = d.select(
-        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
-    ).persist()
-    # Same banned-set inversion as dedup_minhash_lsh: broadcast the small
-    # df > MAX_DF head, never the unbounded allowed vocabulary.
-    banned = shingled.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df")).filter(
-        F.col("df") > MAX_DF
-    )
-    capped = (
-        shingled.join(F.broadcast(banned.select("shingle")), "shingle", "left_anti")
-        .distinct()
-        .persist()
-    )
-    sizes = capped.groupBy("doc_id").agg(F.countDistinct("shingle").alias("n"))
+    # ONE shingle pass serves candidate generation AND the exact-overlap
+    # verify: before round 9 this function rebuilt the full
+    # shingle+df-cap pipeline besides the one inside dedup_minhash_lsh
+    # (two corpus passes per verifier query). The redundant .distinct()
+    # on capped is also gone — (doc_id, shingle) rows are unique by
+    # construction (shingles are array_distinct'ed per doc), so the
+    # distinct was a full extra shuffle for nothing, and the same
+    # uniqueness argument replaces both countDistinct aggregations with
+    # plain counts (the r2 minhash df-cap lesson, applied here).
+    capped, pairs = _lsh_candidate_pairs(_shingle_arrays(spark, sf_dir))
+    cand = pairs.select("doc_a", "doc_b")
+    capped = capped.persist()
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
     y = capped.select(F.col("doc_id").alias("yb"), F.col("shingle").alias("shingle_b"))
     # No explicit broadcast on the candidate-pair table: it is usually
@@ -433,25 +453,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = toks.withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
     )
-    js = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
-    bits = (
-        hashed.select("doc_id", "h", js)
-        .withColumn(
-            # shiftright() in the Python API takes only a literal shift —
-            # use the SQL form for a column-valued shift amount
-            "contrib",
-            F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
+    # One aggregation pass with 32 conditional bit-count sums instead of
+    # exploding every token 32× into a (doc_id, j) hash aggregate (round
+    # 9: the explode pushed ~32× the token rows through the aggregate —
+    # the stage profile measured it as this query's whole executor cost;
+    # guide §2.3 "aggregate before you shuffle"). Exact-integer
+    # equivalence with the ±1-contribution formulation the oracle keeps:
+    # s_j = sum(±1) = 2·(tokens with bit j set) − n_tokens.
+    per_doc = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"c{j}")
+            for j in range(32)
+        ],
     )
-    return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0)))
-            .cast("bigint")
-            .alias("simhash32")
-        )
+    simhash = None
+    for j in range(32):
+        bit = F.when(
+            F.lit(2) * F.col(f"c{j}") - F.col("n") > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return per_doc.select(
+        "doc_id", simhash.cast("bigint").alias("simhash32")
     )
 
 
@@ -793,9 +816,13 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
-    shingled = d.select(
-        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
+    # pre-explode array persist, same rationale as _shingle_arrays: the
+    # cache shares the expensive shingle expression between the
+    # banned-list aggregation and the signature path at 1 row/doc
+    sh_arr = d.select(
+        "doc_id", _shingles_spark(F.col("text")).alias("shingles")
     ).persist()
+    shingled = sh_arr.select("doc_id", F.explode("shingles").alias("shingle"))
     # banned list from the EXISTING corpus only (the index's stored
     # artifact); broadcast the small boilerplate head, anti-join the rest
     banned = (

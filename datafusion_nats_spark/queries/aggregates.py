@@ -42,10 +42,28 @@ from datafusion_nats_spark.tables import load, register_views
     doc="Full aggregate-function battery incl. distinct agg and 2nd moments.",
 )
 def agg_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The distinct count is computed SEPARATELY and broadcast-joined
+    # back (round 9): with countDistinct inline, Spark's one-distinct
+    # strategy keys the partial aggregation of ALL the other aggregates
+    # by (l_returnflag, l_orderkey) — the round-9 stage profile measured
+    # a 30 MB, 33-buffer-column exchange at ~distinct-pair cardinality
+    # with ~3 s of executor time on EACH side at sf0.1 (it is the
+    # per-row-linear stage the scale table flagged). Split, the regular
+    # aggregates partial-reduce to |groups| rows per task (a ~KB
+    # exchange) and the distinct side shuffles only the two key columns
+    # after map-side dedup; the join side is |l_returnflag| rows —
+    # always broadcastable. Costs one extra scan of 2 columns, which is
+    # far cheaper at any scale than shuffling 33-wide buffers at
+    # near-row cardinality (guide §2.3/§8: shuffle keys, not payloads).
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    n_orders = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    base = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
@@ -66,6 +84,22 @@ def agg_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
         F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).alias("covarp_qty_price"),
+    )
+    return base.join(F.broadcast(n_orders), "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "n_orders",
+        "sum_qty",
+        "min_price",
+        "max_price",
+        "avg_price",
+        "sd_qty",
+        "var_qty",
+        "sdp_disc",
+        "varp_disc",
+        "corr_qty_price",
+        "covar_qty_price",
+        "covarp_qty_price",
     )
 
 

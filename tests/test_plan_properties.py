@@ -64,6 +64,36 @@ def test_minhash_df_cap_broadcasts_banned_set(spark, sf_dir):
             assert "LeftAnti" in line
 
 
+def test_battery_distinct_split_keeps_moments_narrow(spark, sf_dir):
+    """agg_function_battery computes its count-distinct in a separate
+    narrow branch broadcast-joined back (round 9): inline, Spark's
+    one-distinct strategy keys the partial aggregation of ALL twelve
+    regular aggregates by (l_returnflag, l_orderkey) — a 33-buffer-
+    column exchange at near-row cardinality (the round-9 stage profile
+    measured 30 MB and ~3 s of executor time per side at sf0.1). Pin:
+    the moment aggregates never aggregate at orderkey granularity, and
+    the distinct branch rejoins via broadcast."""
+    plan = _plan(spark, sf_dir, "agg_function_battery")
+    assert "BroadcastHashJoin" in plan
+    wide_distinct = [
+        line
+        for line in plan.splitlines()
+        if "HashAggregate" in line
+        and "l_orderkey" in line
+        and ("stddev" in line or "corr" in line or "covar" in line)
+    ]
+    assert not wide_distinct, wide_distinct[0]
+
+
+def test_simhash_single_pass_no_bit_explode(spark, sf_dir):
+    """dedup_simhash computes the 32 bit-majority sums as 32 conditional
+    aggregates in ONE pass over the token table (round 9): the previous
+    explode(sequence(0, 31)) pushed 32x the token rows through the
+    aggregate — it would reappear as a second Generate node."""
+    plan = _plan(spark, sf_dir, "dedup_simhash")
+    assert plan.count("Generate") == 1
+
+
 def test_ngram_jaccard_df_cap_broadcasts_banned_set(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")
     # two cap joins survive (candidate pipeline + verify pipeline)
