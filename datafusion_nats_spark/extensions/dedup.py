@@ -224,32 +224,33 @@ def _banded_signatures(capped: DataFrame) -> DataFrame:
     "never all-pairs.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, pairs = _lsh_candidate_pairs(_shingle_arrays(spark, sf_dir))
+    _, pairs = _lsh_candidate_pairs(_shingled_cached(spark, sf_dir))
     return pairs
 
 
-def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles ARRAY) — the cached form of the shingle pass.
+def _shingled_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached exploded (doc_id, shingle) table — ONE shingle pass shared
+    by every consumer.
 
     A single parquet file scans as ONE partition, so spread the docs
-    across cores before the CPU-bound shingling map. The persist holds
-    the PRE-explode arrays (one row per doc) rather than the exploded
-    (doc_id, shingle) pairs: the round-9 stage profile measured the
-    exploded cache materializing ~100× more rows while the explode each
-    consumer re-runs over the cached arrays is orders of magnitude
-    cheaper than the normalize+shingle expression the cache exists to
-    share (guide §5 — cache exactly the expensive thing, at the
-    granularity that minimizes the cached rows)."""
+    across cores before the CPU-bound shingling map. The cache holds the
+    EXPLODED rows, not the pre-explode arrays: a round-9 A/B at 30x
+    replication measured the array-granularity cache 2-4× SLOWER end to
+    end (minhash 13 s → 51 s) — Spark's in-memory columnar store reads
+    array cells without codegen, so every consumer paid a slow
+    array-cache read plus a re-explode, swamping the ~100×-fewer-rows
+    materialization saving. Measured, rejected; the flat-row cache
+    stays."""
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return d.select(
-        "doc_id", _shingles_spark(F.col("text")).alias("shingles")
+        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
     ).persist()
 
 
-def _lsh_candidate_pairs(sh_arr: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Shared LSH pipeline over the cached shingle arrays → (capped,
+def _lsh_candidate_pairs(shingled: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH pipeline over the cached shingle table → (capped,
     pairs): ``capped`` is the df-capped exploded shingle table (consumed
     by the jaccard/containment exact-overlap verifiers), ``pairs`` the
     banded candidate pairs with shared-band counts. One shingle pass
@@ -257,7 +258,6 @@ def _lsh_candidate_pairs(sh_arr: DataFrame) -> tuple[DataFrame, DataFrame]:
     ``_candidate_overlap`` built a second full shingle+df-cap pipeline
     on top of the one inside ``dedup_minhash_lsh`` (guide §2.4: two
     consumers keyed the same way share one pass)."""
-    shingled = sh_arr.select("doc_id", F.explode("shingles").alias("shingle"))
     # document-frequency cap (anti-boilerplate guard): broadcast the
     # BANNED set (df > MAX_DF) and left_anti-join. The banned list is the
     # boilerplate head of the shingle distribution — at most
@@ -350,7 +350,7 @@ def _candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct was a full extra shuffle for nothing, and the same
     # uniqueness argument replaces both countDistinct aggregations with
     # plain counts (the r2 minhash df-cap lesson, applied here).
-    capped, pairs = _lsh_candidate_pairs(_shingle_arrays(spark, sf_dir))
+    capped, pairs = _lsh_candidate_pairs(_shingled_cached(spark, sf_dir))
     cand = pairs.select("doc_a", "doc_b")
     capped = capped.persist()
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -816,13 +816,9 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
-    # pre-explode array persist, same rationale as _shingle_arrays: the
-    # cache shares the expensive shingle expression between the
-    # banned-list aggregation and the signature path at 1 row/doc
-    sh_arr = d.select(
-        "doc_id", _shingles_spark(F.col("text")).alias("shingles")
+    shingled = d.select(
+        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
     ).persist()
-    shingled = sh_arr.select("doc_id", F.explode("shingles").alias("shingle"))
     # banned list from the EXISTING corpus only (the index's stored
     # artifact); broadcast the small boilerplate head, anti-join the rest
     banned = (
