@@ -36,6 +36,31 @@ def get_spark(app_name: str = "datafusion_nats_spark") -> SparkSession:
         # Keep parquet scans wide enough to parallelize but bounded so a
         # single task's partition fits executor memory at large SF.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Shuffle codec (guide §2.3). Round-9 A/B at 30x replication:
+        # zstd HALVES shuffle-write bytes on the heavy movers
+        # (search_bm25_topk 181→86 MB, search_hybrid_rrf 284→122 MB,
+        # dedup_minhash_lsh 48→25 MB) at up to +20% executor CPU on the
+        # compress-heaviest query. On a cluster, shuffle bytes cross the
+        # network — the §1.3 floor — so production should run zstd; the
+        # LOCAL default stays lz4 (Spark's default) because there is no
+        # network here and the bench would only pay the CPU side.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"),
+        )
+        # AQE SMJ→SHJ conversion (guide §3.1). Round-9 A/B at 30x:
+        # 128m cut join-stage CPU ~10-25% on the full-outer-join
+        # retrieval queries (search_hybrid_rrf 218→162 cpu-s) by
+        # skipping both sort passes; size-gated per partition so it
+        # cannot pick an un-spillable build side at scale. Default OFF
+        # (0, Spark's default): converting join algorithms reorders rows
+        # into downstream float aggregates, and the oracle contract
+        # treats any rounding flip as a wrong answer — flip it on in
+        # production where that contract does not bind.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "0"),
+        )
         # UI off by default (test-suite overhead); SPARK_GRAFT_UI=1 turns
         # it on for harnesses that read per-stage metrics (shuffle bytes)
         # from the status REST API (scale_bench.py)
