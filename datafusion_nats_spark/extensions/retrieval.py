@@ -513,7 +513,15 @@ def phrase_match(docs: DataFrame, phrases: DataFrame) -> DataFrame:
     first_pos), matching docs only. Zero shuffle: a higher-order filter
     over 1-based token positions per (doc, phrase) row, phrases
     broadcast."""
-    toks = tokens(F.col("text"))
+    # materialize the token array in its own projection BELOW the
+    # crossJoin: tokenization then runs once per document, and the filter
+    # lambda captures an attribute (a row-slot read per element). The
+    # previous form captured the tokenize SUBTREE, which interpreted HOF
+    # eval re-evaluates per element — i.e. re-tokenized the document for
+    # every position of every (doc, phrase) pair (see _shingles_spark in
+    # dedup.py for the measured ~15x A/B on the same pattern).
+    tdocs = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     # positions i (1-based) with arr[i] = term_a and arr[i+1] = term_b;
     # sequence is ascending, so the filtered list stays ordered and its
     # head is the first occurrence. The single-token guard matters:
@@ -530,7 +538,7 @@ def phrase_match(docs: DataFrame, phrases: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<int>"))
     return (
-        docs.crossJoin(F.broadcast(phrases))
+        tdocs.crossJoin(F.broadcast(phrases))
         .select("query_id", "doc_id", pos.alias("pos"))
         .filter(F.size("pos") > 0)
         .select(

@@ -298,11 +298,21 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ws = tokens(F.lower(F.col("text")))
     n = F.size(ws)
+    # zip_with adjacent-pair join: HOF arguments are evaluated once per
+    # row — the previous transform(sequence(...), i -> element_at(ws, i))
+    # form captured the tokenize subtree in its lambda and interpreted
+    # HOF eval re-evaluated it per element (O(tokens x tokenize) per doc;
+    # see _shingles_spark in dedup.py for the measured ~15x A/B)
     bg_arr = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        F.slice(
+            F.zip_with(
+                ws,
+                F.slice(ws, 2, F.greatest(n - 1, F.lit(1))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            1,
+            n - 1,
         ),
     ).otherwise(F.array().cast("array<string>"))
     bigrams = d.select("doc_id", F.explode(bg_arr).alias("bg"))
@@ -396,11 +406,22 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - 1)
+    # zip_with adjacent-pair join (arguments evaluated once per row); the
+    # previous transform+slice form captured the tokenize subtree in its
+    # lambda — re-evaluated per element by interpreted HOF eval (see
+    # _shingles_spark in dedup.py for the measured ~15x A/B)
     bigrams = F.array_distinct(
         F.when(
             n >= 2,
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " ")),
+            F.slice(
+                F.zip_with(
+                    toks,
+                    F.slice(toks, 2, F.greatest(n - 1, F.lit(1))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+                1,
+                n - 1,
+            ),
         ).otherwise(F.array().cast("array<string>"))
     )
     ex = d.select("doc_id", F.explode(bigrams).alias("bg"))
@@ -500,25 +521,39 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # materialize the token array in its own projection: the top_cnt
+    # lambdas below reference it from their bodies, and a captured
+    # computation subtree is re-evaluated per element by interpreted HOF
+    # eval (O(distinct x tokens x tokenize) per doc here) — a captured
+    # ATTRIBUTE is a row-slot read. CollapseProject keeps the projection:
+    # the alias is multiply-referenced and split() is non-cheap.
+    t = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     top_cnt = F.array_max(
         F.transform(
             F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            lambda tk: F.size(F.filter(toks, lambda x: x == tk)),
         )
     )
+    # zip_with adjacent-pair join, arguments evaluated once per row (the
+    # transform+slice form re-evaluated its captured subtree per element)
     dist_bg = F.size(
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.array_join(F.slice(toks, i, 2), " "),
+            F.slice(
+                F.zip_with(
+                    toks,
+                    F.slice(toks, 2, F.greatest(n - 1, F.lit(1))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+                1,
+                n - 1,
             )
         )
     )
     top_share = top_cnt.cast("double") / n
     dup_frac = F.lit(1.0) - dist_bg.cast("double") / (n - 1)
-    return d.select(
+    return t.select(
         "doc_id",
         n.alias("n_tok"),
         F.round(top_share, 6).alias("top_token_share"),

@@ -1025,3 +1025,95 @@ def test_pca_projection_is_component_dot(spark, sf_dir):
     for r in rows:
         # loadings are round-6 so allow matching slack on the dot product
         assert abs(float(emb[r.vec_id] @ v) - r.projection) < 1e-4
+
+
+def test_shingle_zipwith_matches_python_reference(spark):
+    """Round-9 optimization pin: _shingles_spark was restructured from
+    transform(sequence(...), i -> slice(toks, i, W)) — whose lambda
+    captured the tokenize subtree and re-evaluated it PER ELEMENT under
+    interpreted HOF eval (measured ~15x slower) — to a zip_with chain
+    whose arguments are evaluated once per row. Differential-test the
+    new form against a first-principles Python shingler on adversarial
+    whitespace/short-doc edge cases so the formulation can never drift
+    from the w-gram contract."""
+    import re
+
+    from datafusion_nats_spark.extensions.dedup import SHINGLE_W, _shingles_spark
+
+    texts = [
+        "",  # empty -> no tokens
+        "   ",  # whitespace-only
+        "one",  # below w
+        "one two",  # below w
+        "one two three",  # exactly w
+        "a b c d e f g h",  # plain
+        "a  b\tc\nd\r\ne   f",  # mixed whitespace runs
+        "  leading and trailing  ",  # trimmed
+        "\tleading tab stays empty token b c",  # trim only strips spaces
+        "UPPER Case MiXeD lower case normalization check here",
+        "dup dup dup dup dup",  # distinct collapses repeats
+        "x y z x y z x y z",  # repeated shingles
+    ]
+
+    def ref_shingles(t: str) -> set[str]:
+        toks = re.split(r"\s+", t.strip(" ").lower())
+        if len(toks) < SHINGLE_W:
+            return set()
+        return {
+            " ".join(toks[i : i + SHINGLE_W])
+            for i in range(len(toks) - SHINGLE_W + 1)
+        }
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: set(r.sh)
+        for r in df.select(
+            "doc_id", _shingles_spark(F.col("text")).alias("sh")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_shingles(t), f"doc {i}: {t!r}"
+
+
+def test_bigram_zipwith_matches_python_reference(spark, tmp_path_factory):
+    """Same round-9 pin for the adjacent-bigram zip_with rewrite shared
+    by text_bigram_lm_score / text_boilerplate_ngrams /
+    text_repetition_gopher: per-doc distinct-bigram sets must match a
+    first-principles Python reference (incl. multi-whitespace runs and
+    2-token minimum docs)."""
+    import re
+
+    from datafusion_nats_spark.extensions.text import text_boilerplate_ngrams
+
+    texts = [
+        "one",  # below 2 tokens -> zero bigrams
+        "one two",
+        "a b c d",
+        "a  b\tc",
+        "dup dup dup",
+    ]
+    out = str(tmp_path_factory.mktemp("bigrams"))
+    spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    def ref_bigrams(t: str) -> set[str]:
+        toks = re.split(r"\s+", t.strip(" "))
+        return {
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        } if len(toks) >= 2 else set()
+
+    # n_bigrams column counts the doc's DISTINCT bigrams (explode of the
+    # array_distinct'ed array)
+    got = {
+        r.doc_id: r.n_bigrams
+        for r in text_boilerplate_ngrams(spark, out).collect()
+    }
+    for i, t in enumerate(texts):
+        if len(ref_bigrams(t)) == 0:
+            assert i not in got  # zero-bigram docs produce no row
+        else:
+            assert got[i] == len(ref_bigrams(t)), f"doc {i}: {t!r}"
