@@ -81,7 +81,7 @@ from datafusion_nats_spark.extensions.similarity import (
     ivf_rerank_topk,
 )
 from datafusion_nats_spark.registry import query
-from datafusion_nats_spark.tables import load
+from datafusion_nats_spark.tables import load, salt_factor
 
 
 # bump when the on-disk layout or signature arithmetic changes: the tag
@@ -457,7 +457,7 @@ def _distributed_probe(
         .filter(F.col("cell").isin(cells))  # literal IN → partition pruning
         .select("vec_id", F.col("cell").alias("label"), "emb")
     )
-    salts = spark.sparkContext.defaultParallelism
+    salts = salt_factor(spark)
     if k is None:
         return ivf_rerank_topk(probes, vectors, salts=salts)
     return ivf_rerank_topk(probes, vectors, k=k, salts=salts)

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_nats_spark.registry import query
-from datafusion_nats_spark.tables import load
+from datafusion_nats_spark.tables import load, scan_parallelism
 
 VOCAB = 500  # word-histogram truncation (top-VOCAB by count, then token)
 MERGES = 3  # merge rounds to learn
@@ -143,7 +143,7 @@ def _train_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _train(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame]:
     d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        scan_parallelism(spark, sf_dir, "documents"), "doc_id"
     )
     toks = d.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_nats_spark.registry import query
-from datafusion_nats_spark.tables import load
+from datafusion_nats_spark.tables import load, salt_factor, scan_parallelism
 
 N_HASHES = 12  # minhash signature length
 BAND_SIZE = 3  # rows per LSH band → 4 bands
@@ -244,33 +244,38 @@ def _banded_signatures(capped: DataFrame) -> DataFrame:
     "never all-pairs.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, pairs = _lsh_candidate_pairs(_shingled_cached(spark, sf_dir))
+    _, pairs = _lsh_candidate_pairs(_shingled_shared(spark, sf_dir))
     return pairs
 
 
-def _shingled_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cached exploded (doc_id, shingle) table — ONE shingle pass shared
-    by every consumer.
+def _shingled_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, shingle) table with the shingle map BELOW an
+    exchange — ONE shingle pass shared by every consumer via
+    ReusedExchange, no persist.
 
-    A single parquet file scans as ONE partition, so spread the docs
-    across cores before the CPU-bound shingling map. The cache holds the
-    EXPLODED rows, not the pre-explode arrays: a round-9 A/B at 30x
-    replication measured the array-granularity cache 2-4× SLOWER end to
-    end (minhash 13 s → 51 s) — Spark's in-memory columnar store reads
-    array cells without codegen, so every consumer paid a slow
-    array-cache read plus a re-explode, swamping the ~100×-fewer-rows
-    materialization saving. Measured, rejected; the flat-row cache
-    stays."""
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    Two exchanges by design: the first spreads the docs across cores
+    before the CPU-bound shingling map (a single parquet file scans as
+    ONE partition); the second sits ABOVE the shingle projection, so
+    every consumer of this frame reads the already-shingled rows from
+    the reused shuffle instead of re-running the map — the same sharing
+    a persist() bought, at shuffle-file cost instead of an in-memory
+    columnar materialization. Round-10 A/B at sf0.1 under the
+    cache-releasing bench harness (every sample pays its own
+    materialization): persist form warm-median 2.41 s, this form
+    1.30 s; results identical. The round-9 array-granularity cache
+    rejection stands — this carries the EXPLODED flat rows, and at
+    cluster scale one extra shuffle of the shingle rows replaces an
+    equally-sized cache write plus its memory pressure (guide §2.4:
+    consumers keyed the same way share one exchange)."""
+    p = scan_parallelism(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(p, "doc_id")
     return d.select(
         "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
-    ).persist()
+    ).repartition(p, "doc_id")
 
 
 def _lsh_candidate_pairs(shingled: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Shared LSH pipeline over the cached shingle table → (capped,
+    """Shared LSH pipeline over the shared shingle table → (capped,
     pairs): ``capped`` is the df-capped exploded shingle table (consumed
     by the jaccard/containment exact-overlap verifiers), ``pairs`` the
     banded candidate pairs with shared-band counts. One shingle pass
@@ -297,11 +302,14 @@ def _lsh_candidate_pairs(shingled: DataFrame) -> tuple[DataFrame, DataFrame]:
     # ops per shingle, and the rows through the shuffle stay 1× the
     # shingle count (not N_HASHES×).
     banded = _cap_buckets(_banded_signatures(capped))
-    # The signature table feeds both sides of the candidate self-join;
-    # persist it so the shingle→hash pipeline isn't executed twice (at
-    # cluster scale this is a checkpoint of a table ~n_docs × n_bands —
-    # tiny next to the corpus).
-    banded = banded.persist()
+    # The signature table feeds both sides of the candidate self-join,
+    # but no persist is needed: _cap_buckets's window ends in an
+    # exchange by (band_id, band_key), and the two join sides are the
+    # same canonical plan, so ReusedExchange executes the shingle→hash
+    # pipeline ONCE and both sides read that shuffle (round-10: the
+    # persist form paid an in-memory materialization per bench sample
+    # under the cache-releasing harness for sharing the exchange
+    # already provides).
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -370,9 +378,15 @@ def _candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct was a full extra shuffle for nothing, and the same
     # uniqueness argument replaces both countDistinct aggregations with
     # plain counts (the r2 minhash df-cap lesson, applied here).
-    capped, pairs = _lsh_candidate_pairs(_shingled_cached(spark, sf_dir))
+    capped, pairs = _lsh_candidate_pairs(_shingled_shared(spark, sf_dir))
     cand = pairs.select("doc_a", "doc_b")
-    capped = capped.persist()
+    # capped is NOT persisted: every consumer (sizes, both intersection
+    # sides, and the banded pipeline inside pairs) re-reads the reused
+    # shingle exchange and re-applies the broadcast anti-join — a cheap
+    # map-side probe — instead of paying an in-memory columnar
+    # materialization per execution (round-10 A/B at sf0.1 under the
+    # cache-releasing harness: persist 2.53 s warm median → 1.43 s
+    # without; identical rows).
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
     y = capped.select(F.col("doc_id").alias("yb"), F.col("shingle").alias("shingle_b"))
@@ -462,7 +476,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        scan_parallelism(spark, sf_dir, "documents"), "doc_id"
     )
     # split on \s+ directly: one regex pass per doc instead of
     # regexp_replace + split (identical token arrays — \s+ runs become
@@ -531,7 +545,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = e.select("vec_id", "label", emb_d.alias("emb"))
-    nsalts = spark.sparkContext.defaultParallelism
+    nsalts = salt_factor(spark)
     # explicit fixed-n repartition: the join inputs are small in bytes
     # (AQE's byte-based coalescing would merge the salted partitions
     # back into ~one task) while the pair fan-out is the real cost —
@@ -600,29 +614,36 @@ def min_label_propagation(
         .withColumn("comp", F.col("id"))
         .persist()
     )
+    store = labels  # the persisted frame backing `labels` each round
     for it in range(max_iter):
         neighbor_min = (
             adj.join(labels, adj.doc_b == labels.id)
             .groupBy(F.col("doc_a").alias("id2"))
             .agg(F.min("comp").alias("nmin"))
         )
+        # Carry the did-anything-change flag THROUGH the update instead
+        # of re-deriving it with a second join: comp values only ever
+        # decrease (least of old and neighbor min), so "changed" is
+        # exactly "new comp < old comp", computable in the same
+        # projection. Saves one join + one full labels scan per round —
+        # at tiny-graph scale (the example corpus) each round's cost is
+        # dominated by these per-action driver constants.
+        new_comp = F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp")))
         updated = labels.join(neighbor_min, labels.id == F.col("id2"), "left").select(
             "id",
-            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+            new_comp.alias("comp"),
+            (new_comp < F.col("comp")).alias("_chg"),
         )
         if (it + 1) % checkpoint_every == 0:
             updated = updated.localCheckpoint()  # materializes + truncates plan
         else:
             updated = updated.persist()
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), F.col("u.id") == F.col("l.id"))
-            .filter(F.col("u.comp") != F.col("l.comp"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()  # superseded round — release executor storage
-        labels = updated
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        # unpersist the frame that actually holds the superseded round's
+        # storage (labels is a projection over it from round 2 on)
+        store.unpersist()
+        store = updated
+        labels = updated.drop("_chg")
         if changed == 0:
             break
     return labels
@@ -835,7 +856,7 @@ def _incremental_oracle() -> str:
 )
 def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        scan_parallelism(spark, sf_dir, "documents"), "doc_id"
     )
     is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
     shingled = d.select(

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from datafusion_nats_spark.extensions.text import tokens
 from datafusion_nats_spark.registry import query
-from datafusion_nats_spark.tables import load
+from datafusion_nats_spark.tables import load, scan_parallelism
 
 B = 256  # hashed-feature buckets
 K = 100  # documents to select
@@ -84,7 +84,7 @@ TARGET = "src0"  # the target domain (stand-in for the curated corpus)
 )
 def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        scan_parallelism(spark, sf_dir, "documents"), "doc_id"
     )
     toks = d.select(
         "doc_id", "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")

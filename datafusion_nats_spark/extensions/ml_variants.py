@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from datafusion_nats_spark.extensions.dedup import _SHINGLES_DUCK, _shingles_spark
 from datafusion_nats_spark.extensions.similarity import N_QUERIES, NPROBE, TOP_K
 from datafusion_nats_spark.registry import query
-from datafusion_nats_spark.tables import load
+from datafusion_nats_spark.tables import load, scan_parallelism
 
 SEED = 42
 JACCARD_T = 0.8  # exact-verify threshold for dedup_minhash_ml
@@ -75,7 +75,7 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        scan_parallelism(spark, sf_dir, "documents"), "doc_id"
     )
     shingled_arr = d.select(
         "doc_id", _shingles_spark(F.col("text")).alias("shingles")

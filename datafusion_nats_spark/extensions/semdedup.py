@@ -38,6 +38,7 @@ from datafusion_nats_spark.extensions.ml_variants import (
     lloyd_cte_prefix,
 )
 from datafusion_nats_spark.registry import query
+from datafusion_nats_spark.tables import salt_factor
 
 SEM_TAU = 0.35  # drop threshold: ~p99.4 of the within-cell cosine mass here
 _FINAL = LLOYD_ITERS + 1  # the converged-codebook assignment CTE index
@@ -83,7 +84,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe capture measured that shape on the IVF rerank). Side a keys
     # to one of S salts by vec_id hash, side b replicates S ways —
     # identical pairs, S-way parallel per cell.
-    nsalts = spark.sparkContext.defaultParallelism
+    nsalts = salt_factor(spark)
     # explicit fixed-n repartition: AQE's byte-based coalescing would
     # merge the salted partitions back into ~one task (the inputs are
     # small; the pair fan-out is the cost) — a user-specified

@@ -14,13 +14,40 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_nats_spark.registry import query
-from datafusion_nats_spark.tables import load
+from datafusion_nats_spark.tables import load, scan_parallelism
 
 
 def tokens(col):
     """Whitespace tokenization of trimmed text (identical semantics in the
     DuckDB oracle via regexp_split_to_array)."""
     return F.split(F.trim(col), r"\s+")
+
+
+def _adjacent_bigrams(toks):
+    """Adjacent "a b" bigram array of a token-array COLUMN (pass an
+    attribute, not an expression tree: a captured computation subtree is
+    re-evaluated per element by interpreted HOF eval — the round-9
+    O(tokens x tokenize) bug class this helper exists to prevent).
+    zip_with pads the shorter side with NULL (concat propagates it), so
+    entries 1..n-1 of the zip are the bigrams and the outer slice drops
+    the NULL tail; docs under 2 tokens yield an empty array. One shared
+    definition for text_bigram_lm_score / text_boilerplate_ngrams /
+    text_repetition_gopher, pinned by the differential test in
+    tests/test_extensions.py (round-9 ADVICE: the three inline copies
+    could drift independently)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.slice(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(1))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            1,
+            n - 1,
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 @query(
@@ -296,26 +323,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    ws = tokens(F.lower(F.col("text")))
-    n = F.size(ws)
-    # zip_with adjacent-pair join: HOF arguments are evaluated once per
-    # row — the previous transform(sequence(...), i -> element_at(ws, i))
-    # form captured the tokenize subtree in its lambda and interpreted
-    # HOF eval re-evaluated it per element (O(tokens x tokenize) per doc;
-    # see _shingles_spark in dedup.py for the measured ~15x A/B)
-    bg_arr = F.when(
-        n >= 2,
-        F.slice(
-            F.zip_with(
-                ws,
-                F.slice(ws, 2, F.greatest(n - 1, F.lit(1))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            ),
-            1,
-            n - 1,
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bigrams = d.select("doc_id", F.explode(bg_arr).alias("bg"))
+    # token array materialized into its own projection (a captured
+    # ATTRIBUTE is a row-slot read under any eval mode; the inline
+    # expression was referenced 3x and relied on codegen CSE), then the
+    # shared _adjacent_bigrams helper
+    t = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+    bigrams = t.select(
+        "doc_id", F.explode(_adjacent_bigrams(F.col("_toks"))).alias("bg")
+    )
     model = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     return (
         bigrams.join(model, "bg")
@@ -404,27 +419,13 @@ def text_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
-    # zip_with adjacent-pair join (arguments evaluated once per row); the
-    # previous transform+slice form captured the tokenize subtree in its
-    # lambda — re-evaluated per element by interpreted HOF eval (see
-    # _shingles_spark in dedup.py for the measured ~15x A/B)
-    bigrams = F.array_distinct(
-        F.when(
-            n >= 2,
-            F.slice(
-                F.zip_with(
-                    toks,
-                    F.slice(toks, 2, F.greatest(n - 1, F.lit(1))),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                ),
-                1,
-                n - 1,
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    # token array materialized (see text_bigram_lm_score) + the shared
+    # _adjacent_bigrams helper; per-doc distinct bigrams
+    t = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    ex = t.select(
+        "doc_id",
+        F.explode(F.array_distinct(_adjacent_bigrams(F.col("_toks")))).alias("bg"),
     )
-    ex = d.select("doc_id", F.explode(bigrams).alias("bg"))
     dfc = ex.groupBy("bg").agg(F.countDistinct("doc_id").alias("df"))
     total = d.agg(F.count(F.lit(1)).alias("n_docs"))
     boiler = (
@@ -536,21 +537,10 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda tk: F.size(F.filter(toks, lambda x: x == tk)),
         )
     )
-    # zip_with adjacent-pair join, arguments evaluated once per row (the
-    # transform+slice form re-evaluated its captured subtree per element)
-    dist_bg = F.size(
-        F.array_distinct(
-            F.slice(
-                F.zip_with(
-                    toks,
-                    F.slice(toks, 2, F.greatest(n - 1, F.lit(1))),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                ),
-                1,
-                n - 1,
-            )
-        )
-    )
+    # shared adjacent-bigram helper (n>=2 guard included; for n==1 the
+    # unguarded slice produced the same empty array, so this is
+    # value-identical)
+    dist_bg = F.size(F.array_distinct(_adjacent_bigrams(toks)))
     top_share = top_cnt.cast("double") / n
     dup_frac = F.lit(1.0) - dist_bg.cast("double") / (n - 1)
     return t.select(
@@ -607,7 +597,7 @@ SPAN_TOKENS = 20
 )
 def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        scan_parallelism(spark, sf_dir, "documents"), "doc_id"
     )
     toks = F.split(F.trim(F.col("text")), r"\s+")
     starts = F.sequence(
@@ -688,7 +678,7 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_span_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        scan_parallelism(spark, sf_dir, "documents"), "doc_id"
     )
     toks = F.split(F.trim(F.col("text")), r"\s+")
     starts = F.sequence(
@@ -769,7 +759,7 @@ def text_span_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        scan_parallelism(spark, sf_dir, "documents"), "doc_id"
     )
     chars = d.select(
         "doc_id",

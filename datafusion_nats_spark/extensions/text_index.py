@@ -87,7 +87,7 @@ from datafusion_nats_spark.extensions.similarity import (
 )
 from datafusion_nats_spark.extensions.text import tokens
 from datafusion_nats_spark.registry import query
-from datafusion_nats_spark.tables import load
+from datafusion_nats_spark.tables import load, salt_factor
 
 # Partition-directory fanout of the postings file. 64 buckets keeps the
 # sandbox artifact small; at 100 TB you would raise it so a bucket
@@ -284,7 +284,7 @@ def bm25_index_probe(
         # point. Salt: the (tiny) workload replicates S ways, each
         # posting keys to one salt by doc_id hash — S-way parallel per
         # word, identical rows (every pair matches exactly once).
-        nsalts = spark.sparkContext.defaultParallelism
+        nsalts = salt_factor(spark)
         terms_df = terms_df.withColumn(
             "_tsalt",
             F.explode(F.sequence(F.lit(0), F.lit(int(nsalts) - 1))),
@@ -574,7 +574,7 @@ def phrase_index_probe(
         # (measured: a 233 s max task at the 10k-phrase design point).
         # The workload replicates S ways, postings key to one salt by
         # doc_id hash — identical rows, S-way parallel per word.
-        nsalts = spark.sparkContext.defaultParallelism
+        nsalts = salt_factor(spark)
         join_side = join_side.withColumn(
             "_tsalt",
             F.explode(F.sequence(F.lit(0), F.lit(int(nsalts) - 1))),
@@ -746,7 +746,7 @@ def bm25_route_score(
         # is low-cardinality/Zipf-hot in a routing taxonomy, so the
         # batch-tf x workload join salts — workload replicated S ways,
         # each batch doc keyed to one salt by doc_id hash
-        nsalts = spark.sparkContext.defaultParallelism
+        nsalts = salt_factor(spark)
         terms_df = terms_df.withColumn(
             "_tsalt",
             F.explode(F.sequence(F.lit(0), F.lit(int(nsalts) - 1))),

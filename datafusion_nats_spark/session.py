@@ -52,14 +52,17 @@ def get_spark(app_name: str = "datafusion_nats_spark") -> SparkSession:
         # 128m cut join-stage CPU ~10-25% on the full-outer-join
         # retrieval queries (search_hybrid_rrf 218→162 cpu-s) by
         # skipping both sort passes; size-gated per partition so it
-        # cannot pick an un-spillable build side at scale. Default OFF
-        # (0, Spark's default): converting join algorithms reorders rows
-        # into downstream float aggregates, and the oracle contract
-        # treats any rounding flip as a wrong answer — flip it on in
-        # production where that contract does not bind.
+        # cannot pick an un-spillable build side at scale. Default ON
+        # since round 10: the feared rounding hazard (join conversion
+        # reorders rows into float aggregates) does not bite this
+        # surface — every FP fold downstream of a join is explicitly
+        # order-pinned (_ordered_sum) or 6-dp-rounded per row, and the
+        # flip was certified by full 300-query oracle sweeps at sf0.01
+        # AND sf0.1 plus the local[2]-vs-local[32] partition-invariance
+        # suite. SPARK_GRAFT_SHJ_THRESHOLD=0 restores Spark's default.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "0"),
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "128m"),
         )
         # UI off by default (test-suite overhead); SPARK_GRAFT_UI=1 turns
         # it on for harnesses that read per-stage metrics (shuffle bytes)

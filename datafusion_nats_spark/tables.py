@@ -63,3 +63,59 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL entry points."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scan_parallelism(
+    spark: SparkSession, sf_dir: str, name: str, bytes_per_task: int = 16 << 10
+) -> int:
+    """Partition count for a CPU-bound map over table ``name``, derived
+    from the table's on-disk size instead of a flat defaultParallelism
+    (guide §2: make partitioning scale-adaptive, not a constant tuned
+    for one scale).
+
+    The flat ``repartition(defaultParallelism, ...)`` the dedup/text
+    family used was right for the bench SF but pathological below it:
+    at sf0.001 every stage of every iterative pipeline ran 32 tasks over
+    ~500 rows, and the per-task dispatch overhead (amplified by 32-way
+    thread contention) dominated wall clock — the corpus_curation
+    example spent minutes scheduling no-op tasks. Clamped to
+    defaultParallelism, so at the bench SF and above this returns
+    exactly the old value and plans/timings there are unchanged.
+
+    ``bytes_per_task`` is deliberately tiny (16 KiB parquet ≈ a few
+    hundred KiB of text): these maps are CPU-heavy per byte (shingling,
+    md5 per shingle), the opposite of the byte-balanced sizing AQE's
+    advisory-size coalescing assumes — which is also why the call sites
+    pin an explicit partition count rather than letting AQE coalesce
+    the exchange to one task. Reads only file metadata (one Hadoop
+    ``getContentSummary`` call), never data."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/{name}.parquet")
+    try:
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        n_bytes = fs.getContentSummary(hpath).getLength()
+    except Exception:  # unreadable path → keep the old flat behavior
+        return spark.sparkContext.defaultParallelism
+    dp = spark.sparkContext.defaultParallelism
+    return max(1, min(dp, int(n_bytes) // bytes_per_task))
+
+
+# Upper bound on the salted-join replication factor. The skew salts
+# replicate the SMALL side S ways; with S = defaultParallelism the
+# replicated bytes scale linearly with cluster size (on a 1,000-core
+# cluster the workload/corpus side is duplicated 1,000× — a local-mode
+# assumption hiding inside an otherwise correct technique, round-9
+# verdict). 32-way parallelism per hot key is plenty to break the
+# measured stragglers (49 s / 233 s max tasks went away at S=32 in the
+# round-9 captures, which ran at exactly this value); past that, more
+# salts buy diminishing parallelism for linearly more replication.
+SALT_CAP = 32
+
+
+def salt_factor(spark: SparkSession) -> int:
+    """Salt count for the low-cardinality-key skew joins (semdedup,
+    embedding-cosine, BM25/phrase probe, IVF rerank): parallel enough to
+    break per-key serialization, capped so replication bytes stay
+    constant as the cluster grows. Equal to defaultParallelism on
+    local[<=32], so local plans and bench numbers are unchanged."""
+    return max(1, min(spark.sparkContext.defaultParallelism, SALT_CAP))

@@ -1117,3 +1117,39 @@ def test_bigram_zipwith_matches_python_reference(spark, tmp_path_factory):
             assert i not in got  # zero-bigram docs produce no row
         else:
             assert got[i] == len(ref_bigrams(t)), f"doc {i}: {t!r}"
+
+
+def test_adjacent_bigrams_helper_matches_python_reference(spark):
+    """Round-10 ADVICE pin: the three bigram queries now share ONE
+    _adjacent_bigrams helper — pin the helper itself (ordered,
+    non-distinct output) against a first-principles reference on the
+    whitespace/short-doc edge cases, so a drift in the shared
+    definition fails here before any oracle run."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from datafusion_nats_spark.extensions.text import _adjacent_bigrams, tokens
+
+    texts = ["one", "one two", "a b c d", "a  b\tc", "dup dup dup", "x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.bg
+        for r in df.select(
+            "doc_id",
+            _adjacent_bigrams(tokens(F.col("text"))).alias("bg"),
+        ).collect()
+    }
+
+    def ref(t: str) -> list[str]:
+        toks = re.split(r"\s+", t.strip(" "))
+        return (
+            [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+            if len(toks) >= 2
+            else []
+        )
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), f"doc {i}: {t!r}"
