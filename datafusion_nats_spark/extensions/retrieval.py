@@ -227,7 +227,19 @@ def rrf_fuse(arms: list[DataFrame], k: int = RRF_K) -> DataFrame:
     fused = None
     for i, arm in enumerate(arms):
         a = arm.select("query_id", "doc_id", F.col("rank").alias(f"rank_{i}"))
-        fused = a if fused is None else fused.join(a, ["query_id", "doc_id"], "full_outer")
+        # SHUFFLE_HASH hint: each arm is a top-ARM_K rank relation, so a
+        # build-side partition is bounded by |queries|·ARM_K/partitions
+        # rows of three integers — the provably-safe case for the
+        # non-spillable SHJ build. Skipping the two SMJ sort passes
+        # measured −26% join-stage CPU at 30x (round 9); the GLOBAL AQE
+        # threshold (maxShuffledHashJoinLocalMapThreshold) stays off
+        # because round 10 measured it OOMing an unbounded build side
+        # on the 30x phrase-probe workload (see session.py).
+        fused = (
+            a
+            if fused is None
+            else fused.join(a.hint("shuffle_hash"), ["query_id", "doc_id"], "full_outer")
+        )
     score = None
     for i in range(len(arms)):
         c = F.coalesce(

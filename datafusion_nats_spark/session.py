@@ -36,6 +36,18 @@ def get_spark(app_name: str = "datafusion_nats_spark") -> SparkSession:
         # Keep parquet scans wide enough to parallelize but bounded so a
         # single task's partition fits executor memory at large SF.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Parquet writes (persisted index artifacts: IVF/PQ cells,
+        # LSH bands, BM25 postings) — zstd over the snappy default
+        # (guide §6). Round-10 A/B, build+2-probe cycles, all index
+        # kinds: artifacts 2.75→2.02 MB at sf0.1 (−27%) and
+        # 32.1→21.6 MB at 30x replication (−33%), probe passes flat to
+        # slightly faster (13.0 vs 15.2 s at 30x — smaller files to
+        # read); oracle sweeps green. The test corpus READS are
+        # unaffected (input parquet is the driver's fixture).
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         # Shuffle codec (guide §2.3). Round-9 A/B at 30x replication:
         # zstd HALVES shuffle-write bytes on the heavy movers
         # (search_bm25_topk 181→86 MB, search_hybrid_rrf 284→122 MB,
@@ -51,18 +63,20 @@ def get_spark(app_name: str = "datafusion_nats_spark") -> SparkSession:
         # AQE SMJ→SHJ conversion (guide §3.1). Round-9 A/B at 30x:
         # 128m cut join-stage CPU ~10-25% on the full-outer-join
         # retrieval queries (search_hybrid_rrf 218→162 cpu-s) by
-        # skipping both sort passes; size-gated per partition so it
-        # cannot pick an un-spillable build side at scale. Default ON
-        # since round 10: the feared rounding hazard (join conversion
-        # reorders rows into float aggregates) does not bite this
-        # surface — every FP fold downstream of a join is explicitly
-        # order-pinned (_ordered_sum) or 6-dp-rounded per row, and the
-        # flip was certified by full 300-query oracle sweeps at sf0.01
-        # AND sf0.1 plus the local[2]-vs-local[32] partition-invariance
-        # suite. SPARK_GRAFT_SHJ_THRESHOLD=0 restores Spark's default.
+        # skipping both sort passes. Round 10 tried defaulting it ON and
+        # MEASURED the §3.1 failure mode instead of the win: the 30x
+        # phrase-probe workload died with "not enough memory to build
+        # hash map" (ShuffledHashJoinExec's build is non-spillable, and
+        # the threshold compares COMPRESSED map bytes against per-task
+        # memory that is heap×fraction/32 ≈ 150 MB here). Reverted to
+        # default OFF; the one join where the win was measured and the
+        # build side is provably bounded (the RRF fusion of two
+        # top-ARM_K arms) gets an explicit SHUFFLE_HASH hint instead —
+        # see retrieval.rrf_fuse. On clusters with more memory per task
+        # slot, set SPARK_GRAFT_SHJ_THRESHOLD to taste.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "128m"),
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "0"),
         )
         # UI off by default (test-suite overhead); SPARK_GRAFT_UI=1 turns
         # it on for harnesses that read per-stage metrics (shuffle bytes)
