@@ -80,7 +80,17 @@ def _multifile_copy(spark, sf_dir: str, n_files: int) -> str:
             (
                 spark.read.parquet(f"{sf_dir}/{t}.parquet")
                 .repartition(n_files)
+                # Pin the fixture copy to the driver fixture's codec:
+                # round 10 flipped the SESSION write codec to zstd for
+                # the persisted index artifacts, and an unpinned copy
+                # silently re-encoded these tables zstd — inflating
+                # every multifile8 number ~10-15% (zstd decode is
+                # slower than snappy at scan time) and breaking
+                # round-over-round comparability of the one layout that
+                # tracks a cluster's scan parallelism. The multifile
+                # pass measures QUERY changes, not codec changes.
                 .write.mode("overwrite")
+                .option("compression", "snappy")
                 .parquet(os.path.join(out_root, f"{t}.parquet"))
             )
         with open(done, "w") as f:

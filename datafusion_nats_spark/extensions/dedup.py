@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_nats_spark.registry import query
-from datafusion_nats_spark.tables import load, salt_factor, scan_parallelism
+from datafusion_nats_spark.tables import (
+    load,
+    salt_factor,
+    salt_partitions,
+    scan_parallelism,
+)
 
 N_HASHES = 12  # minhash signature length
 BAND_SIZE = 3  # rows per LSH band → 4 bands
@@ -249,29 +254,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingled_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exploded (doc_id, shingle) table with the shingle map BELOW an
-    exchange — ONE shingle pass shared by every consumer via
-    ReusedExchange, no persist.
+    """Exploded (doc_id, shingle) table, no persist.
 
-    Two exchanges by design: the first spreads the docs across cores
-    before the CPU-bound shingling map (a single parquet file scans as
-    ONE partition); the second sits ABOVE the shingle projection, so
-    every consumer of this frame reads the already-shingled rows from
-    the reused shuffle instead of re-running the map — the same sharing
-    a persist() bought, at shuffle-file cost instead of an in-memory
-    columnar materialization. Round-10 A/B at sf0.1 under the
-    cache-releasing bench harness (every sample pays its own
-    materialization): persist form warm-median 2.41 s, this form
-    1.30 s; results identical. The round-9 array-granularity cache
-    rejection stands — this carries the EXPLODED flat rows, and at
-    cluster scale one extra shuffle of the shingle rows replaces an
-    equally-sized cache write plus its memory pressure (guide §2.4:
-    consumers keyed the same way share one exchange)."""
+    Honest executed-plan shape (round-10 continuation audit;
+    plans/r10/dedup_minhash_lsh_after.txt): the trailing
+    repartition(p, doc_id) is REMOVED by the optimizer as redundant —
+    same key and count as the leading one — so there is NO shared
+    shingle-row exchange, and the df-count (banned-shingle) branch
+    re-executes the shingle map. What IS shared: the banded-signature
+    self-join's two sides read one exchange (ReusedExchange via
+    _cap_buckets' (band_id, band_key) shuffle), so the map runs twice
+    per query, not three-plus times as in round 8.
+
+    Why twice beats the round-9 persist form anyway, measured same-host
+    bench-vs-bench at sf0.1 under the cache-releasing harness (every
+    sample pays its own materialization): persist 2.50 s warm median →
+    this form 2.21 s — dropping the two persists removes the
+    in-memory-columnar materialization cost from the single-query path.
+    Variants that tried to make the sharing real were all measured
+    no better (round-10 continuation, 7-sample warm medians): a
+    round-robin first exchange + pruning-stable count("doc_id") so the
+    doc_id exchange survives → 2.51 s (PushDownLeftSemiAntiJoin slides
+    the anti-join below the repartition and an inferred
+    isnotnull(shingle) lands in the banned branch, so the consumer
+    subtrees never canonicalize equal and the map still runs twice,
+    now with an extra 4 MB exchange); the same plus that optimizer rule
+    excluded → 2.38 s. At sf0.1 the wall is stage-count/AQE-round
+    bound, not map-CPU bound. The round-9 array-granularity cache
+    rejection stands. For consumers that filter the shingle table
+    multiple ways (incremental dedup), persist still wins and is kept
+    there (dedup_incremental_new_batch: 1.06 s persisted vs 1.14 s
+    without)."""
     p = scan_parallelism(spark, sf_dir, "documents")
     d = load(spark, sf_dir, "documents").repartition(p, "doc_id")
     return d.select(
         "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle")
-    ).repartition(p, "doc_id")
+    )
 
 
 def _lsh_candidate_pairs(shingled: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -546,6 +564,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = e.select("vec_id", "label", emb_d.alias("emb"))
     nsalts = salt_factor(spark)
+    nparts = salt_partitions(spark, nsalts)
     # explicit fixed-n repartition: the join inputs are small in bytes
     # (AQE's byte-based coalescing would merge the salted partitions
     # back into ~one task) while the pair fan-out is the real cost —
@@ -557,14 +576,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "int"
             ),
         )
-        .repartition(nsalts, "label", "_bsalt")
+        .repartition(nparts, "label", "_bsalt")
         .alias("a")
     )
     b = (
         e.withColumn(
             "_bsalt", F.explode(F.sequence(F.lit(0), F.lit(nsalts - 1)))
         )
-        .repartition(nsalts, "label", "_bsalt")
+        .repartition(nparts, "label", "_bsalt")
         .alias("b")
     )
     from datafusion_nats_spark.extensions.similarity import _dot, _norm

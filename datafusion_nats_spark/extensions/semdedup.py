@@ -38,7 +38,7 @@ from datafusion_nats_spark.extensions.ml_variants import (
     lloyd_cte_prefix,
 )
 from datafusion_nats_spark.registry import query
-from datafusion_nats_spark.tables import salt_factor
+from datafusion_nats_spark.tables import salt_factor, salt_partitions
 
 SEM_TAU = 0.35  # drop threshold: ~p99.4 of the within-cell cosine mass here
 _FINAL = LLOYD_ITERS + 1  # the converged-codebook assignment CTE index
@@ -85,6 +85,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to one of S salts by vec_id hash, side b replicates S ways —
     # identical pairs, S-way parallel per cell.
     nsalts = salt_factor(spark)
+    nparts = salt_partitions(spark, nsalts)
     # explicit fixed-n repartition: AQE's byte-based coalescing would
     # merge the salted partitions back into ~one task (the inputs are
     # small; the pair fan-out is the cost) — a user-specified
@@ -99,7 +100,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "int"
             ),
         )
-        .repartition(nsalts, "cell", "_bsalt")
+        .repartition(nparts, "cell", "_bsalt")
     )
     b = (
         assigned.select(
@@ -108,7 +109,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell").alias("cell_b"),
         )
         .withColumn("_bsalt", F.explode(F.sequence(F.lit(0), F.lit(nsalts - 1))))
-        .repartition(nsalts, "cell_b", "_bsalt")
+        .repartition(nparts, "cell_b", "_bsalt")
     )
     cos = F.round(
         dot(F.col("ae"), F.col("be")) / (norm(F.col("ae")) * norm(F.col("be"))), 6

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from datafusion_nats_spark.registry import query
-from datafusion_nats_spark.tables import load
+from datafusion_nats_spark.tables import load, salt_partitions
 
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -257,8 +257,9 @@ def ivf_rerank_topk(
         # bytes — merges the salted partitions right back into one task.
         # A user-specified numPartitions is not AQE-coalescible, which
         # pins the rerank's parallelism at `salts` tasks.
-        e = e.repartition(int(salts), "label", "_rsalt")
-        probes = probes.repartition(int(salts), "cell", "_rsalt")
+        nparts = salt_partitions(probes.sparkSession, int(salts))
+        e = e.repartition(nparts, "label", "_rsalt")
+        probes = probes.repartition(nparts, "cell", "_rsalt")
         cond = (
             (e.label == probes.cell)
             & (e._rsalt == probes._rsalt)

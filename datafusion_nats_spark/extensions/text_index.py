@@ -87,7 +87,7 @@ from datafusion_nats_spark.extensions.similarity import (
 )
 from datafusion_nats_spark.extensions.text import tokens
 from datafusion_nats_spark.registry import query
-from datafusion_nats_spark.tables import load, salt_factor
+from datafusion_nats_spark.tables import load, salt_factor, salt_partitions
 
 # Partition-directory fanout of the postings file. 64 buckets keeps the
 # sandbox artifact small; at 100 TB you would raise it so a bucket
@@ -300,8 +300,9 @@ def bm25_index_probe(
         # tasks) while the join output is |workload|·df(term) scored
         # rows computed map-side — a user-specified numPartitions pins
         # the fan-out work at nsalts-way parallel
-        postings = postings.repartition(int(nsalts), "word", "_tsalt")
-        terms_df = terms_df.repartition(int(nsalts), "term", "_tsalt")
+        nparts = salt_partitions(spark, nsalts)
+        postings = postings.repartition(nparts, "word", "_tsalt")
+        terms_df = terms_df.repartition(nparts, "term", "_tsalt")
         cond = (postings.word == terms_df.term) & (
             postings._tsalt == terms_df._tsalt
         )
@@ -527,7 +528,29 @@ def phrase_index_probe(
     postings join shuffles on the word key and never lands on the
     driver. Bucket resolution is bounded by N_TERM_BUCKETS either way,
     so THAT collect is always tiny; identical rows either way (pinned
-    in pytest)."""
+    in pytest).
+
+    Execution shape (round-10 rewrite, guide §2.3/§8). The previous
+    shape joined postings to the FULL workload per side and then paired
+    the two sides with a join keyed (query_id, term_a, term_b, doc_id)
+    whose both inputs carried position ARRAYS — at the 30x/Zipf design
+    point that SMJ sorted 2×29.7M array-carrying rows (256 phrases
+    reusing 30 words, one word in 78% of docs) and spilled the sandbox
+    disk to death. Now:
+
+    1. postings join only the DISTINCT (term_a, term_b) pairs — a hot
+       workload repeats phrases across query_ids (that is what makes it
+       hot), so per-pair adjacency is computed ONCE per phrase, not
+       once per query (the 256-query Zipf capture reuses each pair
+       ~8.5×);
+    2. the two sides pair on exploded per-position rows — narrow
+       integer keys through the exchange, no array payloads sorted
+       (decide with small rows, §8); n_occurrences/first_pos fall out
+       of a count/min aggregate, identical to the old
+       array_intersect by construction (per-(word,doc) position lists
+       are distinct-valued);
+    3. query_ids fan back in at the very end via a join on the phrase
+       identity — broadcast when inline, salted when distributed."""
     vdir = current_index_dir(index_dir)
     if inline is None:
         inline = (
@@ -541,15 +564,19 @@ def phrase_index_probe(
         words = sorted({t for _, a, b in rows for t in (a, b)})
         buckets = _workload_buckets(spark, words)
         word_filter = F.col("word").isin(words)
-        p = spark.createDataFrame(
+        wl = spark.createDataFrame(
             rows, "query_id int, term_a string, term_b string"
         )
-        join_side = F.broadcast(p)
+        pair_rows = sorted({(a, b) for _, a, b in rows})
+        pairs = spark.createDataFrame(
+            pair_rows, "term_a string, term_b string"
+        )
+        pairs_join = F.broadcast(pairs)
     else:
-        p = phrases.select("query_id", "term_a", "term_b")
+        wl = phrases.select("query_id", "term_a", "term_b")
         buckets = sorted(
             r["bucket"]
-            for r in p.select(
+            for r in wl.select(
                 F.explode(F.array("term_a", "term_b")).alias("w")
             )
             .select(_bucket_expr(F.col("w")).alias("bucket"))
@@ -557,7 +584,8 @@ def phrase_index_probe(
             .collect()
         )
         word_filter = F.lit(True)  # the word joins replace the IN filter
-        join_side = p
+        pairs = wl.select("term_a", "term_b").distinct()
+        pairs_join = pairs
     postings = (
         spark.read.parquet(os.path.join(vdir, "postings"))
         .filter(F.col("bucket").isin(buckets))
@@ -565,17 +593,17 @@ def phrase_index_probe(
         .select("word", "doc_id", "positions")
     )
     if inline:
-        cond_a = postings.word == p.term_a
-        cond_b = postings.word == p.term_b
+        cond_a = postings.word == pairs_join.term_a
+        cond_b = postings.word == pairs_join.term_b
     else:
         # same salt as bm25_index_probe's distributed join: an unsalted
         # shuffle join on the word key serializes onto ≤|distinct
         # words| tasks when the workload concentrates on few terms
         # (measured: a 233 s max task at the 10k-phrase design point).
-        # The workload replicates S ways, postings key to one salt by
+        # The pair table replicates S ways, postings key to one salt by
         # doc_id hash — identical rows, S-way parallel per word.
         nsalts = salt_factor(spark)
-        join_side = join_side.withColumn(
+        pairs_join = pairs_join.withColumn(
             "_tsalt",
             F.explode(F.sequence(F.lit(0), F.lit(int(nsalts) - 1))),
         )
@@ -588,47 +616,64 @@ def phrase_index_probe(
         # explicit fixed-n repartition (see bm25_index_probe): pins the
         # position-list fan-out at nsalts-way parallel where AQE's
         # byte-based coalescing would re-serialize the salted join
-        postings = postings.repartition(int(nsalts), "word", "_tsalt")
-        cond_a = (postings.word == join_side.term_a) & (
-            postings._tsalt == join_side._tsalt
+        postings = postings.repartition(
+            salt_partitions(spark, nsalts), "word", "_tsalt"
         )
-        cond_b = (postings.word == join_side.term_b) & (
-            postings._tsalt == join_side._tsalt
+        cond_a = (postings.word == pairs_join.term_a) & (
+            postings._tsalt == pairs_join._tsalt
         )
-    # both sides carry the FULL phrase identity (query_id, term_a,
-    # term_b): joining on (query_id, doc_id) alone would cross-pair the
-    # position lists of two different phrases issued under one query_id
-    a = postings.join(join_side, cond_a).select(
-        "query_id",
+        cond_b = (postings.word == pairs_join.term_b) & (
+            postings._tsalt == pairs_join._tsalt
+        )
+    # both sides carry the FULL phrase identity (term_a, term_b):
+    # pairing on doc_id alone would cross-pair the position lists of
+    # two different phrases. Positions explode BEFORE the pairing join,
+    # so the exchange moves (phrase, doc_id, pos) integers, never
+    # arrays; term_a positions shift by +1 so adjacency is equality.
+    a = postings.join(pairs_join, cond_a).select(
         "term_a",
         "term_b",
         "doc_id",
-        F.col("positions").alias("pos_a"),
+        F.explode(F.transform("positions", lambda x: x + 1)).alias("p"),
     )
-    b_side = postings.join(join_side, cond_b).select(
-        "query_id",
+    b_side = postings.join(pairs_join, cond_b).select(
         "term_a",
         "term_b",
         "doc_id",
-        F.col("positions").alias("pos_b"),
+        F.explode("positions").alias("p"),
     )
-    # positions i of term_a whose successor i+1 is a term_b position;
-    # both lists are sorted, so the intersection stays sorted and its
-    # head is the first occurrence (shifted by one)
-    matches = F.array_intersect(
-        F.transform(F.col("pos_a"), lambda x: x + 1), F.col("pos_b")
-    )
-    return (
-        a.join(b_side, ["query_id", "term_a", "term_b", "doc_id"])
-        .select("query_id", "doc_id", matches.alias("m"))
-        .filter(F.size("m") > 0)
-        .select(
-            "query_id",
-            "doc_id",
-            F.size("m").cast("int").alias("n_occurrences"),
-            (F.array_min("m") - 1).cast("int").alias("first_pos"),
+    # each match row is one occurrence (position values are distinct
+    # within a (word, doc) posting), so count/min reproduce the old
+    # size(intersect)/array_min exactly
+    per_pair = (
+        a.join(b_side, ["term_a", "term_b", "doc_id", "p"])
+        .groupBy("term_a", "term_b", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_occurrences"),
+            (F.min("p") - 1).cast("int").alias("first_pos"),
         )
     )
+    if inline:
+        fan = per_pair.join(F.broadcast(wl), ["term_a", "term_b"])
+    else:
+        # the phrase identity is exactly as Zipf-hot as the workload:
+        # salt the fan-out join the same way (workload replicated S
+        # ways, per-pair rows keyed by doc_id hash)
+        nsalts = salt_factor(spark)
+        wl_s = wl.withColumn(
+            "_fsalt",
+            F.explode(F.sequence(F.lit(0), F.lit(int(nsalts) - 1))),
+        )
+        per_pair = per_pair.withColumn(
+            "_fsalt",
+            F.pmod(
+                F.crc32(F.col("doc_id").cast("string")), F.lit(int(nsalts))
+            ).cast("int"),
+        ).repartition(
+            salt_partitions(spark, nsalts), "term_a", "term_b", "_fsalt"
+        )
+        fan = per_pair.join(wl_s, ["term_a", "term_b", "_fsalt"])
+    return fan.select("query_id", "doc_id", "n_occurrences", "first_pos")
 
 
 @query(
@@ -759,7 +804,9 @@ def bm25_route_score(
         )
         # explicit fixed-n repartition (see bm25_index_probe): pins the
         # routing fan-out at nsalts-way parallel under AQE coalescing
-        stf = stf.repartition(int(nsalts), "word", "_tsalt")
+        stf = stf.repartition(
+            salt_partitions(spark, nsalts), "word", "_tsalt"
+        )
         cond = (stf.word == terms_df.term) & (stf._tsalt == terms_df._tsalt)
     # dfrel is (word, df) distinct — bounded by the matched buckets'
     # vocabulary, tiny rows — broadcast it rather than shuffling the

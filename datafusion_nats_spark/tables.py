@@ -119,3 +119,25 @@ def salt_factor(spark: SparkSession) -> int:
     constant as the cluster grows. Equal to defaultParallelism on
     local[<=32], so local plans and bench numbers are unchanged."""
     return max(1, min(spark.sparkContext.defaultParallelism, SALT_CAP))
+
+
+def salt_partitions(spark: SparkSession, salts: int) -> int:
+    """Partition count for the salted joins' pinned repartitions.
+
+    Two different knobs were conflated until round 10: the SALT count
+    bounds replication bytes (salt_factor, capped at SALT_CAP), while
+    the PARTITION count only controls how the |keys|·salts distinct
+    join cells spread across tasks. Pinning the partition count AT the
+    salt count stacked ~|keys| cells per task by hash collision and
+    capped every salted fan-out at `salts` tasks regardless of cores —
+    the round-10 30x bigbatch capture measured the IVF rerank (a
+    13.8k-cpu-s stage) running as exactly 32 tasks with 378/608/975 s
+    min/median/max durations: parallel, but collision-stacked and
+    unable to use more cores. The count stays a USER-specified
+    numPartitions (AQE's byte-based coalescing would merge the
+    deliberately small-input fan-out partitions back into ~one task —
+    the original reason for pinning), but is decoupled from the salt
+    count: ×16 headroom so cells rarely collide, and scaling with
+    cluster cores so the fan-out is never partition-bound."""
+    dp = spark.sparkContext.defaultParallelism
+    return max(int(salts) * 16, dp * 4)

@@ -104,7 +104,11 @@ def _replicate(spark, sf_dir: str, replicas: int) -> str:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-            out.repartition(16).write.mode("overwrite").parquet(dst)
+            out.repartition(16).write.mode("overwrite").option(
+                "compression", "snappy"
+            ).parquet(dst)  # match the fixture codec, not the session's
+            # artifact default (zstd since r10) — keeps replica scans
+            # comparable with the snappy captures of rounds 6-9
         elif not os.path.exists(dst):
             os.symlink(os.path.abspath(src), dst)
     with open(done, "w") as f:
@@ -156,7 +160,11 @@ def _replicate_skewed(spark, sf_dir: str, factor: int) -> str:
                 .withColumn(key, F.col(key) + F.col("_k").cast("long") * SHIFT)
                 .drop("_k")
             )
-            out.repartition(16).write.mode("overwrite").parquet(dst)
+            out.repartition(16).write.mode("overwrite").option(
+                "compression", "snappy"
+            ).parquet(dst)  # match the fixture codec, not the session's
+            # artifact default (zstd since r10) — keeps replica scans
+            # comparable with the snappy captures of rounds 6-9
         elif not os.path.exists(dst):
             os.symlink(os.path.abspath(src), dst)
     with open(done, "w") as f:
